@@ -1,0 +1,325 @@
+"""Sliding-window batched inference engine.
+
+TPU-native rebuild of the reference's ``Inference``
+(/root/reference/src/pyannote/audio/core/inference.py): chunk -> batch ->
+forward -> powerset-to-multilabel -> hamming-weighted overlap-add.
+
+Design (SURVEY.md §7.0/§7.1):
+  * Chunk extraction happens *inside* the jitted step: the full waveform goes
+    to HBM once, and each batch gathers its chunks with a vmapped
+    dynamic-slice — no (num_chunks, window) materialization, no host round
+    trips (the reference's ``waveform.unfold`` + per-batch ``.to(device)``
+    loop, inference.py:261-305).
+  * One executable serves every file: batch shapes are static
+    (batch_size × window_samples); the ragged tail is padded and masked.
+  * Powerset decode and overlap-add aggregation run on device
+    (ops.powerset, ops.aggregate); only the final SlidingWindowFeature
+    wrapper is host-side.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from pathlib import Path
+from typing import Callable, Optional, Text, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.aggregate import aggregate_scores
+from ..ops.powerset import Powerset
+from .io import Audio, AudioFile
+from .model import Model, Resolution, Specifications
+from .segment import Segment, SlidingWindow, SlidingWindowFeature
+
+
+class Inference:
+    """Run a model over a file with a sliding (or whole-file) window.
+
+    Parameters mirror the reference (inference.py:78-181).
+    """
+
+    def __init__(
+        self,
+        model: Union[Model, Text, Path],
+        window: Text = "sliding",
+        duration: Optional[float] = None,
+        step: Optional[float] = None,
+        pre_aggregation_hook: Optional[Callable] = None,
+        skip_aggregation: bool = False,
+        skip_conversion: bool = False,
+        batch_size: int = 32,
+    ):
+        if window not in ("sliding", "whole"):
+            raise ValueError('`window` must be "sliding" or "whole".')
+        self.model = model if isinstance(model, Model) \
+            else Model.from_pretrained(model)
+        specs = self.model.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+
+        if window == "whole" and spec.resolution == Resolution.FRAME:
+            warnings.warn(
+                'Using "whole" window on a frame-resolution model.')
+        self.window = window
+        self.skip_aggregation = skip_aggregation
+        self.skip_conversion = skip_conversion
+        self.pre_aggregation_hook = pre_aggregation_hook
+        self.batch_size = batch_size
+
+        training_duration = spec.duration
+        duration = duration or training_duration
+        if training_duration and training_duration != duration:
+            warnings.warn(
+                f"Duration ({duration:g}s) != training duration "
+                f"({training_duration:g}s); this may hurt performance.")
+        self.duration = duration
+
+        # default step: warm-up-aware, else 10% of duration
+        # (reference inference.py:154-157)
+        if step is None:
+            warm_up = spec.warm_up
+            if any(warm_up):
+                step = duration * max(warm_up)
+            else:
+                step = 0.1 * duration
+        if step > self.duration:
+            raise ValueError("step must not be larger than duration")
+        self.step = step
+
+        self.audio = Audio(sample_rate=self.model.sample_rate,
+                           mono="downmix")
+
+        # powerset -> multilabel converter (reference inference.py:130-141)
+        self._powerset: Optional[Powerset] = None
+        if isinstance(specs, Specifications) and spec.powerset:
+            self._powerset = Powerset(len(spec.classes),
+                                      spec.powerset_max_classes)
+
+        self._jitted_batch = None
+
+    # -- device compute ----------------------------------------------------
+
+    def _make_batch_fn(self, window_samples: int):
+        """One compiled step: gather chunks + forward + (powerset decode)."""
+        module = self.model.module
+        powerset = self._powerset
+        skip_conversion = self.skip_conversion
+
+        def batch_fn(params, waveform, starts):
+            # waveform: (channels, T_padded); starts: (B,) int32
+            def get_chunk(start):
+                return jax.lax.dynamic_slice(
+                    waveform, (0, start),
+                    (waveform.shape[0], window_samples))
+            chunks = jax.vmap(get_chunk)(starts)  # (B, ch, window)
+            out = module.apply(params, chunks)
+            if powerset is not None and not skip_conversion:
+                out = powerset.to_multilabel(out)
+            return out
+
+        return jax.jit(batch_fn)
+
+    def infer(self, chunks: jnp.ndarray) -> np.ndarray:
+        """Forward an explicit (batch, channel, samples) array."""
+        out = self.model(chunks)
+        if self._powerset is not None and not self.skip_conversion:
+            out = self._powerset.to_multilabel(out)
+        return np.asarray(out)
+
+    # -- sliding-window engine ---------------------------------------------
+
+    def slide(self, waveform: np.ndarray, sample_rate: int,
+              hook: Optional[Callable] = None) -> SlidingWindowFeature:
+        """Slide the model over a (channel, time) waveform.
+
+        Parity: Inference.slide (reference inference.py:217-374).
+        """
+        window_size = round(self.duration * sample_rate)
+        step_size = round(self.step * sample_rate)
+        _, num_samples = waveform.shape
+
+        specs = self.model.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        frame_resolution = spec.resolution == Resolution.FRAME
+        if frame_resolution:
+            frames = self.model.receptive_field
+            num_frames_per_chunk = self.model.num_frames(window_size)
+        else:
+            frames = None
+            num_frames_per_chunk = None
+
+        # chunk start positions (last chunk zero-padded, inference.py:273-278)
+        if num_samples >= window_size:
+            num_full = 1 + (num_samples - window_size) // step_size
+        else:
+            num_full = 0
+        has_last = (num_samples < window_size) or \
+            ((num_samples - window_size) % step_size > 0)
+        starts = [i * step_size for i in range(num_full)]
+        if has_last:
+            starts.append(num_full * step_size)
+        num_chunks = len(starts)
+        starts = np.asarray(starts, dtype=np.int32)
+
+        # pad waveform so every dynamic_slice is in range
+        pad = int(starts[-1]) + window_size - num_samples
+        if pad > 0:
+            waveform = np.pad(waveform, ((0, 0), (0, pad)))
+        device_waveform = jnp.asarray(waveform)
+
+        if self._jitted_batch is None:
+            self._jitted_batch = self._make_batch_fn(window_size)
+
+        # batched forward with a fixed batch shape (single executable)
+        B = self.batch_size
+        num_batches = math.ceil(num_chunks / B)
+        outputs = []
+        for b in range(num_batches):
+            batch_starts = starts[b * B:(b + 1) * B]
+            n_real = len(batch_starts)
+            if n_real < B:
+                batch_starts = np.pad(batch_starts, (0, B - n_real))
+            out = self._jitted_batch(self.model.params, device_waveform,
+                                     jnp.asarray(batch_starts))
+            outputs.append(out[:n_real])
+            if hook is not None:
+                hook(completed=min((b + 1) * B, num_chunks),
+                     total=num_chunks)
+        scores = jnp.concatenate(outputs, axis=0) if len(outputs) > 1 \
+            else outputs[0]
+
+        chunk_window = SlidingWindow(start=0.0, duration=self.duration,
+                                     step=self.step)
+
+        if not frame_resolution:
+            return SlidingWindowFeature(np.asarray(scores), chunk_window)
+
+        if self.skip_aggregation or spec.permutation_invariant:
+            return SlidingWindowFeature(np.asarray(scores), chunk_window)
+
+        if self.pre_aggregation_hook is not None:
+            scores = jnp.asarray(
+                self.pre_aggregation_hook(np.asarray(scores)))
+
+        # per-chunk output-frame offsets (closest_frame rounding — data, not
+        # structure; computed host-side, tiny)
+        chunk_starts_t = starts.astype(np.float64) / sample_rate
+        offsets = np.array([frames.closest_frame(t + 0.5 * frames.duration)
+                            for t in chunk_starts_t], dtype=np.int32)
+        file_duration = num_samples / sample_rate
+        num_output_frames = int(
+            math.floor(file_duration / frames.step))
+        total_frames = max(num_output_frames,
+                           int(offsets[-1]) + num_frames_per_chunk)
+
+        aggregated = aggregate_scores(
+            scores,
+            jnp.asarray(offsets),
+            total_frames,
+            hamming=True,
+            warm_up=spec.warm_up,
+            missing=0.0,
+        )
+        # trim frames beyond the true end of file (last-chunk padding)
+        data = np.asarray(aggregated)[:num_output_frames]
+        return SlidingWindowFeature(data, frames)
+
+    # -- public API --------------------------------------------------------
+
+    def __call__(self, file: AudioFile, hook: Optional[Callable] = None):
+        """Run inference on a whole file (reference inference.py:375-415)."""
+        waveform, sample_rate = self.audio(file)
+        if self.window == "sliding":
+            return self.slide(waveform, sample_rate, hook=hook)
+        outputs = self.infer(waveform[None])
+        return outputs[0]
+
+    def crop(
+        self,
+        file: AudioFile,
+        chunk: Union[Segment, list],
+        duration: Optional[float] = None,
+        hook: Optional[Callable] = None,
+    ):
+        """Inference on a crop of the file (reference inference.py:417-496)."""
+        if self.window == "sliding":
+            if not isinstance(chunk, Segment):
+                start = min(c.start for c in chunk)
+                end = max(c.end for c in chunk)
+                chunk = Segment(start=start, end=end)
+            waveform, sample_rate = self.audio.crop(file, chunk,
+                                                    duration=duration,
+                                                    mode="pad")
+            output = self.slide(waveform, sample_rate, hook=hook)
+            if isinstance(output, SlidingWindowFeature):
+                shifted = SlidingWindow(
+                    start=output.sliding_window.start + chunk.start,
+                    duration=output.sliding_window.duration,
+                    step=output.sliding_window.step)
+                output = SlidingWindowFeature(output.data, shifted)
+            return output
+        if isinstance(chunk, Segment):
+            waveform, sample_rate = self.audio.crop(file, chunk,
+                                                    duration=duration,
+                                                    mode="pad")
+            return self.infer(waveform[None])[0]
+        waveforms = [self.audio.crop(file, c, duration=duration,
+                                     mode="pad")[0] for c in chunk]
+        return self.infer(np.stack(waveforms))
+
+    # -- static helpers (parity: reference classmethods) -------------------
+
+    @staticmethod
+    def aggregate(
+        scores: SlidingWindowFeature,
+        frames: SlidingWindow,
+        warm_up: Tuple[float, float] = (0.0, 0.0),
+        epsilon: float = 1e-12,
+        hamming: bool = False,
+        missing: float = np.nan,
+        skip_average: bool = False,
+    ) -> SlidingWindowFeature:
+        """Aggregate chunk-wise scores into frame-wise scores.
+
+        Parity: Inference.aggregate (inference.py:498-620). Host entry point
+        taking a (num_chunks, frames_per_chunk, C) SlidingWindowFeature.
+        """
+        data = np.asarray(scores.data, dtype=np.float32)
+        num_chunks, frames_per_chunk, C = data.shape
+        chunk_window = scores.sliding_window
+        offsets = np.array(
+            [frames.closest_frame(chunk_window[i].start
+                                  + 0.5 * frames.duration)
+             for i in range(num_chunks)], dtype=np.int32)
+        num_output_frames = int(offsets[-1]) + frames_per_chunk
+        out = aggregate_scores(
+            jnp.asarray(data), jnp.asarray(offsets), num_output_frames,
+            hamming=hamming, warm_up=warm_up, missing=missing,
+            skip_average=skip_average)
+        window = SlidingWindow(start=chunk_window.start,
+                               duration=frames.duration, step=frames.step)
+        return SlidingWindowFeature(np.asarray(out), window)
+
+    @staticmethod
+    def trim(
+        scores: SlidingWindowFeature,
+        warm_up: Tuple[float, float] = (0.1, 0.1),
+    ) -> SlidingWindowFeature:
+        """Trim warm-up regions from chunk-wise scores.
+
+        Parity: Inference.trim (inference.py:622-666).
+        """
+        chunk_window = scores.sliding_window
+        num_chunks, num_frames, _ = scores.data.shape
+        left = int(round(warm_up[0] * num_frames))
+        right = int(round(warm_up[1] * num_frames))
+        new_data = scores.data[:, left:num_frames - right]
+        frame_duration = chunk_window.duration / num_frames
+        new_window = SlidingWindow(
+            start=chunk_window.start + left * frame_duration,
+            duration=chunk_window.duration
+            - (left + right) * frame_duration,
+            step=chunk_window.step)
+        return SlidingWindowFeature(new_data, new_window)

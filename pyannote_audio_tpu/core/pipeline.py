@@ -1,0 +1,293 @@
+"""Config-driven pipeline composition.
+
+TPU-native rebuild of the reference's ``Pipeline`` base
+(/root/reference/src/pyannote/audio/core/pipeline.py) merged with the
+relevant machinery of its external base class ``pyannote.pipeline.Pipeline``
+(SURVEY.md §1.7): YAML config loading, ``$model/{subfolder}`` expansion,
+hyperparameter declaration/instantiate/freeze, model/inference registries and
+batch apply. Device movement is a no-op under JAX (XLA owns placement);
+``to()`` is kept for API parity.
+"""
+
+from __future__ import annotations
+
+import importlib
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Optional, Text, Union
+
+import yaml
+
+from ..pipelines.parameter import ParamDict, Parameter
+from .io import AudioFile
+from .model import Model
+
+PIPELINE_CONFIG = "config.yaml"
+
+
+def expand_subfolders(config: Any, model_id: str) -> Any:
+    """Expand ``$model/{subfolder}[@revision]`` placeholders in a config.
+
+    Parity: expand_subfolders (reference core/pipeline.py:50-148). Given a
+    root checkpoint id/path, rewrites string values like ``$model/embedding``
+    into ``{checkpoint: <root>, subfolder: embedding}`` dicts.
+    """
+    if isinstance(config, dict):
+        return {k: expand_subfolders(v, model_id) for k, v in config.items()}
+    if isinstance(config, list):
+        return [expand_subfolders(v, model_id) for v in config]
+    if isinstance(config, str) and config.startswith("$model"):
+        rest = config[len("$model"):]
+        revision = None
+        if "@" in rest:
+            rest, revision = rest.split("@", 1)
+        subfolder = rest.lstrip("/")
+        out: Dict[str, Any] = {"checkpoint": model_id}
+        if subfolder:
+            out["subfolder"] = subfolder
+        if revision:
+            out["revision"] = revision
+        return out
+    return config
+
+
+def get_class_by_name(name: str,
+                      default_module_name: Optional[str] = None) -> type:
+    """Import ``pkg.module.Class`` (reference delegates to pyannote.core)."""
+    tokens = name.split(".")
+    if len(tokens) == 1:
+        if default_module_name is None:
+            raise ValueError(f"cannot resolve class name {name!r}")
+        module_name, class_name = default_module_name, name
+    else:
+        module_name = ".".join(tokens[:-1])
+        class_name = tokens[-1]
+    # transparently map reference class paths onto ours
+    module_name = module_name.replace("pyannote.audio", "pyannote_audio_tpu")
+    return getattr(importlib.import_module(module_name), class_name)
+
+
+class Pipeline:
+    """Base pipeline: declared hyperparameters + sub-pipelines + models."""
+
+    def __init__(self):
+        # registries (parity: reference pipeline.py:336-410 __setattr__)
+        self.__dict__["_models"]: Dict[str, Model] = {}
+        self.__dict__["_inferences"]: Dict[str, Any] = {}
+        self.__dict__["_parameters"]: Dict[str, Parameter] = {}
+        self.__dict__["_instantiated"]: Dict[str, Any] = {}
+        self.__dict__["_pipelines"]: Dict[str, "Pipeline"] = {}
+        self.__dict__["_frozen"]: Dict[str, Any] = {}
+        self.__dict__["_preprocessors"]: Dict[str, Callable] = {}
+        self.training = False
+
+    # -- attribute registries ---------------------------------------------
+
+    def __setattr__(self, name: str, value: Any):
+        from .inference import Inference
+        for registry in ("_models", "_inferences", "_parameters",
+                         "_pipelines", "_instantiated"):
+            self.__dict__.setdefault(registry, {}).pop(name, None)
+        if isinstance(value, Model):
+            self.__dict__["_models"][name] = value
+        elif isinstance(value, Inference):
+            self.__dict__["_inferences"][name] = value
+        elif isinstance(value, Parameter):
+            self.__dict__["_parameters"][name] = value
+        elif isinstance(value, Pipeline):
+            self.__dict__["_pipelines"][name] = value
+        else:
+            object.__setattr__(self, name, value)
+            return
+        object.__setattr__(self, name, value)
+
+    # -- hyperparameters ---------------------------------------------------
+
+    def parameters(self, instantiated: bool = False) -> Dict[str, Any]:
+        """Flat view of (possibly nested) declared parameters."""
+        params = dict(self.__dict__["_parameters"])
+        for name, sub in self.__dict__["_pipelines"].items():
+            for k, v in sub.parameters().items():
+                params[f"{name}.{k}"] = v
+        return params
+
+    def instantiate(self, params: Dict[str, Any]) -> "Pipeline":
+        """Set concrete values for declared hyperparameters."""
+        for name, value in (params or {}).items():
+            self._instantiate_one(name, value)
+        self.instantiated = True
+        return self
+
+    def _instantiate_one(self, name: str, value: Any):
+        declared = self.__dict__["_parameters"].get(name)
+        if isinstance(declared, ParamDict) and isinstance(value, dict):
+            merged = {}
+            for k in declared:
+                merged[k] = value.get(k)
+            self.__dict__["_instantiated"][name] = merged
+            object.__setattr__(self, name, _DotDict(merged))
+        elif declared is not None:
+            self.__dict__["_instantiated"][name] = value
+            object.__setattr__(self, name, value)
+        elif name in self.__dict__["_pipelines"]:
+            self.__dict__["_pipelines"][name].instantiate(value)
+        elif isinstance(value, dict) and hasattr(self, name) and \
+                isinstance(getattr(self, name), Pipeline):
+            getattr(self, name).instantiate(value)
+        else:
+            # undeclared parameter: set it anyway (forward compat)
+            object.__setattr__(self, name, value)
+
+    def freeze(self, params: Dict[str, Any]) -> "Pipeline":
+        """Pin a subset of hyperparameters (excluded from optimization)."""
+        for name, value in (params or {}).items():
+            if name in self.__dict__["_pipelines"]:
+                self.__dict__["_pipelines"][name].freeze(value)
+            else:
+                self.__dict__["_frozen"][name] = value
+                self._instantiate_one(name, value)
+        return self
+
+    def default_parameters(self) -> Dict[str, Any]:
+        raise NotImplementedError(
+            f"{type(self).__name__} has no default parameters")
+
+    # -- loading -----------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        checkpoint: Union[Dict, Text, Path],
+        **kwargs,
+    ) -> Optional["Pipeline"]:
+        """Load a pipeline from a config dict / yaml file / directory.
+
+        Parity: Pipeline.from_pretrained (reference core/pipeline.py:152-334)
+        minus the HF-hub network path (local snapshot dirs work identically).
+        """
+        if isinstance(checkpoint, dict):
+            config = checkpoint
+            model_id = config.get("checkpoint", ".")
+        else:
+            path = Path(checkpoint)
+            if path.is_dir():
+                config_yml = path / PIPELINE_CONFIG
+                model_id = str(path)
+            elif path.is_file():
+                config_yml = path
+                model_id = str(path.parent)
+            else:
+                raise ValueError(
+                    f"{checkpoint} is neither a directory nor a config file "
+                    "(hub downloads are not available in this environment)")
+            with open(config_yml) as f:
+                config = yaml.safe_load(f)
+
+        config = expand_subfolders(config, model_id)
+
+        if "pipeline" not in config:
+            raise ValueError("config has no 'pipeline' section")
+        pipeline_name = config["pipeline"]["name"]
+        Klass = get_class_by_name(
+            pipeline_name,
+            default_module_name="pyannote_audio_tpu.pipelines")
+        params = dict(config["pipeline"].get("params") or {})
+        params.update(kwargs.pop("pipeline_params", {}))
+        pipeline = Klass(**params)
+
+        # freeze / instantiate (reference pipeline.py:285-294)
+        if "freeze" in config:
+            pipeline.freeze(config["freeze"])
+        if "params" in config:
+            pipeline.instantiate(config["params"])
+
+        # preprocessors (reference pipeline.py:296-324)
+        preprocessors = {}
+        for key, preproc in (config.get("preprocessors") or {}).items():
+            if isinstance(preproc, dict) and "name" in preproc:
+                PreprocKlass = get_class_by_name(
+                    preproc["name"],
+                    default_module_name="pyannote_audio_tpu.utils."
+                                        "preprocessors")
+                preprocessors[key] = PreprocKlass(
+                    **(preproc.get("params") or {}))
+            else:
+                preprocessors[key] = preproc
+        if preprocessors:
+            pipeline.__dict__["_preprocessors"] = preprocessors
+        return pipeline
+
+    def dump_config(self) -> Dict[str, Any]:
+        """Serializable config (inverse of from_pretrained for params)."""
+        return {
+            "pipeline": {
+                "name": f"{type(self).__module__}.{type(self).__name__}",
+            },
+            "params": dict(self.__dict__["_instantiated"]),
+        }
+
+    def save_config(self, path: Union[str, Path]):
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        with open(path / PIPELINE_CONFIG, "w") as f:
+            yaml.safe_dump(self.dump_config(), f)
+
+    # -- applying ----------------------------------------------------------
+
+    def prepare_one(self, file: AudioFile) -> Dict:
+        from .io import Audio
+        file = dict(Audio.validate_file(file))
+        for key, preproc in self.__dict__["_preprocessors"].items():
+            file[key] = preproc(file)
+        return file
+
+    def default_hook(self) -> Callable:
+        def hook(step_name, step_artifact, file=None, total=None,
+                 completed=None):
+            pass
+        return hook
+
+    def __call__(self, file: AudioFile, hook: Optional[Callable] = None,
+                 **kwargs):
+        if not getattr(self, "instantiated", False):
+            try:
+                self.instantiate(self.default_parameters())
+            except NotImplementedError:
+                self.instantiated = True
+        if isinstance(file, (list, tuple)) or (
+                hasattr(file, "__iter__")
+                and not isinstance(file, (str, Path, dict))
+                and not hasattr(file, "read")):
+            return self._apply_batch(list(file), hook=hook, **kwargs)
+        file = self.prepare_one(file)
+        return self.apply(file, hook=hook, **kwargs)
+
+    def _apply_batch(self, files: List[AudioFile],
+                     hook: Optional[Callable] = None, **kwargs):
+        """Sequential fallback (reference pipeline.py:489-508); subclasses
+        may override ``apply_batch`` with a genuinely batched version."""
+        apply_batch = getattr(self, "apply_batch", None)
+        files = [self.prepare_one(f) for f in files]
+        uris = [f.get("uri") for f in files]
+        if len(set(uris)) != len(uris):
+            raise ValueError("duplicate URIs in batch")
+        if apply_batch is not None:
+            return apply_batch(files, hook=hook, **kwargs)
+        return [self.apply(f, hook=hook, **kwargs) for f in files]
+
+    def apply(self, file: Dict, hook: Optional[Callable] = None, **kwargs):
+        raise NotImplementedError
+
+    # -- device management (API parity; placement is XLA's job) ------------
+
+    def to(self, device) -> "Pipeline":
+        self.device = device
+        return self
+
+
+class _DotDict(dict):
+    """Attribute access over instantiated ParamDict values."""
+
+    __getattr__ = dict.__getitem__
+
+    def __setattr__(self, k, v):
+        self[k] = v

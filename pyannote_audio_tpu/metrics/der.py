@@ -1,0 +1,286 @@
+"""Diarization error rate — exact interval-sweep implementation.
+
+Replaces the reference's external dependency ``pyannote.metrics``
+(DiarizationErrorRate / GreedyDiarizationErrorRate; SURVEY.md §1.7) used by
+its benchmark CLI (/root/reference/src/pyannote/audio/__main__.py) and the
+optimal-mapping step of the diarization pipeline
+(/root/reference/src/pyannote/audio/pipelines/utils/diarization.py:104-146).
+
+This is a host-side *exact* (non-discretized) implementation used as the
+ground-truth judge; the fast on-device streaming DER lives in
+``pyannote_audio_tpu.metrics.streaming``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Hashable, List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from ..core.annotation import Annotation, Timeline
+from ..core.segment import Segment
+
+
+def _boundaries(*annotations: Annotation, uem: Optional[Timeline] = None
+                ) -> np.ndarray:
+    pts = set()
+    for ann in annotations:
+        for seg in ann.itersegments():
+            pts.add(seg.start)
+            pts.add(seg.end)
+    if uem is not None:
+        for seg in uem:
+            pts.add(seg.start)
+            pts.add(seg.end)
+    return np.array(sorted(pts))
+
+
+def _interval_labels(ann: Annotation, lo: float, hi: float) -> List[Hashable]:
+    mid = 0.5 * (lo + hi)
+    out = []
+    for seg, _, lbl in ann.itertracks(yield_label=True):
+        if seg.start <= mid < seg.end:
+            out.append(lbl)
+    return out
+
+
+def cooccurrence_matrix(reference: Annotation, hypothesis: Annotation,
+                        uem: Optional[Timeline] = None
+                        ) -> Tuple[np.ndarray, List, List]:
+    """Duration of joint activity for each (ref_label, hyp_label) pair."""
+    ref_labels = reference.labels()
+    hyp_labels = hypothesis.labels()
+    mat = np.zeros((len(ref_labels), len(hyp_labels)))
+    pts = _boundaries(reference, hypothesis, uem=uem)
+    for lo, hi in zip(pts[:-1], pts[1:]):
+        dur = hi - lo
+        if dur <= 0:
+            continue
+        if uem is not None and not any(
+                s.start <= 0.5 * (lo + hi) < s.end for s in uem):
+            continue
+        r = _interval_labels(reference, lo, hi)
+        h = _interval_labels(hypothesis, lo, hi)
+        for rl in r:
+            for hl in h:
+                mat[ref_labels.index(rl), hyp_labels.index(hl)] += dur
+    return mat, ref_labels, hyp_labels
+
+
+def optimal_mapping(reference: Annotation, hypothesis: Annotation,
+                    uem: Optional[Timeline] = None) -> Dict:
+    """Hungarian one-to-one hyp->ref label mapping maximizing overlap."""
+    mat, ref_labels, hyp_labels = cooccurrence_matrix(
+        reference, hypothesis, uem=uem)
+    if mat.size == 0:
+        return {}
+    rows, cols = linear_sum_assignment(-mat)
+    return {hyp_labels[j]: ref_labels[i]
+            for i, j in zip(rows, cols) if mat[i, j] > 0}
+
+
+@dataclass
+class DERComponents:
+    false_alarm: float = 0.0
+    missed_detection: float = 0.0
+    confusion: float = 0.0
+    total: float = 0.0
+
+    @property
+    def der(self) -> float:
+        if self.total == 0.0:
+            return 0.0 if (self.false_alarm == 0.0) else np.inf
+        return (self.false_alarm + self.missed_detection +
+                self.confusion) / self.total
+
+    def __iadd__(self, other: "DERComponents") -> "DERComponents":
+        self.false_alarm += other.false_alarm
+        self.missed_detection += other.missed_detection
+        self.confusion += other.confusion
+        self.total += other.total
+        return self
+
+
+def _apply_collar(reference: Annotation, collar: float,
+                  uem: Optional[Timeline]) -> Optional[Timeline]:
+    """Shrink the scoring region by +-collar/2 around each ref boundary."""
+    if collar <= 0:
+        return uem
+    removed = Timeline(uri=reference.uri)
+    half = 0.5 * collar
+    for seg in reference.itersegments():
+        removed.add(Segment(seg.start - half, seg.start + half))
+        removed.add(Segment(seg.end - half, seg.end + half))
+    if uem is None:
+        extent = reference.get_timeline().extent()
+        extent = Segment(extent.start - half, extent.end + half)
+        uem = Timeline([extent], uri=reference.uri)
+    return removed.gaps(support=uem.support())
+
+
+def diarization_error_rate_components(
+    reference: Annotation,
+    hypothesis: Annotation,
+    uem: Optional[Timeline] = None,
+    collar: float = 0.0,
+    skip_overlap: bool = False,
+    mapping: Optional[Dict] = None,
+) -> DERComponents:
+    """Exact DER decomposition via a boundary sweep.
+
+    For each elementary interval (between consecutive boundaries of
+    ref+hyp+uem): with Nr ref speakers, Nh hyp speakers and Nc correctly
+    mapped speakers active,
+      miss += max(0, Nr-Nh) * dur
+      fa   += max(0, Nh-Nr) * dur
+      conf += (min(Nr,Nh) - Nc) * dur
+      total += Nr * dur
+    """
+    uem = _apply_collar(reference, collar, uem)
+    if uem is not None:
+        uem = uem.support()
+    if mapping is None:
+        mapping = optimal_mapping(reference, hypothesis, uem=uem)
+    comp = DERComponents()
+    pts = _boundaries(reference, hypothesis, uem=uem)
+    for lo, hi in zip(pts[:-1], pts[1:]):
+        dur = hi - lo
+        if dur <= 0:
+            continue
+        mid = 0.5 * (lo + hi)
+        if uem is not None and not any(
+                s.start <= mid < s.end for s in uem):
+            continue
+        r = _interval_labels(reference, lo, hi)
+        if skip_overlap and len(r) > 1:
+            continue
+        h = _interval_labels(hypothesis, lo, hi)
+        mapped = [mapping.get(hl) for hl in h]
+        n_ref, n_hyp = len(r), len(h)
+        n_correct = sum(1 for rl in r if rl in mapped)
+        comp.total += n_ref * dur
+        comp.missed_detection += max(0, n_ref - n_hyp) * dur
+        comp.false_alarm += max(0, n_hyp - n_ref) * dur
+        comp.confusion += (min(n_ref, n_hyp) - n_correct) * dur
+    return comp
+
+
+def diarization_error_rate(
+    reference: Annotation,
+    hypothesis: Annotation,
+    uem: Optional[Timeline] = None,
+    collar: float = 0.0,
+    skip_overlap: bool = False,
+) -> float:
+    return diarization_error_rate_components(
+        reference, hypothesis, uem=uem, collar=collar,
+        skip_overlap=skip_overlap).der
+
+
+class DiarizationErrorRate:
+    """Accumulating DER metric over a corpus (mirrors pyannote.metrics API)."""
+
+    def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
+        self.collar = collar
+        self.skip_overlap = skip_overlap
+        self.components_ = DERComponents()
+        self.uris_: List[str] = []
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        comp = diarization_error_rate_components(
+            reference, hypothesis, uem=uem, collar=self.collar,
+            skip_overlap=self.skip_overlap)
+        self.components_ += comp
+        self.uris_.append(reference.uri)
+        if detailed:
+            return {
+                "diarization error rate": comp.der,
+                "false alarm": comp.false_alarm,
+                "missed detection": comp.missed_detection,
+                "confusion": comp.confusion,
+                "total": comp.total,
+            }
+        return comp.der
+
+    def optimal_mapping(self, reference: Annotation, hypothesis: Annotation,
+                        uem: Optional[Timeline] = None) -> Dict:
+        return optimal_mapping(reference, hypothesis, uem=uem)
+
+    def __abs__(self) -> float:
+        return self.components_.der
+
+    def report(self) -> Dict[str, float]:
+        c = self.components_
+        return {
+            "diarization error rate": c.der,
+            "false alarm": c.false_alarm,
+            "missed detection": c.missed_detection,
+            "confusion": c.confusion,
+            "total": c.total,
+        }
+
+
+class GreedyDiarizationErrorRate(DiarizationErrorRate):
+    """DER with greedy (instead of Hungarian) label mapping."""
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        uem2 = _apply_collar(reference, self.collar, uem)
+        mat, ref_labels, hyp_labels = cooccurrence_matrix(
+            reference, hypothesis, uem=uem2)
+        mapping = {}
+        m = mat.copy()
+        while m.size and m.max() > 0:
+            i, j = np.unravel_index(np.argmax(m), m.shape)
+            mapping[hyp_labels[j]] = ref_labels[i]
+            m[i, :] = -1
+            m[:, j] = -1
+        comp = diarization_error_rate_components(
+            reference, hypothesis, uem=uem, collar=self.collar,
+            skip_overlap=self.skip_overlap, mapping=mapping)
+        self.components_ += comp
+        self.uris_.append(reference.uri)
+        if detailed:
+            return {
+                "diarization error rate": comp.der,
+                "false alarm": comp.false_alarm,
+                "missed detection": comp.missed_detection,
+                "confusion": comp.confusion,
+                "total": comp.total,
+            }
+        return comp.der
+
+
+def detection_error_rate(reference: Annotation, hypothesis: Annotation,
+                         uem: Optional[Timeline] = None) -> float:
+    """Speech-activity detection error (any-speaker vs any-speaker)."""
+    ref = reference.get_timeline().support()
+    hyp = hypothesis.get_timeline().support()
+    pts = set()
+    for tl in (ref, hyp):
+        for s in tl:
+            pts.add(s.start)
+            pts.add(s.end)
+    if uem is not None:
+        for s in uem:
+            pts.add(s.start)
+            pts.add(s.end)
+    pts = np.array(sorted(pts))
+    fa = miss = total = 0.0
+    for lo, hi in zip(pts[:-1], pts[1:]):
+        mid, dur = 0.5 * (lo + hi), hi - lo
+        if uem is not None and not any(
+                s.start <= mid < s.end for s in uem):
+            continue
+        in_ref = any(s.start <= mid < s.end for s in ref)
+        in_hyp = any(s.start <= mid < s.end for s in hyp)
+        if in_ref:
+            total += dur
+            if not in_hyp:
+                miss += dur
+        elif in_hyp:
+            fa += dur
+    return (fa + miss) / total if total > 0 else 0.0

@@ -1,0 +1,168 @@
+"""SincNet learnable band-pass front-end, flax + XLA.
+
+Behavioral parity with the reference SincNet block
+(/root/reference/src/pyannote/audio/models/blocks/sincnet.py): instance-norm
+-> parameterized sinc filterbank conv (80 filters, k=251) -> abs ->
+3x(maxpool3 + instance-norm + leaky-relu) with two Conv1d(80->60, 60->60,
+k=5) stages. The sinc filterbank follows the public SincNet
+parameterization (Ravanelli & Bengio, arXiv:1808.00158, as wrapped by
+asteroid_filterbanks.ParamSincFB): learnable per-filter (low_hz_, band_hz_),
+mel-spaced init, Hamming-windowed symmetric kernels.
+
+TPU-native design: kernels are materialized on the fly from the 2x80 scalar
+parameters (one tiny elementwise pass) and the filterbank is a single
+strided convolution, which XLA lowers to an MXU-friendly contraction; the
+entire block is fusable under jit. Layout is channel-last (B, T, C).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.receptive_field import (
+    multi_conv_num_frames,
+    multi_conv_receptive_field_center,
+    multi_conv_receptive_field_size,
+)
+from .norm import InstanceNorm1d
+
+# conv/pool ladder of the block: [sinc, pool, conv, pool, conv, pool]
+def _ladder(stride: int):
+    return dict(
+        kernel_size=[251, 3, 5, 3, 5, 3],
+        stride=[stride, 3, 1, 3, 1, 3],
+        padding=[0, 0, 0, 0, 0, 0],
+        dilation=[1, 1, 1, 1, 1, 1],
+    )
+
+
+def mel_initialized_bands(n_filters: int, sample_rate: int,
+                          min_low_hz: float, min_band_hz: float
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Mel-spaced initial (low_hz, band_hz), as in public SincNet."""
+    low_hz = 30.0
+    high_hz = sample_rate / 2 - (min_low_hz + min_band_hz)
+
+    def to_mel(hz):
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+    def to_hz(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    mel = np.linspace(to_mel(low_hz), to_mel(high_hz), n_filters + 1)
+    hz = to_hz(mel)
+    return hz[:-1].astype(np.float32), np.diff(hz).astype(np.float32)
+
+
+def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray,
+                 kernel_size: int, sample_rate: int,
+                 min_low_hz: float = 50.0, min_band_hz: float = 50.0
+                 ) -> jnp.ndarray:
+    """Materialize (kernel_size, n_filters) band-pass kernels.
+
+    band_pass(t) = (sin(2π f_hi t) − sin(2π f_lo t)) / (πt), Hamming-windowed
+    and peak-normalized per filter — the SincConv-fast construction.
+    """
+    n_filters = low_hz.shape[0]
+    low = min_low_hz + jnp.abs(low_hz)
+    high = jnp.clip(low + min_band_hz + jnp.abs(band_hz),
+                    min_low_hz, sample_rate / 2)
+    band = (high - low)
+
+    half = (kernel_size - 1) // 2
+    # n_: (half,) time axis 2π t / sr for t = -half..-1
+    t = jnp.arange(-half, 0, dtype=jnp.float32)
+    n_ = 2.0 * jnp.pi * t / sample_rate
+    # half Hamming window
+    window = 0.54 - 0.46 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(half, dtype=jnp.float32)
+        / (kernel_size - 1))
+
+    f_lo = low[:, None] * n_[None, :]
+    f_hi = high[:, None] * n_[None, :]
+    left = ((jnp.sin(f_hi) - jnp.sin(f_lo)) / (n_[None, :] / 2.0)) \
+        * window[None, :]
+    center = 2.0 * band[:, None]
+    right = left[:, ::-1]
+    filters = jnp.concatenate([left, center, right], axis=1)
+    filters = filters / (2.0 * band[:, None])
+    return filters.T  # (kernel_size, n_filters)
+
+
+class SincConv(nn.Module):
+    """Learnable sinc filterbank as a strided conv. Input (B, T, 1)."""
+
+    n_filters: int = 80
+    kernel_size: int = 251
+    stride: int = 10
+    sample_rate: int = 16000
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init_low, init_band = mel_initialized_bands(
+            self.n_filters, self.sample_rate, self.min_low_hz,
+            self.min_band_hz)
+        low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
+        band_hz = self.param("band_hz", lambda _: jnp.asarray(init_band))
+        kernels = sinc_filters(low_hz, band_hz, self.kernel_size,
+                               self.sample_rate, self.min_low_hz,
+                               self.min_band_hz)
+        return jax.lax.conv_general_dilated(
+            x, kernels[:, None, :],
+            window_strides=(self.stride,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+
+
+class SincNet(nn.Module):
+    """Full SincNet block. Input (B, channel, samples) -> (B, frames, 60)."""
+
+    stride: int = 10
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.swapaxes(waveforms, 1, 2)  # (B, T, C)
+        x = InstanceNorm1d(1, name="wav_norm1d")(x)
+        x = SincConv(stride=self.stride, sample_rate=self.sample_rate,
+                     name="sinc_conv")(x)
+        x = jnp.abs(x)
+        x = _max_pool3(x)
+        x = InstanceNorm1d(80, name="norm1d_0")(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(60, (5,), padding="VALID", name="conv1d_1")(x)
+        x = _max_pool3(x)
+        x = InstanceNorm1d(60, name="norm1d_1")(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(60, (5,), padding="VALID", name="conv1d_2")(x)
+        x = _max_pool3(x)
+        x = InstanceNorm1d(60, name="norm1d_2")(x)
+        x = nn.leaky_relu(x, 0.01)
+        return x
+
+    @staticmethod
+    def num_frames(num_samples: int, stride: int = 10) -> int:
+        return multi_conv_num_frames(num_samples, **_ladder(stride))
+
+    @staticmethod
+    def receptive_field_size(num_frames: int = 1, stride: int = 10) -> int:
+        spec = _ladder(stride)
+        return multi_conv_receptive_field_size(
+            num_frames, kernel_size=spec["kernel_size"],
+            stride=spec["stride"], dilation=spec["dilation"])
+
+    @staticmethod
+    def receptive_field_center(frame: int = 0, stride: int = 10) -> int:
+        return multi_conv_receptive_field_center(frame, **_ladder(stride))
+
+
+def _max_pool3(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, window_shape=(3,), strides=(3,), padding="VALID")

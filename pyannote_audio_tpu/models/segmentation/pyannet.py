@@ -1,0 +1,166 @@
+"""PyanNet: SincNet -> BiLSTM -> feed-forward -> classifier.
+
+TPU-native rebuild of the reference's flagship segmentation architecture
+(/root/reference/src/pyannote/audio/models/segmentation/PyanNet.py):
+SincNet front-end (stride 10), monolithic 2-layer BiLSTM(128), two
+Linear(128) layers with leaky-relu, then a task-dependent classifier head
+with log-softmax (powerset) or sigmoid activation.
+
+The whole forward is one jit-compiled function; the LSTM input projections
+are hoisted into batched MXU matmuls (ops/lstm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.model import Model, Problem, Specifications
+from ...utils.params import merge_dict
+from ..blocks.rnn import LSTM
+from ..blocks.sincnet import SincNet
+
+
+class PyanNetModule(nn.Module):
+    sincnet_stride: int = 10
+    sample_rate: int = 16000
+    lstm_hidden: int = 128
+    lstm_layers: int = 2
+    bidirectional: bool = True
+    linear_hidden: int = 128
+    linear_layers: int = 2
+    dimension: int = 7
+    activation: str = "log_softmax"
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        x = SincNet(stride=self.sincnet_stride,
+                    sample_rate=self.sample_rate, name="sincnet")(waveforms)
+        x = LSTM(hidden_size=self.lstm_hidden, num_layers=self.lstm_layers,
+                 bidirectional=self.bidirectional, name="lstm")(x)
+        for i in range(self.linear_layers):
+            x = nn.leaky_relu(
+                nn.Dense(self.linear_hidden, name=f"linear_{i}")(x), 0.01)
+        x = nn.Dense(self.dimension, name="classifier")(x)
+        if self.activation == "log_softmax":
+            return nn.log_softmax(x, axis=-1)
+        if self.activation == "sigmoid":
+            return nn.sigmoid(x)
+        if self.activation == "softmax":
+            return nn.softmax(x, axis=-1)
+        raise ValueError(f"unknown activation {self.activation}")
+
+
+class PyanNet(Model):
+    """Parity: PyanNet (reference PyanNet.py:38-240)."""
+
+    SINCNET_DEFAULTS = {"stride": 10}
+    LSTM_DEFAULTS = {"hidden_size": 128, "num_layers": 2,
+                     "bidirectional": True, "monolithic": True,
+                     "dropout": 0.0}
+    LINEAR_DEFAULTS = {"hidden_size": 128, "num_layers": 2}
+
+    def __init__(
+        self,
+        sincnet: Optional[dict] = None,
+        lstm: Optional[dict] = None,
+        linear: Optional[dict] = None,
+        sample_rate: int = 16000,
+        num_channels: int = 1,
+        task=None,
+        **kwargs,
+    ):
+        super().__init__(sample_rate=sample_rate, num_channels=num_channels,
+                         task=task)
+        self.sincnet = merge_dict(self.SINCNET_DEFAULTS, sincnet)
+        self.lstm = merge_dict(self.LSTM_DEFAULTS, lstm)
+        self.linear = merge_dict(self.LINEAR_DEFAULTS, linear)
+        self.lstm.pop("batch_first", None)
+        self.hparams = {"sincnet": self.sincnet, "lstm": self.lstm,
+                        "linear": self.linear}
+
+    def default_activation(self) -> str:
+        specs = self.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
+            return "log_softmax"
+        return "sigmoid"
+
+    def build_module(self) -> nn.Module:
+        return PyanNetModule(
+            sincnet_stride=self.sincnet["stride"],
+            sample_rate=self.sample_rate,
+            lstm_hidden=self.lstm["hidden_size"],
+            lstm_layers=self.lstm["num_layers"],
+            bidirectional=self.lstm["bidirectional"],
+            linear_hidden=self.linear["hidden_size"],
+            linear_layers=self.linear["num_layers"],
+            dimension=self.dimension,
+            activation=self.default_activation(),
+        )
+
+    # -- frame math --------------------------------------------------------
+
+    def num_frames(self, num_samples: int) -> int:
+        return SincNet.num_frames(num_samples, stride=self.sincnet["stride"])
+
+    def receptive_field_size(self, num_frames: int = 1) -> int:
+        return SincNet.receptive_field_size(
+            num_frames, stride=self.sincnet["stride"])
+
+    def receptive_field_center(self, frame: int = 0) -> int:
+        return SincNet.receptive_field_center(
+            frame, stride=self.sincnet["stride"])
+
+    # -- torch checkpoint conversion --------------------------------------
+
+    def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
+        """Map a reference PyanNet state_dict onto our param pytree."""
+        p: Dict = {"sincnet": {}, "lstm": {}, "classifier": {}}
+
+        def get(*names):
+            for n in names:
+                if n in state:
+                    return np.asarray(state[n], dtype=np.float32)
+            raise KeyError(f"missing key (tried {names})")
+
+        sn = p["sincnet"]
+        sn["wav_norm1d"] = {"scale": get("sincnet.wav_norm1d.weight"),
+                            "bias": get("sincnet.wav_norm1d.bias")}
+        sn["sinc_conv"] = {
+            "low_hz": get("sincnet.conv1d.0.filterbank.low_hz_",
+                          "sincnet.conv1d.0.low_hz_").reshape(-1),
+            "band_hz": get("sincnet.conv1d.0.filterbank.band_hz_",
+                           "sincnet.conv1d.0.band_hz_").reshape(-1),
+        }
+        for i in (0, 1, 2):
+            sn[f"norm1d_{i}"] = {
+                "scale": get(f"sincnet.norm1d.{i}.weight"),
+                "bias": get(f"sincnet.norm1d.{i}.bias")}
+        for i in (1, 2):
+            # torch conv weight (out, in, k) -> flax kernel (k, in, out)
+            sn[f"conv1d_{i}"] = {
+                "kernel": get(f"sincnet.conv1d.{i}.weight").transpose(
+                    2, 1, 0),
+                "bias": get(f"sincnet.conv1d.{i}.bias")}
+
+        for i in range(self.lstm["num_layers"]):
+            for suffix, ours in (("", ""), ("_reverse", "_reverse")):
+                if suffix and not self.lstm["bidirectional"]:
+                    continue
+                for kind in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                    torch_kind = kind.replace("w_", "weight_").replace(
+                        "b_", "bias_")
+                    p["lstm"][f"{kind}_l{i}{ours}"] = get(
+                        f"lstm.{torch_kind}_l{i}{suffix}")
+
+        for i in range(self.linear["num_layers"]):
+            p[f"linear_{i}"] = {
+                "kernel": get(f"linear.{i}.weight").T,
+                "bias": get(f"linear.{i}.bias")}
+        p["classifier"] = {"kernel": get("classifier.weight").T,
+                           "bias": get("classifier.bias")}
+        return {"params": p}

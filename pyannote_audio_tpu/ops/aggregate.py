@@ -1,0 +1,102 @@
+"""Sliding-window overlap-add aggregation, fully on-device.
+
+Parity: Inference.aggregate (/root/reference/src/pyannote/audio/core/
+inference.py:498-620): hamming-window weighting, warm-up down-weighting,
+NaN-masked overlap-add, average + missing-frame mask.
+
+TPU-native design: the reference loops over chunks in numpy on host; here the
+whole overlap-add is one jitted scatter-add over a precomputed per-chunk
+frame-offset vector (offsets vary by +-1 frame due to closest_frame rounding,
+so they are data, not structure). O(num_chunks * frames_per_chunk) with no
+host sync; the chunk axis shards trivially under pjit (scatter-add commutes
+with psum).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hamming_weights(num_frames: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic-symmetric hamming window (matches torch.hamming_window)."""
+    n = jnp.arange(num_frames, dtype=dtype)
+    return 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / (num_frames - 1))
+
+
+def warmup_weights(num_frames: int, warm_up: Tuple[float, float],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Down-weight warm-up regions by 1e-12 (reference inference.py:548-559)."""
+    w = np.ones(num_frames, dtype=np.float32)
+    left = round(warm_up[0] * num_frames)
+    right = round(warm_up[1] * num_frames)
+    if left > 0:
+        w[:left] = 1e-12
+    if right > 0:
+        w[-right:] = 1e-12
+    return jnp.asarray(w, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("num_output_frames",))
+def overlap_add(
+    scores: jnp.ndarray,          # (num_chunks, frames_per_chunk, C)
+    frame_offsets: jnp.ndarray,   # (num_chunks,) int32 output-frame offsets
+    chunk_mask: jnp.ndarray,      # (num_chunks,) 1.0 = real chunk, 0.0 = pad
+    window_weights: jnp.ndarray,  # (frames_per_chunk,) hamming*warmup weights
+    num_output_frames: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked weighted overlap-add.
+
+    Returns (weighted_sum (F_out, C), weight_sum (F_out, C)).
+    NaN scores are treated as missing (weight zero), matching the reference's
+    mask semantics (inference.py:584-618).
+    """
+    num_chunks, frames, C = scores.shape
+    valid = jnp.isfinite(scores)
+    w = window_weights[None, :, None] * chunk_mask[:, None, None]
+    w = jnp.where(valid, w, 0.0)
+    x = jnp.where(valid, scores, 0.0) * w
+    # flat scatter-add over output frames
+    idx = frame_offsets[:, None] + jnp.arange(frames, dtype=jnp.int32)[None]
+    idx = idx.reshape(-1)
+    # frames scattered out of range are dropped via clamp+zero-weight
+    in_range = (idx >= 0) & (idx < num_output_frames)
+    idx = jnp.clip(idx, 0, num_output_frames - 1)
+    x = jnp.where(in_range[:, None], x.reshape(-1, C), 0.0)
+    wf = jnp.where(in_range[:, None], w.reshape(-1, C), 0.0)
+    out_sum = jnp.zeros((num_output_frames, C), scores.dtype).at[idx].add(x)
+    out_w = jnp.zeros((num_output_frames, C), scores.dtype).at[idx].add(wf)
+    return out_sum, out_w
+
+
+def aggregate_scores(
+    scores: jnp.ndarray,
+    frame_offsets: jnp.ndarray,
+    num_output_frames: int,
+    chunk_mask: Optional[jnp.ndarray] = None,
+    hamming: bool = False,
+    warm_up: Tuple[float, float] = (0.0, 0.0),
+    missing: float = jnp.nan,
+    skip_average: bool = False,
+) -> jnp.ndarray:
+    """Full aggregation: weights -> overlap_add -> (optional) average.
+
+    Frames covered by no chunk get ``missing`` (reference inference.py:618).
+    """
+    num_chunks, frames, _ = scores.shape
+    if chunk_mask is None:
+        chunk_mask = jnp.ones((num_chunks,), scores.dtype)
+    w = hamming_weights(frames) if hamming else jnp.ones((frames,),
+                                                         scores.dtype)
+    w = w * warmup_weights(frames, warm_up)
+    out_sum, out_w = overlap_add(scores, frame_offsets, chunk_mask, w,
+                                 num_output_frames)
+    if skip_average:
+        average = out_sum
+    else:
+        average = out_sum / jnp.where(out_w > 0, out_w, 1.0)
+    return jnp.where(out_w > 0, average, missing)

@@ -1,0 +1,83 @@
+"""Multi-layer (bi)LSTM as a JAX scan, with torch-compatible semantics.
+
+The reference's segmentation trunk is a 2-layer BiLSTM
+(/root/reference/src/pyannote/audio/models/segmentation/PyanNet.py:64-72,
+torch.nn.LSTM underneath). TPU-native design: the input projection
+``x @ W_ih^T`` for *all* timesteps is hoisted out of the recurrence into one
+large MXU matmul; the ``lax.scan`` carries only the (B, H) state and does a
+single (B,H)x(H,4H) matmul per step. Gate order i,f,g,o and the double-bias
+convention match torch.nn.LSTM exactly so reference checkpoints convert
+weight-for-weight (validated against torch in tests/test_lstm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def lstm_cell_scan(
+    xw: jnp.ndarray,      # (T, B, 4H) precomputed x @ W_ih^T + b_ih + b_hh
+    w_hh: jnp.ndarray,    # (4H, H)
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Run the recurrence; returns hidden states (T, B, H)."""
+    T, B, H4 = xw.shape
+    H = H4 // 4
+    w_hh_t = w_hh.T  # (H, 4H)
+
+    # The recurrence compounds rounding over hundreds of steps: pin these
+    # matmuls to f32 (the reference likewise disables TF32 for inference
+    # reproducibility, utils/reproducibility.py). They are small (B,H)x(H,4H)
+    # contractions; the large hoisted input projection dominates FLOPs.
+    def step(carry, xw_t):
+        h, c = carry
+        gates = xw_t + jnp.dot(h, w_hh_t,
+                               precision=jax.lax.Precision.HIGHEST)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), xw.dtype), jnp.zeros((B, H), xw.dtype))
+    _, hs = jax.lax.scan(step, init, xw, reverse=reverse)
+    return hs
+
+
+def lstm_single_direction(x: jnp.ndarray, w_ih: jnp.ndarray,
+                          w_hh: jnp.ndarray, b_ih: jnp.ndarray,
+                          b_hh: jnp.ndarray, reverse: bool = False
+                          ) -> jnp.ndarray:
+    """x: (B, T, D) -> (B, T, H). Weights in torch layout."""
+    xw = jnp.einsum("btd,hd->bth", x, w_ih,
+                    precision=jax.lax.Precision.HIGHEST) + b_ih + b_hh
+    hs = lstm_cell_scan(jnp.swapaxes(xw, 0, 1), w_hh, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def multilayer_lstm(
+    x: jnp.ndarray,
+    layers: List[Dict[str, jnp.ndarray]],
+    bidirectional: bool = True,
+) -> jnp.ndarray:
+    """Stack of LSTM layers.
+
+    ``layers[i]`` maps names to arrays in torch layout:
+      w_ih, w_hh, b_ih, b_hh           (forward direction)
+      w_ih_r, w_hh_r, b_ih_r, b_hh_r   (reverse direction, if bidirectional)
+    Returns (B, T, H * num_directions).
+    """
+    h = x
+    for layer in layers:
+        fwd = lstm_single_direction(h, layer["w_ih"], layer["w_hh"],
+                                    layer["b_ih"], layer["b_hh"])
+        if bidirectional:
+            bwd = lstm_single_direction(h, layer["w_ih_r"], layer["w_hh_r"],
+                                        layer["b_ih_r"], layer["b_hh_r"],
+                                        reverse=True)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            h = fwd
+    return h

@@ -1,0 +1,102 @@
+"""Powerset <-> multilabel codec, fully on-device.
+
+Parity: /root/reference/src/pyannote/audio/utils/powerset.py (Powerset
+module: build_mapping :80-109, to_multilabel :115-140, to_powerset :146-168,
+permutation_mapping :170-241).
+
+TPU-native design: the codec is a single constant (K_powerset, K) 0/1 matrix;
+both conversions are one matmul (MXU-friendly) or an argmax + gather. The
+mapping matrix is built once on host (tiny) and closed over by jitted fns.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import cached_property
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_powerset_mapping(num_classes: int, max_set_size: int) -> np.ndarray:
+    """(num_powerset_classes, num_classes) binary membership matrix.
+
+    Rows ordered by set cardinality, then lexicographic combination order —
+    matching the reference (powerset.py:80-109): row 0 = empty set, then
+    singletons {0},{1},..., then pairs {0,1},{0,2},...
+    """
+    rows = []
+    for size in range(max_set_size + 1):
+        for combo in itertools.combinations(range(num_classes), size):
+            row = np.zeros(num_classes, dtype=np.float32)
+            row[list(combo)] = 1.0
+            rows.append(row)
+    return np.stack(rows, axis=0)
+
+
+class Powerset:
+    """Stateless powerset codec (host object holding device constants)."""
+
+    def __init__(self, num_classes: int, max_set_size: int):
+        self.num_classes = num_classes
+        self.max_set_size = max_set_size
+        self.mapping = jnp.asarray(
+            build_powerset_mapping(num_classes, max_set_size))
+        # powers-of-two code of each powerset state, used to invert the
+        # mapping and to lift multilabel permutations (powerset.py:170-241)
+        powers = 2 ** np.arange(num_classes, dtype=np.int64)
+        self.state_code = jnp.asarray(
+            (np.asarray(self.mapping) @ powers).astype(np.int32))
+
+    @property
+    def num_powerset_classes(self) -> int:
+        return int(self.mapping.shape[0])
+
+    def to_multilabel(self, powerset: jnp.ndarray, soft: bool = False
+                      ) -> jnp.ndarray:
+        """(..., K_powerset) log-probs -> (..., K) multilabel scores.
+
+        hard: one-hot argmax then lookup (exact 0/1 output).
+        soft: exp(logprobs) @ mapping (marginal per-class probability).
+        """
+        if soft:
+            return jnp.exp(powerset) @ self.mapping
+        idx = jnp.argmax(powerset, axis=-1)
+        return self.mapping[idx]
+
+    def to_powerset(self, multilabel: jnp.ndarray) -> jnp.ndarray:
+        """(..., K) hard multilabel -> (..., K_powerset) one-hot.
+
+        Encodes each multilabel vector as a powers-of-two integer and matches
+        it against the per-state codes (branch-free, no host sync).
+        """
+        powers = 2 ** jnp.arange(self.num_classes, dtype=jnp.int32)
+        code = jnp.sum((multilabel > 0.5).astype(jnp.int32) * powers, axis=-1)
+        return (code[..., None] == self.state_code).astype(multilabel.dtype)
+
+    def permutation_mapping(self, perm: Tuple[int, ...]) -> jnp.ndarray:
+        """Lift a multilabel class permutation to powerset-class indices.
+
+        Returns ``perm_ps`` with ``new_powerset = old_powerset[..., perm_ps]``
+        equivalent to permuting multilabel classes by ``perm``.
+        """
+        mapping = np.asarray(self.mapping)
+        permuted = mapping[:, list(perm)]
+        powers = 2 ** np.arange(self.num_classes, dtype=np.int64)
+        codes = (mapping @ powers).astype(np.int64)
+        permuted_codes = (permuted @ powers).astype(np.int64)
+        lookup = {c: i for i, c in enumerate(codes)}
+        return jnp.asarray([lookup[c] for c in permuted_codes],
+                           dtype=jnp.int32)
+
+    def all_permutation_mappings(self) -> jnp.ndarray:
+        """(num_perms, K_powerset) table for all K! multilabel permutations.
+
+        Used by the permutation-invariant powerset loss: instead of running a
+        Hungarian solver per sample (reference speaker_diarization.py:402-485),
+        we enumerate all K! permutations on-device (K <= 4 in practice).
+        """
+        perms = list(itertools.permutations(range(self.num_classes)))
+        return jnp.stack([self.permutation_mapping(p) for p in perms], axis=0)

@@ -1,0 +1,97 @@
+"""Audio io tests: WAV decode, resample, crop (reference tests/io_test.py)."""
+
+import numpy as np
+import pytest
+
+from pyannote_audio_tpu import Audio, Segment
+from pyannote_audio_tpu.core.io import get_audio_metadata, write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    waveform = (0.1 * rng.standard_normal((1, sr * 3))).astype(np.float32)
+    path = tmp_path_factory.mktemp("audio") / "test.wav"
+    write_wav(path, waveform, sr)
+    return str(path), waveform, sr
+
+
+def test_metadata(wav_file):
+    path, waveform, sr = wav_file
+    meta = get_audio_metadata(path)
+    assert meta.sample_rate == sr
+    assert meta.num_samples == waveform.shape[1]
+    assert meta.duration == pytest.approx(3.0)
+
+
+def test_decode_roundtrip(wav_file):
+    path, waveform, sr = wav_file
+    audio = Audio(sample_rate=sr, mono="downmix")
+    decoded, rate = audio(path)
+    assert rate == sr
+    assert decoded.shape == waveform.shape
+    np.testing.assert_allclose(decoded, waveform, atol=1.0 / 32767)
+
+
+def test_in_memory(wav_file):
+    _, waveform, sr = wav_file
+    audio = Audio(sample_rate=sr)
+    decoded, rate = audio({"waveform": waveform, "sample_rate": sr})
+    np.testing.assert_array_equal(decoded, waveform)
+
+
+def test_resample(wav_file):
+    path, waveform, sr = wav_file
+    audio = Audio(sample_rate=8000)
+    decoded, rate = audio(path)
+    assert rate == 8000
+    assert decoded.shape[1] == waveform.shape[1] // 2
+
+
+def test_downmix(tmp_path):
+    sr = 16000
+    stereo = np.stack([np.ones(sr), -np.ones(sr)]).astype(np.float32) * 0.5
+    path = tmp_path / "stereo.wav"
+    write_wav(path, stereo, sr)
+    audio = Audio(sample_rate=sr, mono="downmix")
+    decoded, _ = audio(str(path))
+    assert decoded.shape[0] == 1
+    np.testing.assert_allclose(decoded, 0.0, atol=1e-4)
+
+
+def test_crop(wav_file):
+    path, waveform, sr = wav_file
+    audio = Audio(sample_rate=sr)
+    crop, rate = audio.crop(path, Segment(1.0, 2.0))
+    assert crop.shape == (1, sr)
+    np.testing.assert_allclose(crop, waveform[:, sr:2 * sr],
+                               atol=1.0 / 32767)
+
+
+def test_crop_pad(wav_file):
+    path, waveform, sr = wav_file
+    audio = Audio(sample_rate=sr)
+    crop, _ = audio.crop(path, Segment(2.5, 4.0), mode="pad")
+    assert crop.shape == (1, int(1.5 * sr))
+    assert np.all(crop[:, sr // 2:] == 0)
+    with pytest.raises(ValueError):
+        audio.crop(path, Segment(2.5, 4.0), mode="raise")
+
+
+def test_crop_fixed_duration(wav_file):
+    path, _, sr = wav_file
+    audio = Audio(sample_rate=sr)
+    crop, _ = audio.crop(path, Segment(0.5, 1.7), duration=2.0, mode="pad")
+    assert crop.shape == (1, 2 * sr)
+
+
+def test_validate_file(wav_file):
+    path, waveform, sr = wav_file
+    assert Audio.validate_file(path)["uri"] == "test"
+    d = Audio.validate_file({"waveform": waveform, "sample_rate": sr})
+    assert d["uri"] == "waveform"
+    with pytest.raises(ValueError):
+        Audio.validate_file({"waveform": waveform})  # missing sample_rate
+    with pytest.raises(ValueError):
+        Audio.validate_file(42)

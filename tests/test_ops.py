@@ -1,0 +1,144 @@
+"""On-device op tests: powerset codec, overlap-add aggregation, LSTM."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyannote_audio_tpu.ops.aggregate import aggregate_scores, hamming_weights
+from pyannote_audio_tpu.ops.lstm import multilayer_lstm
+from pyannote_audio_tpu.ops.powerset import Powerset, build_powerset_mapping
+
+
+# ---------------------------------------------------------------- powerset
+
+def test_powerset_mapping_3_2():
+    m = build_powerset_mapping(3, 2)
+    # 1 empty + 3 singles + 3 pairs = 7 states
+    assert m.shape == (7, 3)
+    np.testing.assert_array_equal(m[0], [0, 0, 0])
+    np.testing.assert_array_equal(m[1], [1, 0, 0])
+    np.testing.assert_array_equal(m[4], [1, 1, 0])
+    assert m.sum(axis=1).max() == 2
+
+
+def test_powerset_roundtrip():
+    ps = Powerset(3, 2)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 10, 7)).astype(np.float32)
+    logp = jnp.asarray(logits - np.log(np.sum(np.exp(logits), -1,
+                                              keepdims=True)))
+    multi = ps.to_multilabel(logp)
+    assert multi.shape == (4, 10, 3)
+    back = ps.to_powerset(multi)
+    # argmax of powerset == argmax reconstructed
+    np.testing.assert_array_equal(np.argmax(np.asarray(back), -1),
+                                  np.argmax(logits, -1))
+
+
+def test_powerset_soft():
+    ps = Powerset(2, 1)  # states: {}, {0}, {1}
+    logp = jnp.log(jnp.asarray([[0.2, 0.5, 0.3]]))
+    soft = np.asarray(ps.to_multilabel(logp, soft=True))
+    np.testing.assert_allclose(soft[0], [0.5, 0.3], atol=1e-5)
+
+
+def test_powerset_permutation():
+    ps = Powerset(3, 2)
+    perm = ps.permutation_mapping((1, 0, 2))
+    m = np.asarray(ps.mapping)
+    permuted = m[np.asarray(perm)]
+    np.testing.assert_array_equal(permuted, m[:, [1, 0, 2]])
+
+
+# ---------------------------------------------------------------- aggregate
+
+def test_hamming_matches_torch():
+    import torch
+    ours = np.asarray(hamming_weights(17))
+    theirs = torch.hamming_window(17, periodic=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_aggregate_simple_average():
+    # two chunks of 4 frames, overlapping by 2, constant scores 1 and 3
+    scores = jnp.asarray(np.stack([np.full((4, 1), 1.0),
+                                   np.full((4, 1), 3.0)])).astype(jnp.float32)
+    offsets = jnp.asarray([0, 2], dtype=jnp.int32)
+    out = np.asarray(aggregate_scores(scores, offsets, 6))
+    np.testing.assert_allclose(out[:2, 0], 1.0)
+    np.testing.assert_allclose(out[2:4, 0], 2.0)  # average of 1 and 3
+    np.testing.assert_allclose(out[4:6, 0], 3.0)
+
+
+def test_aggregate_missing_frames():
+    scores = jnp.ones((1, 2, 1), jnp.float32)
+    out = np.asarray(aggregate_scores(scores, jnp.asarray([2]), 6,
+                                      missing=np.nan))
+    assert np.isnan(out[0, 0]) and np.isnan(out[5, 0])
+    assert out[2, 0] == 1.0
+
+
+def test_aggregate_nan_scores_masked():
+    scores = np.ones((2, 3, 1), np.float32)
+    scores[1, :, :] = np.nan
+    out = np.asarray(aggregate_scores(jnp.asarray(scores),
+                                      jnp.asarray([0, 1]), 4))
+    np.testing.assert_allclose(out[:3, 0], 1.0)
+    assert np.isnan(out[3, 0])
+
+
+def test_aggregate_chunk_mask():
+    scores = np.stack([np.ones((3, 1)), 99 * np.ones((3, 1))]).astype(
+        np.float32)
+    out = np.asarray(aggregate_scores(
+        jnp.asarray(scores), jnp.asarray([0, 0]), 3,
+        chunk_mask=jnp.asarray([1.0, 0.0])))
+    np.testing.assert_allclose(out[:, 0], 1.0)
+
+
+# ---------------------------------------------------------------- LSTM
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_lstm_matches_torch(bidirectional, num_layers):
+    import torch
+    torch.manual_seed(0)
+    D, H, B, T = 12, 16, 3, 25
+    ref = torch.nn.LSTM(D, H, num_layers=num_layers, batch_first=True,
+                        bidirectional=bidirectional)
+    x = torch.randn(B, T, D)
+    with torch.no_grad():
+        expected, _ = ref(x)
+
+    layers = []
+    for i in range(num_layers):
+        layer = {
+            "w_ih": jnp.asarray(getattr(ref, f"weight_ih_l{i}").detach()
+                                .numpy()),
+            "w_hh": jnp.asarray(getattr(ref, f"weight_hh_l{i}").detach()
+                                .numpy()),
+            "b_ih": jnp.asarray(getattr(ref, f"bias_ih_l{i}").detach()
+                                .numpy()),
+            "b_hh": jnp.asarray(getattr(ref, f"bias_hh_l{i}").detach()
+                                .numpy()),
+        }
+        if bidirectional:
+            layer.update({
+                "w_ih_r": jnp.asarray(
+                    getattr(ref, f"weight_ih_l{i}_reverse").detach()
+                    .numpy()),
+                "w_hh_r": jnp.asarray(
+                    getattr(ref, f"weight_hh_l{i}_reverse").detach()
+                    .numpy()),
+                "b_ih_r": jnp.asarray(
+                    getattr(ref, f"bias_ih_l{i}_reverse").detach().numpy()),
+                "b_hh_r": jnp.asarray(
+                    getattr(ref, f"bias_hh_l{i}_reverse").detach().numpy()),
+            })
+        layers.append(layer)
+
+    ours = multilayer_lstm(jnp.asarray(x.numpy()), layers,
+                           bidirectional=bidirectional)
+    np.testing.assert_allclose(np.asarray(ours), expected.numpy(),
+                               atol=2e-5)
