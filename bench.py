@@ -1,0 +1,105 @@
+"""Benchmark: audio-hours diarized per minute per chip.
+
+Runs the full diarization pipeline (PyanNet powerset segmentation +
+WeSpeaker-ResNet34 embeddings + clustering) on synthetic audio on the real
+chip, end to end — decode, chunking, NN, powerset decode, counting,
+embeddings, clustering, reconstruction — and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: community-1 on H100 = 31 s/audio-hour (BASELINE.md) =
+116 audio-hours per minute... per *8-GPU-equivalent*? No: per H100. So
+vs_baseline = ours_hours_per_min / (3600/31/60) hours-per-min-per-H100.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import pyannote_audio_tpu as pat
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
+    from pyannote_audio_tpu.models.embedding.wespeaker import \
+        WeSpeakerResNet34
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+
+    audio_minutes = float(__import__("os").environ.get(
+        "BENCH_AUDIO_MINUTES", "10"))
+    sr = 16000
+
+    # synthetic "conversation": harmonic speakers + silences
+    rng = np.random.default_rng(0)
+    n = int(audio_minutes * 60 * sr)
+    t = np.arange(n) / sr
+    wav = 0.003 * rng.standard_normal(n).astype(np.float32)
+    segment = 5.0
+    for i, start in enumerate(np.arange(0.0, audio_minutes * 60 - segment,
+                                        7.0)):
+        f0 = [140.0, 210.0, 320.0][i % 3]
+        i0, i1 = int(start * sr), int((start + segment) * sr)
+        tt = t[i0:i1]
+        wav[i0:i1] += (0.2 * np.sin(2 * np.pi * f0 * tt)
+                       * (0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 3 * tt)))
+                       ).astype(np.float32)
+
+    seg_model = PyanNet()
+    seg_model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=10.0,
+        classes=["speaker#1", "speaker#2", "speaker#3"],
+        powerset_max_classes=2)
+    seg_model.build()
+    emb_model = WeSpeakerResNet34()
+    emb_model.build()
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model,
+        embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=128,
+        embedding_batch_size=128,
+    )
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1},
+    })
+
+    file = {"waveform": wav[None], "sample_rate": sr, "uri": "bench"}
+
+    # warmup (compile)
+    warm = {"waveform": wav[None, :sr * 70].copy(), "sample_rate": sr,
+            "uri": "warmup"}
+    pipeline(warm, max_speakers=4)
+
+    t0 = time.perf_counter()
+    pipeline(file, max_speakers=4)
+    elapsed = time.perf_counter() - t0
+
+    audio_hours = audio_minutes / 60.0
+    hours_per_minute = audio_hours / (elapsed / 60.0)
+    # reference community-1 on H100: 31 s per audio-hour
+    baseline_hours_per_minute = 60.0 / 31.0
+    print(json.dumps({
+        "metric": "audio-hours diarized per minute per chip",
+        "value": round(hours_per_minute, 3),
+        "unit": "audio_hours/min/chip",
+        "vs_baseline": round(hours_per_minute / baseline_hours_per_minute,
+                             3),
+        "detail": {
+            "audio_minutes": audio_minutes,
+            "wall_seconds": round(elapsed, 3),
+            "seconds_per_audio_hour": round(elapsed / audio_hours, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

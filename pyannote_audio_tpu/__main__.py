@@ -1,0 +1,266 @@
+"""Command-line interface: apply / benchmark / optimize / strip / download.
+
+Parity: /root/reference/src/pyannote/audio/__main__.py (typer app with the
+same five commands; argparse here — typer is not in the image). Outputs
+mirror the reference: per-file RTTM + JSON, DER report CSV/TXT, timing
+yaml with seconds_per_hour and times_faster_than_realtime
+(__main__.py:736-765), speaker-count confusion matrix (:778-812).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import yaml
+
+
+def _load_pipeline(pipeline_path: str, device: Optional[str] = None):
+    from .core.pipeline import Pipeline
+    pipeline = Pipeline.from_pretrained(pipeline_path)
+    if pipeline is None:
+        raise SystemExit(f"could not load pipeline from {pipeline_path}")
+    return pipeline
+
+
+def _audio_files(path: Path):
+    if path.is_dir():
+        return sorted(p for p in path.rglob("*.wav"))
+    return [path]
+
+
+def cmd_apply(args) -> int:
+    """Apply a pipeline to audio file(s); write RTTM + JSON."""
+    pipeline = _load_pipeline(args.pipeline, device=args.device)
+    into = Path(args.into) if args.into else None
+    if into:
+        into.mkdir(parents=True, exist_ok=True)
+    for audio in _audio_files(Path(args.audio)):
+        output = pipeline(str(audio))
+        annotation = getattr(output, "speaker_diarization", output)
+        if into:
+            with open(into / f"{audio.stem}.rttm", "w") as f:
+                annotation.write_rttm(f)
+            if hasattr(output, "serialize"):
+                with open(into / f"{audio.stem}.json", "w") as f:
+                    json.dump(output.serialize(), f, indent=2)
+        else:
+            annotation.write_rttm(sys.stdout)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Evaluate a pipeline on a protocol subset; report DER + speed."""
+    from .core.io import Audio
+    from .metrics.der import DiarizationErrorRate
+    from .utils.database import get_protocol, register_database
+
+    if args.registry:
+        register_database(args.registry)
+    pipeline = _load_pipeline(args.pipeline, device=args.device)
+    protocol = get_protocol(args.protocol)
+    into = Path(args.into)
+    into.mkdir(parents=True, exist_ok=True)
+
+    metric = DiarizationErrorRate(collar=args.collar,
+                                  skip_overlap=args.skip_overlap)
+    audio = Audio()
+    rows = []
+    total_audio = 0.0
+    total_wall = 0.0
+    confusion = {}
+    subset_iter = getattr(protocol, args.subset)()
+    for file in subset_iter:
+        t0 = time.perf_counter()
+        kwargs = {}
+        if args.num_speakers == "oracle" and "annotation" in file:
+            kwargs["num_speakers"] = len(file["annotation"].labels())
+        output = pipeline(file, **kwargs)
+        wall = time.perf_counter() - t0
+        hypothesis = getattr(output, "speaker_diarization", output)
+        with open(into / f"{file['uri']}.rttm", "w") as f:
+            hypothesis.write_rttm(f)
+        if hasattr(output, "serialize"):
+            with open(into / f"{file['uri']}.json", "w") as f:
+                json.dump(output.serialize(), f, indent=2)
+        der = metric(file["annotation"], hypothesis,
+                     uem=file.get("annotated"), detailed=True)
+        duration = audio.get_duration(file)
+        total_audio += duration
+        total_wall += wall
+        n_ref = len(file["annotation"].labels())
+        n_hyp = len(hypothesis.labels())
+        confusion[(n_ref, n_hyp)] = confusion.get((n_ref, n_hyp), 0) + 1
+        rows.append({"uri": file["uri"], **der,
+                     "wall_seconds": round(wall, 3)})
+        print(f"{file['uri']}: DER="
+              f"{der['diarization error rate']:.2%} ({wall:.1f}s)")
+
+    report = metric.report()
+    seconds_per_hour = total_wall / (total_audio / 3600.0) \
+        if total_audio else float("nan")
+    speed = {
+        "seconds_per_hour": round(seconds_per_hour, 1),
+        "times_faster_than_realtime": round(
+            total_audio / total_wall, 1) if total_wall else None,
+    }
+    with open(into / "speed.yml", "w") as f:
+        yaml.safe_dump(speed, f)
+    with open(into / "metric.txt", "w") as f:
+        f.write(f"DER = {report['diarization error rate']:.2%}\n")
+        for k in ("false alarm", "missed detection", "confusion", "total"):
+            f.write(f"{k} = {report[k]:.1f}s\n")
+    import csv
+    with open(into / "metric.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    with open(into / "speaker_count_confusion.csv", "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["reference", "hypothesis", "count"])
+        for (r, h), c in sorted(confusion.items()):
+            writer.writerow([r, h, c])
+    print(f"\nDER = {report['diarization error rate']:.2%}  "
+          f"({seconds_per_hour:.1f}s per audio-hour)")
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    """Random-search hyperparameter optimization with a journal file.
+
+    Parity role: the Optuna loop of the reference (__main__.py:115-282).
+    Random search with a resumable JSONL journal; the search space is the
+    pipeline's declared (unfrozen) Parameters.
+    """
+    import random as pyrandom
+
+    from .metrics.der import DiarizationErrorRate
+    from .utils.database import get_protocol, register_database
+
+    if args.registry:
+        register_database(args.registry)
+    pipeline = _load_pipeline(args.pipeline)
+    protocol = get_protocol(args.protocol)
+    files = list(getattr(protocol, args.subset)())
+    journal = Path(args.into) / "journal.jsonl"
+    journal.parent.mkdir(parents=True, exist_ok=True)
+
+    best = (None, float("inf"))
+    if journal.exists():
+        for line in journal.read_text().splitlines():
+            trial = json.loads(line)
+            if trial["objective"] < best[1]:
+                best = (trial["params"], trial["objective"])
+
+    rng = pyrandom.Random(args.seed)
+    space = pipeline.parameters()
+    pipeline.training = True
+    for trial_idx in range(args.trials):
+        params = {}
+        for name, parameter in space.items():
+            value = parameter.sample(rng)
+            parts = name.split(".")
+            node = params
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = value
+        pipeline.instantiate(params)
+        metric = DiarizationErrorRate()
+        for file in files:
+            output = pipeline(dict(file))
+            hypothesis = getattr(output, "speaker_diarization", output)
+            metric(file["annotation"], hypothesis,
+                   uem=file.get("annotated"))
+        objective = abs(metric)
+        with open(journal, "a") as f:
+            f.write(json.dumps({"trial": trial_idx, "params": params,
+                                "objective": objective}) + "\n")
+        if objective < best[1]:
+            best = (params, objective)
+        print(f"trial {trial_idx}: {objective:.4f} "
+              f"(best {best[1]:.4f})")
+    print(json.dumps({"best_params": best[0], "best_objective": best[1]},
+                     indent=2))
+    return 0
+
+
+def cmd_strip(args) -> int:
+    """Slim a training checkpoint for inference-only distribution."""
+    import shutil
+    src, dst = Path(args.checkpoint), Path(args.into)
+    dst.mkdir(parents=True, exist_ok=True)
+    kept = 0
+    for name in ("config.yaml", "params.msgpack"):
+        if (src / name).exists():
+            shutil.copy(src / name, dst / name)
+            kept += 1
+    if kept == 0:
+        raise SystemExit(f"{src} does not look like a checkpoint dir")
+    print(f"stripped checkpoint written to {dst}")
+    return 0
+
+
+def cmd_download(args) -> int:
+    print("Model downloads require network access, which this "
+          "environment does not have. Point pipelines at local "
+          "checkpoint directories instead.")
+    return 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="pyannote-audio-tpu",
+        description="TPU-native speaker diarization toolkit")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_apply = sub.add_parser("apply", help="apply pipeline to audio")
+    p_apply.add_argument("pipeline")
+    p_apply.add_argument("audio")
+    p_apply.add_argument("--into", default=None)
+    p_apply.add_argument("--device", default=None)
+    p_apply.set_defaults(fn=cmd_apply)
+
+    p_bench = sub.add_parser("benchmark", help="evaluate on a protocol")
+    p_bench.add_argument("pipeline")
+    p_bench.add_argument("protocol")
+    p_bench.add_argument("into")
+    p_bench.add_argument("--registry", default=None,
+                         help="path to database.yml")
+    p_bench.add_argument("--subset", default="test")
+    p_bench.add_argument("--collar", type=float, default=0.0)
+    p_bench.add_argument("--skip-overlap", action="store_true")
+    p_bench.add_argument("--num-speakers", default=None,
+                         choices=[None, "oracle"], nargs="?")
+    p_bench.add_argument("--device", default=None)
+    p_bench.set_defaults(fn=cmd_benchmark)
+
+    p_opt = sub.add_parser("optimize", help="tune hyperparameters")
+    p_opt.add_argument("pipeline")
+    p_opt.add_argument("protocol")
+    p_opt.add_argument("into")
+    p_opt.add_argument("--registry", default=None)
+    p_opt.add_argument("--subset", default="development")
+    p_opt.add_argument("--trials", type=int, default=20)
+    p_opt.add_argument("--seed", type=int, default=42)
+    p_opt.set_defaults(fn=cmd_optimize)
+
+    p_strip = sub.add_parser("strip", help="slim checkpoint")
+    p_strip.add_argument("checkpoint")
+    p_strip.add_argument("into")
+    p_strip.set_defaults(fn=cmd_strip)
+
+    p_dl = sub.add_parser("download", help="(requires network)")
+    p_dl.add_argument("model", nargs="?")
+    p_dl.set_defaults(fn=cmd_download)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,14 +76,12 @@ class Inference:
                 f"({training_duration:g}s); this may hurt performance.")
         self.duration = duration
 
-        # default step: warm-up-aware, else 10% of duration
+        # default step: left warm-up (seconds), else 10% of duration
         # (reference inference.py:154-157)
+        self.warm_up = spec.warm_up or (0.0, 0.0)
         if step is None:
-            warm_up = spec.warm_up
-            if any(warm_up):
-                step = duration * max(warm_up)
-            else:
-                step = 0.1 * duration
+            step = 0.1 * duration if self.warm_up[0] == 0.0 \
+                else self.warm_up[0]
         if step > self.duration:
             raise ValueError("step must not be larger than duration")
         self.step = step
@@ -219,7 +217,9 @@ class Inference:
             jnp.asarray(offsets),
             total_frames,
             hamming=True,
-            warm_up=spec.warm_up,
+            # Specifications.warm_up is in seconds; ops expects a ratio
+            warm_up=(self.warm_up[0] / self.duration,
+                     self.warm_up[1] / self.duration),
             missing=0.0,
         )
         # trim frames beyond the true end of file (last-chunk padding)
@@ -289,17 +289,25 @@ class Inference:
         data = np.asarray(scores.data, dtype=np.float32)
         num_chunks, frames_per_chunk, C = data.shape
         chunk_window = scores.sliding_window
-        offsets = np.array(
-            [frames.closest_frame(chunk_window[i].start
-                                  + 0.5 * frames.duration)
-             for i in range(num_chunks)], dtype=np.int32)
-        num_output_frames = int(offsets[-1]) + frames_per_chunk
-        out = aggregate_scores(
-            jnp.asarray(data), jnp.asarray(offsets), num_output_frames,
-            hamming=hamming, warm_up=warm_up, missing=missing,
-            skip_average=skip_average)
+        # output frame grid is rebased to the chunks' start
+        # (reference inference.py:532-537)
         window = SlidingWindow(start=chunk_window.start,
                                duration=frames.duration, step=frames.step)
+        offsets = np.array(
+            [window.closest_frame(chunk_window[i].start
+                                  + 0.5 * frames.duration)
+             for i in range(num_chunks)], dtype=np.int32)
+        num_output_frames = window.closest_frame(
+            chunk_window.start + chunk_window.duration
+            + (num_chunks - 1) * chunk_window.step
+            + 0.5 * frames.duration) + 1
+        # aggregate()'s warm_up is in seconds (reference inference.py:551-558)
+        warm_up_ratio = (warm_up[0] / chunk_window.duration,
+                         warm_up[1] / chunk_window.duration)
+        out = aggregate_scores(
+            jnp.asarray(data), jnp.asarray(offsets), num_output_frames,
+            hamming=hamming, warm_up=warm_up_ratio, missing=missing,
+            skip_average=skip_average)
         return SlidingWindowFeature(np.asarray(out), window)
 
     @staticmethod

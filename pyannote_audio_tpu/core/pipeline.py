@@ -17,7 +17,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Text, Union
 
 import yaml
 
-from ..pipelines.parameter import ParamDict, Parameter
+from .parameter import ParamDict, Parameter
 from .io import AudioFile
 from .model import Model
 

@@ -145,10 +145,13 @@ class SlidingWindow:
         if isinstance(focus, SlidingWindow):
             focus = Segment(focus.start, focus.end)
         if mode == "loose":
+            # frames with a strictly-positive overlap with focus
             i0 = int(np.ceil(
-                (focus.start - self._duration - self._start) / self._step))
+                (focus.start - self._duration - self._start) / self._step
+                + SEGMENT_PRECISION))
             if fixed is None:
-                j = int(np.floor((focus.end - self._start) / self._step))
+                j = int(np.floor((focus.end - self._start) / self._step
+                                 - SEGMENT_PRECISION))
                 n = j - i0 + 1
             else:
                 n = int(np.floor(
@@ -285,6 +288,9 @@ class SlidingWindowFeature:
         parts = []
         start_idx = None
         for (i0, i1) in ranges:
+            if fixed is None:
+                # no fixed size requested: clip to available data
+                i0, i1 = max(i0, 0), min(i1, n)
             if start_idx is None:
                 start_idx = i0
             lo, hi = max(i0, 0), min(i1, n)

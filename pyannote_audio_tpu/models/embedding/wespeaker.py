@@ -1,0 +1,323 @@
+"""WeSpeaker ResNet speaker-embedding models (flax).
+
+TPU-native rebuild of the reference's WeSpeaker family
+(/root/reference/src/pyannote/audio/models/embedding/wespeaker/): kaldi
+fbank front-end (ops/fbank.py, pure XLA) + ResNet34/152/221/293 2-D CNN +
+TSTP (weighted mean+std) pooling -> 256-dim embedding.
+
+Design notes:
+  * NHWC layout throughout (TPU-preferred); torch NCHW checkpoints convert
+    by kernel transpose.
+  * BatchNorm runs off stored running statistics via flax nn.BatchNorm with
+    use_running_average (training flips a flag and updates batch_stats).
+  * ``forward_frames`` / ``forward_embedding`` split mirrors the reference
+    (resnet.py:347-397) and powers the diarization pipeline's fused
+    per-(chunk, speaker) pooling: frames are computed once per chunk and
+    pooled once per speaker mask — a (batch, speakers, frames) weighted
+    einsum instead of the reference's per-speaker loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.model import Model, Problem, Resolution, Specifications
+from ...ops.fbank import fbank_num_frames, wespeaker_fbank
+from ...models.blocks.pooling import stats_pool
+from ...utils.receptive_field import (
+    multi_conv_num_frames,
+    multi_conv_receptive_field_center,
+    multi_conv_receptive_field_size,
+)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_planes = x.shape[-1]
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(y)
+        if self.stride != 1 or in_planes != self.planes:
+            sc = nn.Conv(self.planes, (1, 1),
+                         strides=(self.stride, self.stride),
+                         use_bias=False, name="shortcut_conv")(x)
+            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              name="shortcut_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_planes = x.shape[-1]
+        out_planes = self.planes * self.expansion
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_planes, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn3")(y)
+        if self.stride != 1 or in_planes != out_planes:
+            sc = nn.Conv(out_planes, (1, 1),
+                         strides=(self.stride, self.stride),
+                         use_bias=False, name="shortcut_conv")(x)
+            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              name="shortcut_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResNetTrunk(nn.Module):
+    """conv1 + 4 stages. Input (B, T, F, 1) NHWC -> (B, T', F', C)."""
+
+    num_blocks: Sequence[int] = (3, 4, 6, 3)
+    m_channels: int = 32
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        Block = Bottleneck if self.bottleneck else BasicBlock
+        x = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        for stage, (n, mult, stride) in enumerate(
+                zip(self.num_blocks, (1, 2, 4, 8), (1, 2, 2, 2))):
+            for i in range(n):
+                x = Block(self.m_channels * mult,
+                          stride=stride if i == 0 else 1,
+                          name=f"layer{stage + 1}_{i}")(x, train=train)
+        return x
+
+
+class WeSpeakerModule(nn.Module):
+    """fbank -> ResNet -> TSTP -> seg_1 linear."""
+
+    num_mel_bins: int = 80
+    embed_dim: int = 256
+    num_blocks: Sequence[int] = (3, 4, 6, 3)
+    m_channels: int = 32
+    bottleneck: bool = False
+    window_type: str = "hamming"
+    sample_rate: int = 16000
+
+    def setup(self):
+        self.trunk = ResNetTrunk(self.num_blocks, self.m_channels,
+                                 self.bottleneck)
+        self.seg_1 = nn.Dense(self.embed_dim)
+
+    def frames(self, waveforms: jnp.ndarray, train: bool = False
+               ) -> jnp.ndarray:
+        """(B, ch, samples) -> frame-wise features (B, T', F'*C)."""
+        feats = wespeaker_fbank(waveforms, num_mel_bins=self.num_mel_bins,
+                                sample_rate=self.sample_rate,
+                                window_type=self.window_type)
+        x = feats[..., None]                       # (B, T, F, 1)
+        x = self.trunk(x, train=train)
+        B, T, F, C = x.shape
+        # torch TSTP flattens (B, C, F, T) as (c, f) -> c*F + f
+        # (resnet.py:61-64); transpose NHWC to match that ordering so seg_1
+        # weights convert verbatim
+        return jnp.swapaxes(x, 2, 3).reshape(B, T, C * F)
+
+    def embed(self, frames: jnp.ndarray,
+              weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(B, T', D) frames -> (B, [S,] embed_dim) embeddings."""
+        stats = stats_pool(jnp.swapaxes(frames, 1, 2), weights=weights)
+        return self.seg_1(stats)
+
+    def __call__(self, waveforms: jnp.ndarray,
+                 weights: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        return self.embed(self.frames(waveforms, train=train),
+                          weights=weights)
+
+
+class BaseWeSpeakerResNet(Model):
+    """Parity: BaseWeSpeakerResNet (wespeaker/__init__.py:42-343)."""
+
+    NUM_BLOCKS: Tuple[int, ...] = (3, 4, 6, 3)
+    BOTTLENECK = False
+
+    def __init__(self, sample_rate: int = 16000, num_channels: int = 1,
+                 num_mel_bins: int = 80, frame_length: float = 25.0,
+                 frame_shift: float = 10.0, dither: float = 0.0,
+                 window_type: str = "hamming", use_energy: bool = False,
+                 task=None, **kwargs):
+        super().__init__(sample_rate=sample_rate, num_channels=num_channels,
+                         task=task)
+        self.num_mel_bins = num_mel_bins
+        self.frame_length = frame_length
+        self.frame_shift = frame_shift
+        self.window_type = window_type
+        self.embed_dim = 256
+        self.hparams = {"num_mel_bins": num_mel_bins,
+                        "frame_length": frame_length,
+                        "frame_shift": frame_shift,
+                        "window_type": window_type}
+        if self._specifications is None and task is None:
+            self._specifications = Specifications(
+                problem=Problem.REPRESENTATION,
+                resolution=Resolution.CHUNK,
+                duration=5.0, min_duration=0.5,
+            )
+
+    def build_module(self) -> nn.Module:
+        return WeSpeakerModule(
+            num_mel_bins=self.num_mel_bins,
+            embed_dim=self.embed_dim,
+            num_blocks=self.NUM_BLOCKS,
+            bottleneck=self.BOTTLENECK,
+            window_type=self.window_type,
+            sample_rate=self.sample_rate,
+        )
+
+    @property
+    def dimension(self) -> int:
+        return self.embed_dim
+
+    def __call__(self, waveforms, weights=None):
+        if self.module is None:
+            self.build()
+        if self._jitted_apply is None:
+            self._jitted_apply = jax.jit(self.module.apply)
+        return self._jitted_apply(self.params, jnp.asarray(waveforms),
+                                  weights if weights is None
+                                  else jnp.asarray(weights))
+
+    def forward_frames(self, waveforms):
+        if self.module is None:
+            self.build()
+        return self.module.apply(self.params, jnp.asarray(waveforms),
+                                 method=WeSpeakerModule.frames)
+
+    def forward_embedding(self, frames, weights=None):
+        if self.module is None:
+            self.build()
+        return self.module.apply(self.params, jnp.asarray(frames),
+                                 weights, method=WeSpeakerModule.embed)
+
+    # -- frame math (fbank + 3 stride-2 stages) ---------------------------
+
+    def num_frames(self, num_samples: int) -> int:
+        n = fbank_num_frames(num_samples, self.sample_rate,
+                             self.frame_length, self.frame_shift)
+        # conv1 (s=1, p=1) keeps T; stages 2-4 halve with k=3 s=2 p=1
+        for _ in range(3):
+            n = (n + 1) // 2
+        return n
+
+    def receptive_field_size(self, num_frames: int = 1) -> int:
+        # time-axis ladder: stride-2 conv stages, then fbank framing
+        # (k=400, s=160); the deep 3x3 stacks only widen the field, which
+        # CHUNK-resolution consumers never use — stage strides dominate
+        n = multi_conv_receptive_field_size(
+            num_frames, kernel_size=[3, 3, 3, 3], stride=[2, 2, 2, 1],
+            dilation=[1] * 4)
+        window_size = int(self.sample_rate * self.frame_length * 0.001)
+        window_shift = int(self.sample_rate * self.frame_shift * 0.001)
+        return window_size + (n - 1) * window_shift
+
+    def receptive_field_center(self, frame: int = 0) -> int:
+        c = multi_conv_receptive_field_center(
+            frame, kernel_size=[3, 3, 3, 3], stride=[2, 2, 2, 1],
+            padding=[1, 1, 1, 1], dilation=[1] * 4)
+        c = max(c, 0)
+        window_size = int(self.sample_rate * self.frame_length * 0.001)
+        window_shift = int(self.sample_rate * self.frame_shift * 0.001)
+        return c * window_shift + window_size // 2
+
+    # -- torch conversion --------------------------------------------------
+
+    def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
+        params: Dict = {"trunk": {}}
+        stats: Dict = {"trunk": {}}
+
+        def conv(prefix):
+            w = np.asarray(state[f"{prefix}.weight"], dtype=np.float32)
+            return {"kernel": w.transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+
+        def bn(prefix):
+            p = {"scale": np.asarray(state[f"{prefix}.weight"],
+                                     dtype=np.float32),
+                 "bias": np.asarray(state[f"{prefix}.bias"],
+                                    dtype=np.float32)}
+            s = {"mean": np.asarray(state[f"{prefix}.running_mean"],
+                                    dtype=np.float32),
+                 "var": np.asarray(state[f"{prefix}.running_var"],
+                                   dtype=np.float32)}
+            return p, s
+
+        t_params, t_stats = params["trunk"], stats["trunk"]
+        t_params["conv1"] = conv("resnet.conv1")
+        t_params["bn1"], t_stats["bn1"] = bn("resnet.bn1")
+        for stage, n in enumerate(self.NUM_BLOCKS):
+            for i in range(n):
+                name = f"layer{stage + 1}_{i}"
+                tp = f"resnet.layer{stage + 1}.{i}"
+                blk_p, blk_s = {}, {}
+                n_convs = 3 if self.BOTTLENECK else 2
+                for c in range(1, n_convs + 1):
+                    blk_p[f"conv{c}"] = conv(f"{tp}.conv{c}")
+                    blk_p[f"bn{c}"], blk_s[f"bn{c}"] = bn(f"{tp}.bn{c}")
+                if f"{tp}.shortcut.0.weight" in state:
+                    blk_p["shortcut_conv"] = conv(f"{tp}.shortcut.0")
+                    blk_p["shortcut_bn"], blk_s["shortcut_bn"] = \
+                        bn(f"{tp}.shortcut.1")
+                t_params[name] = blk_p
+                t_stats[name] = blk_s
+        params["seg_1"] = {
+            "kernel": np.asarray(state["resnet.seg_1.weight"],
+                                 dtype=np.float32).T,
+            "bias": np.asarray(state["resnet.seg_1.bias"],
+                               dtype=np.float32)}
+        return {"params": params, "batch_stats": stats}
+
+
+class WeSpeakerResNet34(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (3, 4, 6, 3)
+    BOTTLENECK = False
+
+
+class WeSpeakerResNet152(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (3, 8, 36, 3)
+    BOTTLENECK = True
+
+
+class WeSpeakerResNet221(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (6, 16, 48, 3)
+    BOTTLENECK = True
+
+
+class WeSpeakerResNet293(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (10, 20, 64, 3)
+    BOTTLENECK = True

@@ -1,0 +1,463 @@
+"""Speaker diarization pipeline — THE product.
+
+TPU-native rebuild of /root/reference/src/pyannote/audio/pipelines/
+speaker_diarization.py: sliding-window segmentation -> speaker counting ->
+per-(chunk, speaker) embeddings -> clustering -> count-constrained
+reconstruction -> Annotation.
+
+Hot-loop redesign (SURVEY.md §3.2, §7.2):
+  * The reference extracts one embedding per (chunk, speaker) by running the
+    full ResNet on the *same* chunk waveform once per speaker, with a fresh
+    host-side ``Audio.crop`` per chunk (speaker_diarization.py:406-459).
+    Since masking only happens at the pooling layer, the trunk work is
+    num_speakers-fold redundant. Here the file's waveform is sent to HBM
+    once, each batch gathers its chunks with a vmapped dynamic-slice, the
+    ResNet trunk runs once per chunk, and a (batch, speakers, frames)
+    masked stats-pool produces every speaker's embedding in one einsum.
+  * Segmentation chunking/decoding/aggregation is the shared Inference
+    engine (all on device); clustering operates on the tiny gathered
+    embedding matrix on host (exact scipy parity), then reconstruction is
+    vectorized.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import textwrap
+import warnings
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Mapping, Optional, Text, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.annotation import Annotation
+from ..core.inference import Inference
+from ..core.io import Audio, AudioFile
+from ..core.model import Model, Specifications
+from ..core.pipeline import Pipeline
+from ..core.plda import PLDA
+from ..core.segment import SlidingWindow, SlidingWindowFeature
+from ..utils.signal import binarize_swf
+from .clustering import Clustering
+from .parameter import ParamDict, Uniform
+from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
+from .utils.getter import PipelineModel, get_model, get_plda
+
+
+@dataclass
+class DiarizeOutput:
+    """Parity: DiarizeOutput (reference speaker_diarization.py:63-124)."""
+
+    speaker_diarization: Annotation
+    exclusive_speaker_diarization: Annotation
+    speaker_embeddings: Optional[np.ndarray] = None
+
+    def serialize(self) -> Dict[str, Any]:
+        def turns(ann: Annotation):
+            return [{"start": round(seg.start, 3), "end": round(seg.end, 3),
+                     "speaker": label}
+                    for seg, _, label in ann.itertracks(yield_label=True)]
+        return {
+            "diarization": turns(self.speaker_diarization),
+            "exclusive_diarization":
+                turns(self.exclusive_speaker_diarization),
+        }
+
+
+class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
+    """Parity: SpeakerDiarization (reference speaker_diarization.py:127+)."""
+
+    def __init__(
+        self,
+        legacy: bool = False,
+        segmentation: PipelineModel = None,
+        segmentation_step: float = 0.1,
+        embedding: PipelineModel = None,
+        embedding_exclude_overlap: bool = False,
+        plda=None,
+        clustering: str = "AgglomerativeClustering",
+        embedding_batch_size: int = 32,
+        segmentation_batch_size: int = 32,
+        der_variant: Optional[dict] = None,
+        token=None,
+        cache_dir=None,
+    ):
+        super().__init__()
+        self.legacy = legacy
+        self.segmentation_model = segmentation
+        self.segmentation_step = segmentation_step
+        self.embedding = embedding
+        self.embedding_batch_size = embedding_batch_size
+        self.embedding_exclude_overlap = embedding_exclude_overlap
+        self.plda = plda
+        self.klustering = clustering
+        self.der_variant = der_variant or {"collar": 0.0,
+                                           "skip_overlap": False}
+
+        model: Model = get_model(segmentation, token=token,
+                                 cache_dir=cache_dir)
+        specs = model.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        segmentation_duration = spec.duration
+        self._segmentation = Inference(
+            model,
+            duration=segmentation_duration,
+            step=self.segmentation_step * segmentation_duration,
+            skip_aggregation=True,
+            batch_size=segmentation_batch_size,
+        )
+        self._powerset = spec.powerset
+
+        if self._powerset:
+            self.segmentation = ParamDict(
+                min_duration_off=Uniform(0.0, 1.0))
+        else:
+            self.segmentation = ParamDict(
+                threshold=Uniform(0.1, 0.9),
+                min_duration_off=Uniform(0.0, 1.0))
+
+        metric = "not_applicable" if clustering == "OracleClustering" \
+            else "cosine"
+
+        self._embedding = get_model(embedding, token=token,
+                                    cache_dir=cache_dir) \
+            if embedding is not None else None
+        self._audio = Audio(sample_rate=16000, mono="downmix")
+
+        try:
+            Klustering = Clustering[clustering]
+        except KeyError:
+            raise ValueError(
+                f"clustering must be one of "
+                f"{[member.name for member in Clustering]}")
+        if clustering == "VBxClustering":
+            self.clustering = Klustering.value(
+                plda=get_plda(plda), metric=metric)
+        elif clustering == "OracleClustering":
+            self.clustering = Klustering.value()
+        else:
+            self.clustering = Klustering.value(metric=metric)
+        self._expects_num_speakers = self.clustering.expects_num_clusters
+
+        self._jitted_embedding_batch = None
+
+    def default_parameters(self) -> Dict[str, Any]:
+        if self.klustering == "VBxClustering":
+            return {
+                "segmentation": {"min_duration_off": 0.0},
+                "clustering": {"threshold": 0.6, "Fa": 0.07, "Fb": 0.8},
+            }
+        if self._powerset:
+            return {
+                "segmentation": {"min_duration_off": 0.0},
+                "clustering": {"method": "centroid", "min_cluster_size": 15,
+                               "threshold": 0.7},
+            }
+        raise NotImplementedError
+
+    def classes(self):
+        """Infinite SPEAKER_%02d label generator."""
+        i = 0
+        while True:
+            yield f"SPEAKER_{i:02d}"
+            i += 1
+
+    def setup_hook(self, file: AudioFile,
+                   hook: Optional[Callable] = None) -> Callable:
+        if hook is None:
+            return lambda *args, **kwargs: None
+        return functools.partial(hook, file=file)
+
+    # -- segmentation ------------------------------------------------------
+
+    CACHED_SEGMENTATION = "training_cache/segmentation"
+
+    def get_segmentations(self, file, hook=None) -> SlidingWindowFeature:
+        if hook is not None:
+            hook = functools.partial(hook, "segmentation", None)
+        if self.training and self.CACHED_SEGMENTATION in file:
+            return file[self.CACHED_SEGMENTATION]
+        segmentations = self._segmentation(file, hook=hook)
+        if self.training:
+            file[self.CACHED_SEGMENTATION] = segmentations
+        return segmentations
+
+    # -- embeddings (the fused hot path) ----------------------------------
+
+    def _make_embedding_batch_fn(self, window_samples: int,
+                                 num_speakers: int):
+        module = self._embedding.module
+
+        def batch_fn(params, waveform, starts, masks):
+            # waveform: (channels, T); starts: (B,); masks: (B, S, frames)
+            def get_chunk(start):
+                return jax.lax.dynamic_slice(
+                    waveform, (0, start),
+                    (waveform.shape[0], window_samples))
+            chunks = jax.vmap(get_chunk)(starts)          # (B, ch, window)
+            frames = module.apply(params, chunks,
+                                  method=type(module).frames)
+            return module.apply(params, frames, masks,
+                                method=type(module).embed)  # (B, S, D)
+
+        return jax.jit(batch_fn)
+
+    def get_embeddings(
+        self,
+        file,
+        binary_segmentations: SlidingWindowFeature,
+        exclude_overlap: bool = False,
+        hook: Optional[Callable] = None,
+    ) -> np.ndarray:
+        """(num_chunks, num_speakers, dimension) embeddings.
+
+        Trunk runs once per chunk; per-speaker masks only drive pooling.
+        """
+        if self.training:
+            cache = file.get("training_cache/embeddings", dict())
+            if "embeddings" in cache and (
+                    self._powerset or cache.get("segmentation.threshold")
+                    == self.segmentation.threshold):
+                return cache["embeddings"]
+
+        duration = binary_segmentations.sliding_window.duration
+        num_chunks, num_frames, num_speakers = binary_segmentations.data.shape
+
+        masks = np.nan_to_num(binary_segmentations.data, nan=0.0) \
+            .astype(np.float32)                     # (C, F, S)
+        if exclude_overlap:
+            # prefer overlap-free frames unless that leaves too little
+            min_num_samples = 640  # analytically: >=1 trunk frame
+            num_samples = duration * self._embedding.sample_rate
+            min_num_frames = math.ceil(
+                num_frames * min_num_samples / num_samples)
+            alone = (masks.sum(axis=2, keepdims=True) < 2)
+            clean = masks * alone
+            enough = clean.sum(axis=1, keepdims=True) > min_num_frames
+            masks = np.where(enough, clean, masks)
+        masks = np.transpose(masks, (0, 2, 1))      # (C, S, F)
+
+        waveform, sample_rate = self._audio(file)
+        window_samples = round(duration * sample_rate)
+        step_samples = round(
+            binary_segmentations.sliding_window.step * sample_rate)
+        starts = np.round(np.arange(num_chunks) * step_samples).astype(
+            np.int32)
+        pad = int(starts[-1]) + window_samples - waveform.shape[1]
+        if pad > 0:
+            waveform = np.pad(waveform, ((0, 0), (0, pad)))
+        device_waveform = jnp.asarray(waveform)
+
+        if self._embedding.module is None:
+            self._embedding.build()
+        if self._jitted_embedding_batch is None:
+            self._jitted_embedding_batch = self._make_embedding_batch_fn(
+                window_samples, num_speakers)
+
+        B = self.embedding_batch_size
+        num_batches = math.ceil(num_chunks / B)
+        out = []
+        if hook is not None:
+            hook("embeddings", None, total=num_batches, completed=0)
+        for b in range(num_batches):
+            batch_starts = starts[b * B:(b + 1) * B]
+            batch_masks = masks[b * B:(b + 1) * B]
+            n_real = len(batch_starts)
+            if n_real < B:
+                batch_starts = np.pad(batch_starts, (0, B - n_real))
+                batch_masks = np.pad(
+                    batch_masks, ((0, B - n_real), (0, 0), (0, 0)))
+            emb = self._jitted_embedding_batch(
+                self._embedding.params, device_waveform,
+                jnp.asarray(batch_starts), jnp.asarray(batch_masks))
+            out.append(np.asarray(emb[:n_real]))
+            if hook is not None:
+                hook("embeddings", out[-1], total=num_batches,
+                     completed=b + 1)
+        embeddings = np.concatenate(out, axis=0)    # (C, S, D)
+
+        if self.training:
+            cache = {"embeddings": embeddings}
+            if not self._powerset:
+                cache["segmentation.threshold"] = \
+                    self.segmentation.threshold
+            file["training_cache/embeddings"] = cache
+        return embeddings
+
+    # -- reconstruction ----------------------------------------------------
+
+    def reconstruct(
+        self,
+        segmentations: SlidingWindowFeature,
+        hard_clusters: np.ndarray,
+        count: SlidingWindowFeature,
+    ) -> SlidingWindowFeature:
+        """Cluster-max over local speakers, then count-constrained argsort.
+
+        Vectorized: one-hot cluster membership turns the reference's python
+        loop (speaker_diarization.py:480-528) into a masked max.
+        """
+        num_chunks, num_frames, local_speakers = segmentations.data.shape
+        num_clusters = int(np.max(hard_clusters)) + 1
+        data = np.nan_to_num(segmentations.data, nan=-np.inf)
+        # per cluster k: max over the local speakers assigned to k
+        # (K is small, so K passes over (C, F, S) beat a (C, F, S, K) blow-up)
+        clustered = np.full((num_chunks, num_frames, num_clusters), np.nan,
+                            dtype=np.float32)
+        for k in range(num_clusters):
+            member = hard_clusters == k                   # (C, S)
+            masked = np.where(member[:, None, :], data, -np.inf)
+            best = masked.max(axis=2)                     # (C, F)
+            clustered[:, :, k] = np.where(np.isfinite(best), best, np.nan)
+        clustered_swf = SlidingWindowFeature(
+            clustered, segmentations.sliding_window)
+        return self.to_diarization(clustered_swf, count)
+
+    # -- apply -------------------------------------------------------------
+
+    def apply(
+        self,
+        file: AudioFile,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        hook: Optional[Callable] = None,
+        **kwargs,
+    ) -> Union[DiarizeOutput, Annotation]:
+        if kwargs:
+            warnings.warn(
+                f"Ignoring unexpected keyword arguments: "
+                f"{', '.join(kwargs)}")
+        hook = self.setup_hook(file, hook=hook)
+        num_speakers, min_speakers, max_speakers = set_num_speakers(
+            num_speakers=num_speakers, min_speakers=min_speakers,
+            max_speakers=max_speakers)
+
+        if self._expects_num_speakers and num_speakers is None:
+            if isinstance(file, Mapping) and "annotation" in file:
+                num_speakers = len(file["annotation"].labels())
+            else:
+                raise ValueError(
+                    f"num_speakers must be provided when using "
+                    f"{self.klustering} clustering")
+
+        segmentations = self.get_segmentations(file, hook=hook)
+        hook("segmentation", segmentations)
+
+        if self._powerset:
+            binarized_segmentations = segmentations
+        else:
+            binarized_segmentations = binarize_swf(
+                segmentations, onset=self.segmentation.threshold,
+                initial_state=False)
+
+        count = self.speaker_count(
+            binarized_segmentations,
+            self._segmentation.model.receptive_field,
+            warm_up=(0.0, 0.0))
+        hook("speaker_counting", count)
+
+        # early exit on silent files
+        if np.nanmax(count.data) == 0.0:
+            empty = Annotation(uri=file["uri"])
+            output = DiarizeOutput(
+                speaker_diarization=empty,
+                exclusive_speaker_diarization=Annotation(uri=file["uri"]),
+                speaker_embeddings=np.zeros(
+                    (0, self._embedding.dimension
+                     if self._embedding else 0)))
+            return output.speaker_diarization if self.legacy else output
+
+        if self.klustering == "OracleClustering" and self._embedding is None:
+            embeddings = None
+        else:
+            embeddings = self.get_embeddings(
+                file, binarized_segmentations,
+                exclude_overlap=self.embedding_exclude_overlap, hook=hook)
+            hook("embeddings", embeddings)
+
+        hard_clusters, _, centroids = self.clustering(
+            embeddings=embeddings,
+            segmentations=binarized_segmentations,
+            num_clusters=num_speakers,
+            min_clusters=min_speakers,
+            max_clusters=max_speakers,
+            file=file,
+            frames=self._segmentation.model.receptive_field)
+
+        num_different_speakers = int(np.max(hard_clusters)) + 1
+        if num_different_speakers < min_speakers or \
+                num_different_speakers > max_speakers:
+            warnings.warn(textwrap.dedent(
+                f"""
+                The detected number of speakers ({num_different_speakers})
+                for {file['uri']} is outside the given bounds
+                [{min_speakers}, {max_speakers}]. The audio file may be too
+                short for {min_speakers} speakers.
+                """))
+
+        count.data = np.minimum(count.data, max_speakers).astype(np.int8)
+
+        inactive_speakers = \
+            np.sum(binarized_segmentations.data, axis=1) == 0
+        hard_clusters[inactive_speakers] = -2
+
+        discrete_diarization = self.reconstruct(
+            segmentations, hard_clusters, count)
+        hook("discrete_diarization", discrete_diarization)
+        diarization = self.to_annotation(
+            discrete_diarization, min_duration_on=0.0,
+            min_duration_off=self.segmentation.min_duration_off)
+        diarization.uri = file["uri"]
+
+        # exclusive variant: at most one active speaker at a time
+        count.data = np.minimum(count.data, 1).astype(np.int8)
+        exclusive_discrete = self.reconstruct(
+            segmentations, hard_clusters, count)
+        exclusive_diarization = self.to_annotation(
+            exclusive_discrete, min_duration_on=0.0,
+            min_duration_off=self.segmentation.min_duration_off)
+        exclusive_diarization.uri = file["uri"]
+
+        if "annotation" in file and file["annotation"]:
+            _, mapping = self.optimal_mapping(
+                file["annotation"], diarization, return_mapping=True)
+            mapping = {key: mapping.get(key, key)
+                       for key in diarization.labels()}
+        else:
+            mapping = {label: expected for label, expected in
+                       zip(diarization.labels(), self.classes())}
+        diarization = diarization.rename_labels(mapping=mapping)
+        exclusive_diarization = exclusive_diarization.rename_labels(
+            mapping=mapping)
+
+        if centroids is None:
+            output = DiarizeOutput(
+                speaker_diarization=diarization,
+                exclusive_speaker_diarization=exclusive_diarization,
+                speaker_embeddings=None)
+            return output.speaker_diarization if self.legacy else output
+
+        if len(diarization.labels()) > centroids.shape[0]:
+            centroids = np.pad(
+                centroids,
+                ((0, len(diarization.labels()) - centroids.shape[0]),
+                 (0, 0)))
+        inverse_mapping = {label: index
+                           for index, label in mapping.items()}
+        centroids = centroids[
+            [inverse_mapping[label] for label in diarization.labels()]]
+
+        output = DiarizeOutput(
+            speaker_diarization=diarization,
+            exclusive_speaker_diarization=exclusive_diarization,
+            speaker_embeddings=centroids)
+        return output.speaker_diarization if self.legacy else output
+
+    def get_metric(self):
+        from ..metrics.der import GreedyDiarizationErrorRate
+        return GreedyDiarizationErrorRate(**self.der_variant)

@@ -1,0 +1,202 @@
+"""Frame-level segmentation tasks: VAD, multilabel, speaker diarization.
+
+Parity: /root/reference/src/pyannote/audio/tasks/segmentation/
+{voice_activity_detection,multilabel,speaker_diarization}.py + the shared
+chunk-sampling mixin (mixins.py). The permutation-invariant diarization loss
+is the TPU-native K!-enumeration powerset NLL (ops/losses.py) instead of
+the reference's per-sample host Hungarian (speaker_diarization.py:402-485).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Text, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.model import Problem, Resolution, Specifications
+from ..core.segment import Segment
+from ..core.task import Task, TrainingBatch
+from ..ops.losses import binary_cross_entropy, nll_loss, powerset_pit_loss
+from ..ops.powerset import Powerset
+from ..utils.database import Protocol
+
+
+class SegmentationTaskMixin(Task):
+    """Shared chunk preparation for frame-level tasks."""
+
+    def frame_targets(self, file: Dict, chunk: Segment,
+                      labels: Sequence[Text]) -> np.ndarray:
+        """Discretize file['annotation'] over the chunk at frame resolution."""
+        if self.model is not None:
+            num_samples = int(round(self.duration
+                                    * self.audio.sample_rate))
+            num_frames = self.model.num_frames(num_samples)
+        else:
+            num_frames = int(round(self.duration * 100))
+        step = self.duration / num_frames
+        data = np.zeros((num_frames, len(labels)), dtype=np.float32)
+        cropped = file["annotation"].crop(chunk)
+        for seg, _, label in cropped.itertracks(yield_label=True):
+            if label not in labels:
+                continue
+            k = labels.index(label)
+            i0 = int(round((seg.start - chunk.start) / step))
+            i1 = int(round((seg.end - chunk.start) / step))
+            data[max(i0, 0):min(i1, num_frames), k] = 1.0
+        return data
+
+    def crop_waveform(self, file: Dict, chunk: Segment) -> np.ndarray:
+        waveform, _ = self.audio.crop(file, chunk, duration=self.duration,
+                                      mode="pad")
+        return waveform
+
+
+class VoiceActivityDetection(SegmentationTaskMixin):
+    """Binary speech/non-speech (parity: voice_activity_detection.py:35)."""
+
+    def __init__(self, protocol: Protocol, duration: float = 2.0,
+                 balance=None, weight=None, **kwargs):
+        super().__init__(protocol, duration=duration, **kwargs)
+
+    def setup(self, model=None) -> None:
+        super().setup(model)
+        self.specifications = Specifications(
+            problem=Problem.BINARY_CLASSIFICATION,
+            resolution=Resolution.FRAME,
+            duration=self.duration,
+            warm_up=self.warm_up,
+            classes=["speech"],
+        )
+
+    def prepare_chunk(self, file: Dict, chunk: Segment, rng) -> Dict:
+        X = self.crop_waveform(file, chunk)
+        speech = self.frame_targets(
+            file, chunk, file["annotation"].labels()).max(
+                axis=1, keepdims=True)
+        return {"X": X, "y": speech}
+
+    def loss(self, model, params, batch):
+        pred = model.apply_fn(params, jnp.asarray(batch.X))
+        return binary_cross_entropy(pred, jnp.asarray(batch.y))
+
+
+class MultiLabelSegmentation(SegmentationTaskMixin):
+    """Generic K-class frame classification (parity: multilabel.py:40)."""
+
+    def __init__(self, protocol: Protocol, classes: Optional[List[Text]] = None,
+                 duration: float = 2.0, **kwargs):
+        super().__init__(protocol, duration=duration, **kwargs)
+        self.classes = classes
+
+    def setup(self, model=None) -> None:
+        super().setup(model)
+        if self.classes is None:
+            labels = set()
+            for file in self._train_files:
+                labels.update(file["annotation"].labels())
+            self.classes = sorted(labels)
+        self.specifications = Specifications(
+            problem=Problem.MULTI_LABEL_CLASSIFICATION,
+            resolution=Resolution.FRAME,
+            duration=self.duration,
+            warm_up=self.warm_up,
+            classes=self.classes,
+        )
+
+    def prepare_chunk(self, file: Dict, chunk: Segment, rng) -> Dict:
+        return {"X": self.crop_waveform(file, chunk),
+                "y": self.frame_targets(file, chunk, self.classes)}
+
+    def loss(self, model, params, batch):
+        pred = model.apply_fn(params, jnp.asarray(batch.X))
+        return binary_cross_entropy(pred, jnp.asarray(batch.y))
+
+
+class SpeakerDiarization(SegmentationTaskMixin):
+    """Permutation-invariant powerset diarization.
+
+    Parity: tasks/segmentation/speaker_diarization.py:58-677 —
+    max_speakers_per_chunk estimated as the 97th percentile of per-window
+    speaker counts (:167-244), targets keep the most talkative speakers
+    (:356-400), loss = PIT powerset NLL.
+    """
+
+    def __init__(
+        self,
+        protocol: Protocol,
+        duration: float = 10.0,
+        max_speakers_per_chunk: Optional[int] = None,
+        max_speakers_per_frame: Optional[int] = 2,
+        weigh_by_cardinality: bool = False,
+        **kwargs,
+    ):
+        super().__init__(protocol, duration=duration, **kwargs)
+        self.max_speakers_per_chunk = max_speakers_per_chunk
+        self.max_speakers_per_frame = max_speakers_per_frame
+        self.weigh_by_cardinality = weigh_by_cardinality
+        self._powerset: Optional[Powerset] = None
+
+    def estimate_max_speakers_per_chunk(self) -> int:
+        """97th percentile of speaker count over sliding windows."""
+        counts = []
+        for file in self._train_files:
+            annotation = file["annotation"]
+            extent = annotation.get_timeline().extent()
+            if not extent:
+                continue
+            step = self.duration / 4
+            t = extent.start
+            while t + self.duration <= extent.end + step:
+                window = Segment(t, t + self.duration)
+                counts.append(len(annotation.crop(window).labels()))
+                t += step
+        if not counts:
+            return 2
+        return max(2, int(np.ceil(np.percentile(counts, 97))))
+
+    def setup(self, model=None) -> None:
+        super().setup(model)
+        if self.max_speakers_per_chunk is None:
+            self.max_speakers_per_chunk = \
+                self.estimate_max_speakers_per_chunk()
+        self.specifications = Specifications(
+            problem=Problem.MONO_LABEL_CLASSIFICATION,
+            resolution=Resolution.FRAME,
+            duration=self.duration,
+            warm_up=self.warm_up,
+            classes=[f"speaker#{i + 1}"
+                     for i in range(self.max_speakers_per_chunk)],
+            powerset_max_classes=self.max_speakers_per_frame,
+            permutation_invariant=True,
+        )
+        self._powerset = Powerset(self.max_speakers_per_chunk,
+                                  self.max_speakers_per_frame)
+
+    @property
+    def powerset(self) -> Powerset:
+        if self._powerset is None:
+            raise RuntimeError("call task.setup() first")
+        return self._powerset
+
+    def prepare_chunk(self, file: Dict, chunk: Segment, rng
+                      ) -> Optional[Dict]:
+        X = self.crop_waveform(file, chunk)
+        labels = file["annotation"].crop(chunk).labels()
+        y = self.frame_targets(file, chunk, labels)  # (F, num_local)
+        K = self.max_speakers_per_chunk
+        if y.shape[1] > K:
+            # drop over-crowded chunks (reference drops them from the loss,
+            # speaker_diarization.py:425-433); keep most talkative K
+            talkative = np.argsort(-y.sum(axis=0))[:K]
+            y = y[:, talkative]
+        if y.shape[1] < K:
+            y = np.pad(y, ((0, 0), (0, K - y.shape[1])))
+        return {"X": X, "y": y}
+
+    def loss(self, model, params, batch):
+        log_probs = model.apply_fn(params, jnp.asarray(batch.X))
+        loss, _ = powerset_pit_loss(log_probs, jnp.asarray(batch.y),
+                                    self.powerset)
+        return loss

@@ -1,0 +1,192 @@
+"""Training loop: optax + pjit data parallelism over a device mesh.
+
+Replaces the reference's pytorch-lightning ``Trainer`` + DDP strategy
+(SURVEY.md §2.8): data parallelism is a batch-axis NamedSharding under jit —
+XLA inserts the gradient all-reduce over ICI automatically; there is no
+NCCL, no rank loop, no gradient hooks. The host-side loop only feeds numpy
+batches and checkpoints.
+
+Checkpoints use the Model directory format (config.yaml + params.msgpack)
+with an extra optimizer-state file, so ``Model.from_pretrained`` can load
+any training checkpoint directly (parity with the reference's vendor block,
+core/model.py:244-262; ``strip`` = just don't copy the optimizer file).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.model import Model
+from ..core.task import Task, TrainingBatch
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(task: Task, model: Model, optimizer,
+                    mesh: Optional[Mesh] = None,
+                    frozen_prefixes: Optional[Tuple[str, ...]] = None
+                    ) -> Callable:
+    """Build the jitted (params, opt_state, batch) -> updated step.
+
+    With a mesh, batches are sharded over the 'data' axis and parameters
+    replicated; XLA emits the psum for gradients. ``frozen_prefixes``
+    zeroes updates for matching parameter paths (functional analogue of
+    the reference's requires_grad freezing, core/model.py:359-495).
+    """
+
+    def _freeze(updates):
+        if not frozen_prefixes:
+            return updates
+
+        def mask(path, leaf):
+            path_str = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p)))
+                for p in path)
+            if any(prefix in path_str for prefix in frozen_prefixes):
+                return jnp.zeros_like(leaf)
+            return leaf
+        return jax.tree_util.tree_map_with_path(mask, updates)
+
+    def step_fn(params, opt_state, X, y):
+        def loss_fn(p):
+            return task.loss(model, p, TrainingBatch(X=X, y=y))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, _freeze(updates))
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
+class Trainer:
+    """Minimal epoch-driven training loop."""
+
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        limit_train_batches: Optional[int] = None,
+        learning_rate: float = 1e-3,
+        optimizer: Optional[Any] = None,
+        mesh: Optional[Mesh] = None,
+        checkpoint_dir: Optional[Union[str, Path]] = None,
+        gradient_clip_val: Optional[float] = None,
+        callbacks: Optional[List] = None,
+        seed: int = 42,
+    ):
+        self.max_epochs = max_epochs
+        self.limit_train_batches = limit_train_batches
+        self.mesh = mesh
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir \
+            else None
+        self.callbacks = callbacks or []
+        tx = optimizer or optax.adam(learning_rate)
+        if gradient_clip_val:
+            tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val),
+                             tx)
+        self.optimizer = tx
+        self.seed = seed
+        self.history: List[Dict] = []
+
+    def fit(self, model: Model, task: Optional[Task] = None) -> Model:
+        task = task or model.task
+        if task is None:
+            raise ValueError("no task to fit on")
+        task.setup(model)
+        model.task = task
+        if model.module is None or model.params is None:
+            model.build(rng=jax.random.PRNGKey(self.seed))
+        else:
+            # task may have changed the head dimension: rebuild module and
+            # reconcile parameters (parity: core/model.py:200-227)
+            old_params = model.params
+            model.params = None
+            model.build(rng=jax.random.PRNGKey(self.seed))
+            model.params = _reconcile(old_params, model.params)
+
+        model_keys = set(model.params.keys())
+        params = task.augment_params(
+            model.params, jax.random.PRNGKey(self.seed + 1), model)
+        opt_state = self.optimizer.init(params)
+        self.frozen_prefixes: Tuple[str, ...] = ()
+        _step_cache: Dict[Tuple[str, ...], Callable] = {}
+
+        def get_step_fn():
+            key = tuple(self.frozen_prefixes)
+            if key not in _step_cache:
+                _step_cache[key] = make_train_step(
+                    task, model, self.optimizer, mesh=self.mesh,
+                    frozen_prefixes=key)
+            return _step_cache[key]
+
+        opt = opt_state
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_start"):
+                cb.on_fit_start(self, model)
+        for epoch in range(self.max_epochs):
+            for cb in self.callbacks:
+                if hasattr(cb, "on_train_epoch_start"):
+                    cb.on_train_epoch_start(self, model, epoch)
+            step_fn = get_step_fn()
+            losses = []
+            for i, batch in enumerate(task.train_batches(epoch=epoch)):
+                if self.limit_train_batches is not None and \
+                        i >= self.limit_train_batches:
+                    break
+                y = batch.y if batch.y is not None else np.zeros(
+                    (len(batch.X), 1), np.float32)
+                params, opt, loss = step_fn(params, opt,
+                                            jnp.asarray(batch.X),
+                                            jnp.asarray(y))
+                losses.append(float(loss))
+            self.history.append({"epoch": epoch,
+                                 "loss": float(np.mean(losses))
+                                 if losses else np.nan})
+            if self.checkpoint_dir is not None:
+                model.params = {k: v for k, v in params.items()
+                                if k in model_keys}
+                model.save_checkpoint(
+                    self.checkpoint_dir / f"epoch_{epoch}")
+        model.params = {k: v for k, v in params.items() if k in model_keys}
+        model._jitted_apply = None
+        return model
+
+
+def _reconcile(old_params, new_params):
+    """Copy matching-shape leaves from old into new (head swaps keep the
+    trunk; parity with state-dict reconciliation, core/model.py:205-222)."""
+    flat_old, _ = jax.tree_util.tree_flatten_with_path(old_params)
+    old_by_path = {jax.tree_util.keystr(path): leaf
+                   for path, leaf in flat_old}
+
+    def pick(path, new_leaf):
+        old_leaf = old_by_path.get(jax.tree_util.keystr(path))
+        if old_leaf is not None and \
+                getattr(old_leaf, "shape", None) == new_leaf.shape:
+            return old_leaf
+        return new_leaf
+
+    return jax.tree_util.tree_map_with_path(pick, new_params)

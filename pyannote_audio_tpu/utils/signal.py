@@ -1,0 +1,162 @@
+"""Score binarization: hysteresis thresholding + frame->segment extraction.
+
+Parity: /root/reference/src/pyannote/audio/utils/signal.py (vectorized
+``binarize`` :78-141, ``Binarize`` class :207-318, ``Peak`` :321).
+
+The hysteresis itself is a forward-fill of {on,off,keep} states — an
+associative scan. ``hysteresis_jax`` (ops/binarize.py) runs it on device for
+the pipeline's hot path; the host numpy version here powers the final
+Annotation extraction where data is already tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from ..core.annotation import Annotation, Timeline
+from ..core.segment import Segment, SlidingWindowFeature
+
+
+def binarize_ndarray(
+    scores: np.ndarray,
+    onset: float = 0.5,
+    offset: Optional[float] = None,
+    initial_state: Union[bool, None] = None,
+) -> np.ndarray:
+    """Vectorized hysteresis over the first axis of (frames, ...) scores.
+
+    A frame turns on when score > onset, off when score < offset, and keeps
+    the previous state in between (reference signal.py:78-141).
+    """
+    offset = onset if offset is None else offset
+    on = scores > onset
+    off = scores < offset
+    # state per frame: +1 on, -1 off, 0 keep-previous; forward-fill nonzeros
+    state = np.where(on, 1, np.where(off, -1, 0)).astype(np.int8)
+    frames = state.shape[0]
+    flat = state.reshape(frames, -1)
+    out = np.empty_like(flat, dtype=bool)
+    if initial_state is None:
+        prev = flat[0] > 0  # undecided start defaults to its own on-ness
+    else:
+        prev = np.full(flat.shape[1], bool(initial_state))
+    for t in range(frames):
+        prev = np.where(flat[t] == 0, prev, flat[t] > 0)
+        out[t] = prev
+    return out.reshape(scores.shape)
+
+
+def binarize_swf(
+    scores: SlidingWindowFeature,
+    onset: float = 0.5,
+    offset: Optional[float] = None,
+    initial_state: Optional[bool] = None,
+) -> SlidingWindowFeature:
+    return SlidingWindowFeature(
+        binarize_ndarray(scores.data, onset=onset, offset=offset,
+                         initial_state=initial_state).astype(np.float32),
+        scores.sliding_window, labels=scores.labels)
+
+
+class Binarize:
+    """Hysteresis + min-duration post-processing -> Annotation.
+
+    Parity: Binarize (reference signal.py:207-318).
+    """
+
+    def __init__(
+        self,
+        onset: float = 0.5,
+        offset: Optional[float] = None,
+        min_duration_on: float = 0.0,
+        min_duration_off: float = 0.0,
+        pad_onset: float = 0.0,
+        pad_offset: float = 0.0,
+    ):
+        self.onset = onset
+        self.offset = onset if offset is None else offset
+        self.min_duration_on = min_duration_on
+        self.min_duration_off = min_duration_off
+        self.pad_onset = pad_onset
+        self.pad_offset = pad_offset
+
+    def __call__(self, scores: SlidingWindowFeature) -> Annotation:
+        num_frames, num_classes = scores.data.shape
+        window = scores.sliding_window
+        timestamps = [window[i].middle for i in range(num_frames)]
+        labels = scores.labels or list(range(num_classes))
+
+        active = Annotation(uri=getattr(scores, "uri", None))
+        for k, label in enumerate(labels):
+            y = scores.data[:, k]
+            is_active = y[0] > self.onset
+            start = timestamps[0]
+            for t, (ts, score) in enumerate(zip(timestamps, y)):
+                if is_active:
+                    if score < self.offset:
+                        seg = Segment(start - self.pad_onset,
+                                      ts + self.pad_offset)
+                        if seg:
+                            active[seg, k] = label
+                        start = ts
+                        is_active = False
+                else:
+                    if score > self.onset:
+                        start = ts
+                        is_active = True
+            if is_active:
+                seg = Segment(start - self.pad_onset,
+                              timestamps[-1] + self.pad_offset)
+                if seg:
+                    active[seg, k] = label
+
+        # merge over short gaps
+        if self.pad_offset > 0.0 or self.pad_onset > 0.0 or \
+                self.min_duration_off > 0.0:
+            active = active.support(collar=self.min_duration_off)
+
+        # drop too-short segments
+        if self.min_duration_on > 0.0:
+            for seg, track in list(active.itertracks()):
+                if seg.duration < self.min_duration_on:
+                    del active[seg, track]
+        return active
+
+
+class Peak:
+    """Local-maximum detection over 1-d scores -> homogeneous Timeline.
+
+    Parity: Peak (reference signal.py:321+); used by resegmentation-style
+    pipelines to place boundaries at score peaks above ``alpha``.
+    """
+
+    def __init__(self, alpha: float = 0.5, min_duration: float = 1.0):
+        self.alpha = alpha
+        self.min_duration = min_duration
+
+    def __call__(self, scores: SlidingWindowFeature) -> Timeline:
+        if scores.data.ndim == 2 and scores.data.shape[1] != 1:
+            raise ValueError("Peak expects 1-d scores")
+        y = scores.data.reshape(-1)
+        window = scores.sliding_window
+        num_frames = len(y)
+        timestamps = np.array([window[i].middle for i in range(num_frames)])
+        order = max(1, int(np.rint(self.min_duration / window.step)))
+        maxima = []
+        for i in range(num_frames):
+            lo, hi = max(0, i - order), min(num_frames, i + order + 1)
+            if y[i] >= y[lo:hi].max() and y[i] > self.alpha:
+                if maxima and i - maxima[-1] < order:
+                    if y[i] > y[maxima[-1]]:
+                        maxima[-1] = i
+                else:
+                    maxima.append(i)
+        boundaries = [timestamps[i] for i in maxima]
+        extent = scores.extent
+        edges = [extent.start] + boundaries + [extent.end]
+        segmentation = Timeline(
+            [Segment(a, b) for a, b in zip(edges[:-1], edges[1:])
+             if Segment(a, b)])
+        return segmentation

@@ -1,0 +1,180 @@
+"""Training stack tests: losses, tasks, trainer, multi-device DP."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyannote_audio_tpu.core.task import create_rng_for_worker
+from pyannote_audio_tpu.models.segmentation.debug import \
+    SimpleSegmentationModel
+from pyannote_audio_tpu.ops.losses import (binary_cross_entropy, nll_loss,
+                                           powerset_pit_loss)
+from pyannote_audio_tpu.ops.powerset import Powerset
+from pyannote_audio_tpu.tasks.segmentation import (MultiLabelSegmentation,
+                                                   SpeakerDiarization,
+                                                   VoiceActivityDetection)
+from pyannote_audio_tpu.train import Trainer
+from pyannote_audio_tpu.utils.database import Protocol
+
+from corpus import default_two_speaker_file, make_file
+
+
+@pytest.fixture(scope="module")
+def protocol(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_corpus")
+    train_files = [
+        default_two_speaker_file(root / "trn00.wav"),
+        make_file(root / "trn01.wav",
+                  [("carol", 0.5, 4.0), ("dave", 5.0, 9.5),
+                   ("carol", 10.0, 14.0)], duration=15.0, seed=1),
+    ]
+    dev_files = [
+        make_file(root / "dev00.wav",
+                  [("alice", 1.0, 4.0), ("bob", 5.0, 9.0)],
+                  duration=10.0, seed=2),
+    ]
+    return Protocol(name="Debug.SpeakerDiarization.Debug",
+                    subsets={"train": train_files,
+                             "development": dev_files})
+
+
+# ------------------------------------------------------------------ losses
+
+def test_bce_matches_numpy():
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0.01, 0.99, (2, 5, 3)).astype(np.float32)
+    t = (rng.uniform(size=(2, 5, 3)) > 0.5).astype(np.float32)
+    ours = float(binary_cross_entropy(jnp.asarray(p), jnp.asarray(t)))
+    ref = -(t * np.log(p) + (1 - t) * np.log(1 - p)).mean()
+    assert abs(ours - ref) < 1e-5
+
+
+def test_nll_loss():
+    logp = jnp.log(jnp.asarray([[[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]]]))
+    target = jnp.asarray([[0, 1]])
+    expected = -(np.log(0.7) + np.log(0.8)) / 2
+    assert abs(float(nll_loss(logp, target)) - expected) < 1e-5
+
+
+def test_powerset_pit_loss_permutation_invariant():
+    ps = Powerset(3, 2)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 20, ps.num_powerset_classes))
+    logp = jnp.asarray(
+        logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
+    target = (rng.uniform(size=(2, 20, 3)) > 0.6).astype(np.float32)
+    loss1, _ = powerset_pit_loss(logp, jnp.asarray(target), ps)
+    # permuting target speakers must not change the loss
+    perm_target = target[:, :, [2, 0, 1]]
+    loss2, _ = powerset_pit_loss(logp, jnp.asarray(perm_target), ps)
+    assert abs(float(loss1) - float(loss2)) < 1e-6
+
+
+def test_powerset_pit_loss_perfect_prediction():
+    ps = Powerset(2, 1)
+    # target: speaker 0 active on all 4 frames
+    target = jnp.asarray(np.tile([[1.0, 0.0]], (1, 4, 1)))
+    perfect = np.full((1, 4, 3), -20.0, np.float32)
+    perfect[:, :, 1] = 0.0  # log prob ~1 for state {0}
+    loss, _ = powerset_pit_loss(jnp.asarray(perfect), target, ps)
+    assert float(loss) < 1e-3
+
+
+# ------------------------------------------------------------------ rng
+
+def test_worker_rng_determinism():
+    a = create_rng_for_worker(42, epoch=1).uniform(size=3)
+    b = create_rng_for_worker(42, epoch=1).uniform(size=3)
+    c = create_rng_for_worker(42, epoch=2).uniform(size=3)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+# ------------------------------------------------------------------ tasks
+
+def test_diarization_task_batches(protocol):
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=4)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    assert task.max_speakers_per_chunk >= 2
+    batch = next(iter(task.train_batches(epoch=0)))
+    assert batch.X.shape == (4, 1, 32000)
+    F = model.num_frames(32000)
+    assert batch.y.shape == (4, F, task.max_speakers_per_chunk)
+    assert set(np.unique(batch.y)) <= {0.0, 1.0}
+
+
+def test_vad_task_batches(protocol):
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    batch = next(iter(task.train_batches(epoch=0)))
+    assert batch.y.shape[-1] == 1
+
+
+def test_task_reproducibility(protocol):
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2, seed=7)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    b1 = next(iter(task.train_batches(epoch=0)))
+    b2 = next(iter(task.train_batches(epoch=0)))
+    np.testing.assert_array_equal(b1.X, b2.X)
+    b3 = next(iter(task.train_batches(epoch=1)))
+    assert not np.array_equal(b1.X, b3.X)
+
+
+# ------------------------------------------------------------------ train
+
+def test_trainer_fit_diarization(protocol):
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=4)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer.fit(model, task)
+    assert np.isfinite(trainer.history[0]["loss"])
+
+
+def test_trainer_fit_multidevice_dp(protocol):
+    from jax.sharding import Mesh
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must force 8 cpu devices"
+    mesh = Mesh(np.array(devices), axis_names=("data",))
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=8)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2, mesh=mesh)
+    trainer.fit(model, task)
+    assert np.isfinite(trainer.history[0]["loss"])
+
+
+def test_trainer_checkpoint_roundtrip(protocol, tmp_path):
+    import pyannote_audio_tpu as pat
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=1,
+                      checkpoint_dir=tmp_path)
+    trainer.fit(model, task)
+    loaded = pat.Model.from_pretrained(tmp_path / "epoch_0")
+    assert type(loaded).__name__ == "SimpleSegmentationModel"
+    chex = np.asarray(loaded(np.zeros((1, 1, 32000), np.float32)))
+    assert np.isfinite(chex).all()
+
+
+def test_transfer_learning_head_swap(protocol):
+    """Fit VAD, then re-fit the same model on diarization (head swap)."""
+    task1 = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task1)
+    Trainer(max_epochs=1, limit_train_batches=1).fit(model, task1)
+    frontend_before = np.asarray(
+        model.params["params"]["frontend"]["kernel"])
+    task2 = SpeakerDiarization(protocol, duration=2.0, batch_size=2)
+    model.task = task2
+    Trainer(max_epochs=1, limit_train_batches=1).fit(model, task2)
+    # trunk weights were carried over (then updated by 1 step): same shape,
+    # and the head dimension changed
+    frontend_after = np.asarray(
+        model.params["params"]["frontend"]["kernel"])
+    assert frontend_before.shape == frontend_after.shape
+    assert model.dimension == task2.powerset.num_powerset_classes
