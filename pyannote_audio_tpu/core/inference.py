@@ -100,24 +100,36 @@ class Inference:
     # -- device compute ----------------------------------------------------
 
     def _make_batch_fn(self, window_samples: int):
-        """One compiled step: gather chunks + forward + (powerset decode)."""
+        """Two compiled pieces: per-length chunk gather (cheap compile) and
+        a fixed-shape forward (expensive compile, done exactly once).
+
+        Keeping the waveform out of the forward's signature means new file
+        lengths never re-trigger the big model compile — only a trivial
+        vmapped dynamic-slice recompiles.
+        """
         module = self.model.module
         powerset = self._powerset
         skip_conversion = self.skip_conversion
 
-        def batch_fn(params, waveform, starts):
-            # waveform: (channels, T_padded); starts: (B,) int32
+        @jax.jit
+        def gather_fn(waveform, starts):
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
-            chunks = jax.vmap(get_chunk)(starts)  # (B, ch, window)
+            return jax.vmap(get_chunk)(starts)    # (B, ch, window)
+
+        @jax.jit
+        def forward_fn(params, chunks):
             out = module.apply(params, chunks)
             if powerset is not None and not skip_conversion:
                 out = powerset.to_multilabel(out)
             return out
 
-        return jax.jit(batch_fn)
+        def batch_fn(params, waveform, starts):
+            return forward_fn(params, gather_fn(waveform, starts))
+
+        return batch_fn
 
     def infer(self, chunks: jnp.ndarray) -> np.ndarray:
         """Forward an explicit (batch, channel, samples) array."""
@@ -161,10 +173,15 @@ class Inference:
         num_chunks = len(starts)
         starts = np.asarray(starts, dtype=np.int32)
 
-        # pad waveform so every dynamic_slice is in range
-        pad = int(starts[-1]) + window_size - num_samples
-        if pad > 0:
-            waveform = np.pad(waveform, ((0, 0), (0, pad)))
+        # pad waveform so every dynamic_slice is in range; round the padded
+        # length up to a 30 s bucket so the gather executable is reused
+        # across file lengths
+        needed = int(starts[-1]) + window_size
+        bucket = 30 * sample_rate
+        padded_len = max(needed, -(-needed // bucket) * bucket)
+        if padded_len > num_samples:
+            waveform = np.pad(
+                waveform, ((0, 0), (0, padded_len - num_samples)))
         device_waveform = jnp.asarray(waveform)
 
         if self._jitted_batch is None:

@@ -230,10 +230,15 @@ class Audio:
                 ch = np.random.randint(waveform.shape[0])
                 waveform = waveform[ch:ch + 1]
         if self.sample_rate is not None and sample_rate != self.sample_rate:
-            g = np.gcd(int(sample_rate), int(self.sample_rate))
-            waveform = resample_poly(
-                waveform, self.sample_rate // g, sample_rate // g, axis=-1
-            ).astype(np.float32)
+            from ..native import resample as native_resample
+            resampled = native_resample(waveform, sample_rate,
+                                        self.sample_rate)
+            if resampled is None:
+                g = np.gcd(int(sample_rate), int(self.sample_rate))
+                resampled = resample_poly(
+                    waveform, self.sample_rate // g, sample_rate // g,
+                    axis=-1).astype(np.float32)
+            waveform = resampled
             sample_rate = self.sample_rate
         return np.ascontiguousarray(waveform, dtype=np.float32), sample_rate
 
@@ -256,6 +261,15 @@ class Audio:
         if "waveform" in file:
             waveform = np.asarray(file["waveform"], dtype=np.float32)
             sample_rate = int(file["sample_rate"])
+        elif isinstance(file["audio"], (str, Path)):
+            from ..native import wav_decode, wav_info
+            info = wav_info(str(file["audio"]))
+            if info is not None:
+                sample_rate = info[0]
+                waveform = wav_decode(str(file["audio"]))
+            else:
+                waveform, sample_rate = _decode_wav_bytes(
+                    _read_bytes(file["audio"]))
         else:
             waveform, sample_rate = _decode_wav_bytes(
                 _read_bytes(file["audio"]))

@@ -1,0 +1,3 @@
+from . import blocks, embedding, segmentation, separation
+
+__all__ = ["blocks", "embedding", "segmentation", "separation"]

@@ -1,0 +1,253 @@
+"""Self-supervised speech encoder (wav2vec2 / WavLM family) in flax.
+
+Supports the reference's SSeRiouSS segmentation trunk
+(/root/reference/src/pyannote/audio/models/segmentation/SSeRiouSS.py),
+which wraps torchaudio's WAV2VEC2/WAVLM bundles. Architecture follows the
+public papers (Baevski et al. 2020; Chen et al. 2022): 7-layer strided
+conv feature extractor (512 ch, strides 5,2,2,2,2,2,2) -> layer-norm +
+projection -> conv positional embedding -> pre-LN transformer stack.
+WavLM's gated relative position bias is implemented behind
+``rel_pos_bias=True``.
+
+TPU-native: attention/FFN are plain MXU matmuls; per-layer hidden states
+can be returned for learnable layer-weight averaging (SSeRiouSS.py:125).
+Weights convert from HF torch checkpoints (convert_torch_wav2vec2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.receptive_field import (multi_conv_num_frames,
+                                      multi_conv_receptive_field_center,
+                                      multi_conv_receptive_field_size)
+
+CONV_KERNELS = (10, 3, 3, 3, 3, 2, 2)
+CONV_STRIDES = (5, 2, 2, 2, 2, 2, 2)
+
+
+class FeatureExtractor(nn.Module):
+    """7 strided conv layers over the raw waveform, group-norm first."""
+
+    channels: int = 512
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, T) -> (B, T', C)
+        h = x[..., None]
+        for i, (k, s) in enumerate(zip(CONV_KERNELS, CONV_STRIDES)):
+            h = nn.Conv(self.channels, (k,), strides=(s,),
+                        padding="VALID", use_bias=False,
+                        name=f"conv_{i}")(h)
+            if i == 0:
+                h = nn.GroupNorm(num_groups=self.channels,
+                                 name="group_norm")(h)
+            h = nn.gelu(h)
+        return h
+
+
+class ConvPositionalEmbedding(nn.Module):
+    hidden: int = 768
+    kernel: int = 128
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2
+        h = nn.Conv(self.hidden, (self.kernel,), padding=pad,
+                    feature_group_count=self.groups, name="conv")(x)
+        if self.kernel % 2 == 0:
+            h = h[:, :-1]
+        return x + nn.gelu(h)
+
+
+class GatedRelPositionBias(nn.Module):
+    """WavLM gated relative position bias (Chen et al. 2022, eq. 4)."""
+
+    num_heads: int = 12
+    num_buckets: int = 320
+    max_distance: int = 800
+
+    def _bucket(self, relative_position: jnp.ndarray) -> jnp.ndarray:
+        num_buckets = self.num_buckets // 2
+        ret = (relative_position > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(relative_position)
+        max_exact = num_buckets // 2
+        is_small = n < max_exact
+        large = max_exact + (
+            jnp.log(n.astype(jnp.float32) / max_exact + 1e-8)
+            / np.log(self.max_distance / max_exact)
+            * (num_buckets - max_exact)).astype(jnp.int32)
+        large = jnp.minimum(large, num_buckets - 1)
+        return ret + jnp.where(is_small, n, large)
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+        pos = jnp.arange(seq_len)
+        rel = pos[None, :] - pos[:, None]
+        buckets = self._bucket(rel)
+        table = self.param("rel_attn_embed", nn.initializers.normal(0.02),
+                           (self.num_buckets, self.num_heads))
+        bias = table[buckets]                       # (T, T, H)
+        bias = jnp.transpose(bias, (2, 0, 1))       # (H, T, T)
+        # gating from the query content
+        B, T, D = query.shape
+        gate_in = query.reshape(B, T, self.num_heads, D // self.num_heads)
+        g = nn.Dense(8, name="gate_ur_linear")(gate_in)  # (B,T,H,8)
+        gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)
+        gate_a = gate_a.sum(-1) * 0.0 + gate_a[..., 0]
+        gate_b = gate_b[..., 0]
+        gate = gate_a * (gate_b * 4.0 - 2.0)             # (B,T,H)
+        gated = bias[None] * gate.transpose(0, 2, 1)[..., None]
+        return bias[None] + gated
+
+
+class TransformerLayer(nn.Module):
+    hidden: int = 768
+    heads: int = 12
+    ffn: int = 3072
+    rel_pos_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = nn.LayerNorm(name="attn_norm")(x)
+        B, T, D = h.shape
+        Hd = D // self.heads
+        q = nn.Dense(D, name="q")(h).reshape(B, T, self.heads, Hd)
+        k = nn.Dense(D, name="k")(h).reshape(B, T, self.heads, Hd)
+        v = nn.Dense(D, name="v")(h).reshape(B, T, self.heads, Hd)
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(Hd)
+        if bias is not None:
+            logits = logits + bias
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+        x = x + nn.Dense(D, name="out")(ctx)
+        h = nn.LayerNorm(name="ffn_norm")(x)
+        h = nn.Dense(self.ffn, name="ffn_in")(h)
+        h = nn.gelu(h)
+        return x + nn.Dense(D, name="ffn_out")(h)
+
+
+class SSLEncoder(nn.Module):
+    """Full wav2vec2/WavLM encoder returning all layer hidden states."""
+
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    ffn: int = 3072
+    conv_channels: int = 512
+    rel_pos_bias: bool = False    # True for WavLM
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> List[jnp.ndarray]:
+        # waveforms: (B, channels, T) or (B, T)
+        x = waveforms[:, 0] if waveforms.ndim == 3 else waveforms
+        feats = FeatureExtractor(self.conv_channels,
+                                 name="feature_extractor")(x)
+        h = nn.LayerNorm(name="feature_norm")(feats)
+        h = nn.Dense(self.hidden, name="feature_projection")(h)
+        h = ConvPositionalEmbedding(self.hidden, name="pos_conv")(h)
+        states = [h]
+        bias = None
+        if self.rel_pos_bias:
+            bias_module = GatedRelPositionBias(self.heads, name="rel_pos")
+        for i in range(self.layers):
+            if self.rel_pos_bias and i == 0:
+                bias = bias_module(h, h.shape[1])
+            h = TransformerLayer(self.hidden, self.heads, self.ffn,
+                                 name=f"layer_{i}")(h, bias=bias)
+            states.append(h)
+        states[-1] = nn.LayerNorm(name="final_norm")(states[-1])
+        return states
+
+    @staticmethod
+    def num_frames(num_samples: int) -> int:
+        return multi_conv_num_frames(
+            num_samples, kernel_size=list(CONV_KERNELS),
+            stride=list(CONV_STRIDES), padding=[0] * 7, dilation=[1] * 7)
+
+    @staticmethod
+    def receptive_field_size(num_frames: int = 1) -> int:
+        return multi_conv_receptive_field_size(
+            num_frames, kernel_size=list(CONV_KERNELS),
+            stride=list(CONV_STRIDES), dilation=[1] * 7)
+
+    @staticmethod
+    def receptive_field_center(frame: int = 0) -> int:
+        return multi_conv_receptive_field_center(
+            frame, kernel_size=list(CONV_KERNELS),
+            stride=list(CONV_STRIDES), padding=[0] * 7, dilation=[1] * 7)
+
+
+def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
+                           layers: int = 12) -> Dict:
+    """Map an HF torch Wav2Vec2Model/WavLMModel state dict to SSLEncoder.
+
+    Handles the ``wav2vec2.`` / bare prefixes of HF checkpoints.
+    """
+    def get(*names):
+        for n in names:
+            for prefix in ("", "wav2vec2.", "wavlm."):
+                if prefix + n in state:
+                    return np.asarray(state[prefix + n], dtype=np.float32)
+        raise KeyError(names)
+
+    p: Dict = {"feature_extractor": {}, "pos_conv": {}}
+    fe = p["feature_extractor"]
+    for i in range(7):
+        w = get(f"feature_extractor.conv_layers.{i}.conv.weight")
+        fe[f"conv_{i}"] = {"kernel": w.transpose(2, 1, 0)}
+    fe["group_norm"] = {
+        "scale": get("feature_extractor.conv_layers.0.layer_norm.weight"),
+        "bias": get("feature_extractor.conv_layers.0.layer_norm.bias")}
+    p["feature_norm"] = {
+        "scale": get("feature_projection.layer_norm.weight"),
+        "bias": get("feature_projection.layer_norm.bias")}
+    p["feature_projection"] = {
+        "kernel": get("feature_projection.projection.weight").T,
+        "bias": get("feature_projection.projection.bias")}
+    w = get("encoder.pos_conv_embed.conv.weight_v",
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original1")
+    g = get("encoder.pos_conv_embed.conv.weight_g",
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original0")
+    norm = np.linalg.norm(w, axis=(0, 1), keepdims=True)
+    full = (g / (norm + 1e-8)) * w
+    p["pos_conv"] = {"conv": {
+        "kernel": full.transpose(2, 1, 0),
+        "bias": get("encoder.pos_conv_embed.conv.bias")}}
+    for i in range(layers):
+        base = f"encoder.layers.{i}"
+        layer = {
+            "attn_norm": {"scale": get(f"{base}.layer_norm.weight"),
+                          "bias": get(f"{base}.layer_norm.bias")},
+            "q": {"kernel": get(f"{base}.attention.q_proj.weight").T,
+                  "bias": get(f"{base}.attention.q_proj.bias")},
+            "k": {"kernel": get(f"{base}.attention.k_proj.weight").T,
+                  "bias": get(f"{base}.attention.k_proj.bias")},
+            "v": {"kernel": get(f"{base}.attention.v_proj.weight").T,
+                  "bias": get(f"{base}.attention.v_proj.bias")},
+            "out": {"kernel": get(f"{base}.attention.out_proj.weight").T,
+                    "bias": get(f"{base}.attention.out_proj.bias")},
+            "ffn_norm": {
+                "scale": get(f"{base}.final_layer_norm.weight"),
+                "bias": get(f"{base}.final_layer_norm.bias")},
+            "ffn_in": {
+                "kernel": get(f"{base}.feed_forward."
+                              "intermediate_dense.weight").T,
+                "bias": get(f"{base}.feed_forward."
+                            "intermediate_dense.bias")},
+            "ffn_out": {
+                "kernel": get(f"{base}.feed_forward."
+                              "output_dense.weight").T,
+                "bias": get(f"{base}.feed_forward.output_dense.bias")},
+        }
+        p[f"layer_{i}"] = layer
+    p["final_norm"] = {"scale": get("encoder.layer_norm.weight"),
+                       "bias": get("encoder.layer_norm.bias")}
+    return p

@@ -39,25 +39,28 @@ from ...utils.receptive_field import (
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_planes = x.shape[-1]
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, name="conv1")(x)
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                    name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         dtype=self.dtype, name="bn2")(y)
         if self.stride != 1 or in_planes != self.planes:
             sc = nn.Conv(self.planes, (1, 1),
                          strides=(self.stride, self.stride),
-                         use_bias=False, name="shortcut_conv")(x)
+                         use_bias=False, dtype=self.dtype,
+                         name="shortcut_conv")(x)
             sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              name="shortcut_bn")(sc)
+                              dtype=self.dtype, name="shortcut_bn")(sc)
         else:
             sc = x
         return nn.relu(y + sc)
@@ -67,29 +70,34 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_planes = x.shape[-1]
         out_planes = self.planes * self.expansion
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, name="conv2")(y)
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_planes, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_planes, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn3")(y)
+                         dtype=self.dtype, name="bn3")(y)
         if self.stride != 1 or in_planes != out_planes:
             sc = nn.Conv(out_planes, (1, 1),
                          strides=(self.stride, self.stride),
-                         use_bias=False, name="shortcut_conv")(x)
+                         use_bias=False, dtype=self.dtype,
+                         name="shortcut_conv")(x)
             sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              name="shortcut_bn")(sc)
+                              dtype=self.dtype, name="shortcut_bn")(sc)
         else:
             sc = x
         return nn.relu(y + sc)
@@ -101,20 +109,22 @@ class ResNetTrunk(nn.Module):
     num_blocks: Sequence[int] = (3, 4, 6, 3)
     m_channels: int = 32
     bottleneck: bool = False
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         Block = Bottleneck if self.bottleneck else BasicBlock
         x = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         for stage, (n, mult, stride) in enumerate(
                 zip(self.num_blocks, (1, 2, 4, 8), (1, 2, 2, 2))):
             for i in range(n):
                 x = Block(self.m_channels * mult,
                           stride=stride if i == 0 else 1,
+                          dtype=self.dtype,
                           name=f"layer{stage + 1}_{i}")(x, train=train)
         return x
 
@@ -129,10 +139,13 @@ class WeSpeakerModule(nn.Module):
     bottleneck: bool = False
     window_type: str = "hamming"
     sample_rate: int = 16000
+    # bf16 trunk: ~8x MXU throughput; fbank and stats pooling stay f32
+    compute_dtype: object = jnp.bfloat16
 
     def setup(self):
         self.trunk = ResNetTrunk(self.num_blocks, self.m_channels,
-                                 self.bottleneck)
+                                 self.bottleneck,
+                                 dtype=self.compute_dtype)
         self.seg_1 = nn.Dense(self.embed_dim)
 
     def frames(self, waveforms: jnp.ndarray, train: bool = False
@@ -141,8 +154,8 @@ class WeSpeakerModule(nn.Module):
         feats = wespeaker_fbank(waveforms, num_mel_bins=self.num_mel_bins,
                                 sample_rate=self.sample_rate,
                                 window_type=self.window_type)
-        x = feats[..., None]                       # (B, T, F, 1)
-        x = self.trunk(x, train=train)
+        x = feats[..., None].astype(self.compute_dtype)  # (B, T, F, 1)
+        x = self.trunk(x, train=train).astype(jnp.float32)
         B, T, F, C = x.shape
         # torch TSTP flattens (B, C, F, T) as (c, f) -> c*F + f
         # (resnet.py:61-64); transpose NHWC to match that ordering so seg_1

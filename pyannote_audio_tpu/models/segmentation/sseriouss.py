@@ -1,0 +1,175 @@
+"""SSeRiouSS: SSL front-end -> LSTM -> linear -> classifier.
+
+Parity: /root/reference/src/pyannote/audio/models/segmentation/
+SSeRiouSS.py: a wav2vec2/WavLM trunk (torchaudio bundle in the reference;
+our native flax SSLEncoder), learnable layer-weight averaging when
+``wav2vec_layer < 0`` (:125-128), optional trunk freezing (:130-131),
+then the PyanNet-style BiLSTM + linear + classifier head.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.model import Model, Problem, Specifications
+from ...utils.params import merge_dict
+from ..blocks.rnn import LSTM
+from ..blocks.ssl import SSLEncoder, convert_torch_wav2vec2
+
+_SSL_CONFIGS = {
+    # torchaudio-bundle-style names the reference accepts
+    "WAV2VEC2_BASE": dict(hidden=768, layers=12, heads=12, ffn=3072,
+                          rel_pos_bias=False),
+    "WAV2VEC2_LARGE": dict(hidden=1024, layers=24, heads=16, ffn=4096,
+                           rel_pos_bias=False),
+    "WAVLM_BASE": dict(hidden=768, layers=12, heads=12, ffn=3072,
+                       rel_pos_bias=True),
+    "WAVLM_BASE_PLUS": dict(hidden=768, layers=12, heads=12, ffn=3072,
+                            rel_pos_bias=True),
+    "WAVLM_LARGE": dict(hidden=1024, layers=24, heads=16, ffn=4096,
+                        rel_pos_bias=True),
+}
+
+
+class SSeRiouSSModule(nn.Module):
+    ssl_hidden: int = 768
+    ssl_layers: int = 12
+    ssl_heads: int = 12
+    ssl_ffn: int = 3072
+    rel_pos_bias: bool = True
+    wav2vec_layer: int = -1
+    lstm_hidden: int = 128
+    lstm_layers: int = 4
+    bidirectional: bool = True
+    linear_hidden: int = 128
+    linear_layers: int = 2
+    dimension: int = 7
+    activation: str = "log_softmax"
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        states = SSLEncoder(hidden=self.ssl_hidden, layers=self.ssl_layers,
+                            heads=self.ssl_heads, ffn=self.ssl_ffn,
+                            rel_pos_bias=self.rel_pos_bias,
+                            name="wav2vec")(waveforms)
+        if self.wav2vec_layer < 0:
+            weights = self.param("layer_weights", nn.initializers.zeros,
+                                 (len(states),))
+            w = jax.nn.softmax(weights)
+            x = sum(wi * si for wi, si in zip(w, states))
+        else:
+            x = states[self.wav2vec_layer]
+        x = LSTM(hidden_size=self.lstm_hidden, num_layers=self.lstm_layers,
+                 bidirectional=self.bidirectional, name="lstm")(x)
+        for i in range(self.linear_layers):
+            x = nn.leaky_relu(
+                nn.Dense(self.linear_hidden, name=f"linear_{i}")(x), 0.01)
+        x = nn.Dense(self.dimension, name="classifier")(x)
+        if self.activation == "log_softmax":
+            return nn.log_softmax(x, axis=-1)
+        return nn.sigmoid(x)
+
+
+class SSeRiouSS(Model):
+    """Parity: SSeRiouSS (reference SSeRiouSS.py:42-328)."""
+
+    WAV2VEC_DEFAULTS = "WAVLM_BASE"
+    LSTM_DEFAULTS = {"hidden_size": 128, "num_layers": 4,
+                     "bidirectional": True, "monolithic": True,
+                     "dropout": 0.0}
+    LINEAR_DEFAULTS = {"hidden_size": 128, "num_layers": 2}
+
+    def __init__(self, wav2vec: Union[dict, str, None] = None,
+                 wav2vec_layer: int = -1,
+                 freeze_wav2vec: bool = False,
+                 lstm: Optional[dict] = None,
+                 linear: Optional[dict] = None,
+                 sample_rate: int = 16000, num_channels: int = 1,
+                 task=None, **kwargs):
+        super().__init__(sample_rate=sample_rate,
+                         num_channels=num_channels, task=task)
+        if wav2vec is None:
+            wav2vec = self.WAV2VEC_DEFAULTS
+        if isinstance(wav2vec, str):
+            if wav2vec not in _SSL_CONFIGS:
+                raise ValueError(
+                    f"unknown SSL bundle {wav2vec!r}; "
+                    f"choose from {sorted(_SSL_CONFIGS)}")
+            self.ssl_config = dict(_SSL_CONFIGS[wav2vec])
+            self.wav2vec_name = wav2vec
+        else:
+            self.ssl_config = dict(wav2vec)
+            self.wav2vec_name = "custom"
+        self.wav2vec_layer = wav2vec_layer
+        self.freeze_wav2vec = freeze_wav2vec
+        self.lstm = merge_dict(self.LSTM_DEFAULTS, lstm)
+        self.linear = merge_dict(self.LINEAR_DEFAULTS, linear)
+        self.hparams = {"wav2vec": self.wav2vec_name,
+                        "wav2vec_layer": wav2vec_layer,
+                        "freeze_wav2vec": freeze_wav2vec,
+                        "lstm": self.lstm, "linear": self.linear}
+
+    def default_activation(self) -> str:
+        specs = self.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
+            return "log_softmax"
+        return "sigmoid"
+
+    def build_module(self) -> nn.Module:
+        return SSeRiouSSModule(
+            ssl_hidden=self.ssl_config["hidden"],
+            ssl_layers=self.ssl_config["layers"],
+            ssl_heads=self.ssl_config["heads"],
+            ssl_ffn=self.ssl_config["ffn"],
+            rel_pos_bias=self.ssl_config["rel_pos_bias"],
+            wav2vec_layer=self.wav2vec_layer,
+            lstm_hidden=self.lstm["hidden_size"],
+            lstm_layers=self.lstm["num_layers"],
+            bidirectional=self.lstm["bidirectional"],
+            linear_hidden=self.linear["hidden_size"],
+            linear_layers=self.linear["num_layers"],
+            dimension=self.dimension,
+            activation=self.default_activation(),
+        )
+
+    def frozen_mask_prefixes(self):
+        """For GraduallyUnfreeze / optimizer masking."""
+        return ["wav2vec"] if self.freeze_wav2vec else []
+
+    def num_frames(self, num_samples: int) -> int:
+        return SSLEncoder.num_frames(num_samples)
+
+    def receptive_field_size(self, num_frames: int = 1) -> int:
+        return SSLEncoder.receptive_field_size(num_frames)
+
+    def receptive_field_center(self, frame: int = 0) -> int:
+        return SSLEncoder.receptive_field_center(frame)
+
+    def load_ssl_weights(self, state: Dict[str, np.ndarray]) -> None:
+        """Load a torch wav2vec2/WavLM state dict into the trunk."""
+        trunk = convert_torch_wav2vec2(
+            state, layers=self.ssl_config["layers"])
+        if self.params is None:
+            self.build()
+        params = jax.tree_util.tree_map(lambda x: x, self.params)
+        params["params"]["wav2vec"] = jax.tree_util.tree_map(
+            jnp.asarray, _merge_trunk(params["params"]["wav2vec"], trunk))
+        self.params = params
+        self._jitted_apply = None
+
+
+def _merge_trunk(existing: Dict, converted: Dict) -> Dict:
+    """Graft converted leaves onto the existing trunk structure."""
+    out = dict(existing)
+    for key, value in converted.items():
+        if key in out and isinstance(value, dict):
+            out[key] = _merge_trunk(out[key], value)
+        else:
+            out[key] = value
+    return out

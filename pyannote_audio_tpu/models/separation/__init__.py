@@ -1,0 +1,3 @@
+from .totatonet import ToTaToNet
+
+__all__ = ["ToTaToNet"]

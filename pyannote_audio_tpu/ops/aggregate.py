@@ -73,6 +73,11 @@ def overlap_add(
     return out_sum, out_w
 
 
+def _bucket(n: int, quantum: int = 512) -> int:
+    """Round up so few distinct static shapes serve all file lengths."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
 def aggregate_scores(
     scores: jnp.ndarray,
     frame_offsets: jnp.ndarray,
@@ -86,17 +91,29 @@ def aggregate_scores(
     """Full aggregation: weights -> overlap_add -> (optional) average.
 
     Frames covered by no chunk get ``missing`` (reference inference.py:618).
+    Inputs are padded to bucketed shapes so one compiled executable serves
+    many file lengths (SURVEY.md §7.0 static-shape bucketing); padded
+    chunks are masked out and padded output frames sliced away.
     """
-    num_chunks, frames, _ = scores.shape
+    num_chunks, frames, C = scores.shape
     if chunk_mask is None:
         chunk_mask = jnp.ones((num_chunks,), scores.dtype)
+
+    chunk_bucket = _bucket(num_chunks, 256)
+    frame_bucket = _bucket(num_output_frames, 4096)
+    if chunk_bucket > num_chunks:
+        pad = chunk_bucket - num_chunks
+        scores = jnp.pad(scores, ((0, pad), (0, 0), (0, 0)))
+        frame_offsets = jnp.pad(frame_offsets, (0, pad))
+        chunk_mask = jnp.pad(chunk_mask, (0, pad))
+
     w = hamming_weights(frames) if hamming else jnp.ones((frames,),
                                                          scores.dtype)
     w = w * warmup_weights(frames, warm_up)
     out_sum, out_w = overlap_add(scores, frame_offsets, chunk_mask, w,
-                                 num_output_frames)
+                                 frame_bucket)
     if skip_average:
         average = out_sum
     else:
         average = out_sum / jnp.where(out_w > 0, out_w, 1.0)
-    return jnp.where(out_w > 0, average, missing)
+    return jnp.where(out_w > 0, average, missing)[:num_output_frames]

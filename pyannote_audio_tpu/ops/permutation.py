@@ -57,7 +57,8 @@ def permutate_jax(
     C = pairwise_cost(y1, y2, cost=cost)              # (B, K, K)
     perms = jnp.asarray(permutation_table(K))          # (K!, K)
     # total cost of each permutation: sum_k C[b, k, perm[p, k]]
-    costs = jnp.sum(C[:, jnp.arange(K)[None, :], perms[None]], axis=-1)
+    # advanced indices (1, K) and (P, K) broadcast to (P, K) -> (B, P, K)
+    costs = jnp.sum(C[:, jnp.arange(K)[None, :], perms], axis=-1)
     best = jnp.argmin(costs, axis=-1)                  # (B,)
     perm = perms[best]                                 # (B, K)
     permutated = jnp.take_along_axis(y2, perm[:, None, :], axis=-1)

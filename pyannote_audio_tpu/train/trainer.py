@@ -162,9 +162,10 @@ class Trainer:
                                             jnp.asarray(batch.X),
                                             jnp.asarray(y))
                 losses.append(float(loss))
-            self.history.append({"epoch": epoch,
-                                 "loss": float(np.mean(losses))
-                                 if losses else np.nan})
+            record = {"epoch": epoch,
+                      "loss": float(np.mean(losses)) if losses else np.nan}
+            record.update(self.validate(model, task, params))
+            self.history.append(record)
             if self.checkpoint_dir is not None:
                 model.params = {k: v for k, v in params.items()
                                 if k in model_keys}
@@ -173,6 +174,59 @@ class Trainer:
         model.params = {k: v for k, v in params.items() if k in model_keys}
         model._jitted_apply = None
         return model
+
+
+    def validate(self, model: Model, task: Task, params) -> Dict:
+        """Validation pass: frame-level DER (diarization) or val loss.
+
+        Parity role: the reference's validation_step family
+        (tasks/segmentation/speaker_diarization.py:487-571 DER metrics,
+        mixins.py:302-437 AUROC) — reduced to the headline metric.
+        """
+        chunks = getattr(task, "prepare_validation", lambda: [])()
+        if not chunks:
+            return {}
+        from ..metrics.streaming import DiarizationErrorRate
+        from ..ops.powerset import Powerset
+
+        powerset: Optional[Powerset] = getattr(task, "_powerset", None)
+        metric = DiarizationErrorRate()
+        losses = []
+        model_params = {k: v for k, v in params.items()
+                        if k in model.params.keys()} \
+            if isinstance(params, dict) else params
+        # cap validation cost: at most 32 chunks per epoch
+        step = max(1, len(chunks) // 32)
+        batch_X, batch_y = [], []
+        for file, chunk in chunks[::step]:
+            prepared = task.prepare_chunk(
+                file, chunk, np.random.default_rng(0))
+            if prepared is None:
+                continue
+            batch_X.append(prepared["X"])
+            batch_y.append(prepared.get("y"))
+        if not batch_X:
+            return {}
+        X = jnp.asarray(np.stack(batch_X))
+        if not hasattr(self, "_val_apply"):
+            self._val_apply = jax.jit(model.apply_fn)
+        preds = self._val_apply(model_params, X)
+        out: Dict = {}
+        if powerset is not None and batch_y[0] is not None:
+            multilabel = powerset.to_multilabel(preds)
+            y = np.stack(batch_y)
+            n = min(multilabel.shape[1], y.shape[1])
+            metric.update(np.asarray(multilabel)[:, :n], y[:, :n])
+            out["der/val"] = metric.compute()
+        try:
+            out["loss/val"] = float(task.loss(
+                model, params,
+                TrainingBatch(X=np.stack(batch_X),
+                              y=None if batch_y[0] is None
+                              else np.stack(batch_y))))
+        except Exception:
+            pass
+        return out
 
 
 def _reconcile(old_params, new_params):

@@ -21,8 +21,8 @@ def probe(model, targets: Iterable[str]) -> Callable:
     if model.module is None:
         model.build()
 
-    def match(path: Tuple[str, ...], _mdl, _method) -> bool:
-        joined = "/".join(path)
+    def match(mdl, _method) -> bool:
+        joined = "/".join(str(p) for p in mdl.path)
         return any(t in joined for t in targets)
 
     def fn(waveforms):

