@@ -51,6 +51,7 @@ class Inference:
         skip_aggregation: bool = False,
         skip_conversion: bool = False,
         batch_size: int = 32,
+        mesh=None,
     ):
         if window not in ("sliding", "whole"):
             raise ValueError('`window` must be "sliding" or "whole".')
@@ -66,6 +67,14 @@ class Inference:
         self.skip_aggregation = skip_aggregation
         self.skip_conversion = skip_conversion
         self.pre_aggregation_hook = pre_aggregation_hook
+        # multi-chip: shard the chunk/batch axis over the mesh's 'data'
+        # axis — chunks are embarrassingly parallel (SURVEY.md §5); XLA
+        # runs each shard on its own chip with no collectives until the
+        # host gathers scores
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size != 0:
+            batch_size = -(-batch_size // mesh.devices.size) * \
+                mesh.devices.size
         self.batch_size = batch_size
 
         training_duration = spec.duration
@@ -111,20 +120,32 @@ class Inference:
         powerset = self._powerset
         skip_conversion = self.skip_conversion
 
-        @jax.jit
-        def gather_fn(waveform, starts):
+        def gather(waveform, starts):
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
             return jax.vmap(get_chunk)(starts)    # (B, ch, window)
 
-        @jax.jit
-        def forward_fn(params, chunks):
+        def forward(params, chunks):
             out = module.apply(params, chunks)
             if powerset is not None and not skip_conversion:
                 out = powerset.to_multilabel(out)
             return out
+
+        if self.mesh is None:
+            gather_fn = jax.jit(gather)
+            forward_fn = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            sharded = NamedSharding(self.mesh, P("data"))
+            gather_fn = jax.jit(gather,
+                                in_shardings=(replicated, sharded),
+                                out_shardings=sharded)
+            forward_fn = jax.jit(forward,
+                                 in_shardings=(replicated, sharded),
+                                 out_shardings=sharded)
 
         def batch_fn(params, waveform, starts):
             return forward_fn(params, gather_fn(waveform, starts))

@@ -277,7 +277,9 @@ class BaseWeSpeakerResNet(Model):
 
         def conv(prefix):
             w = np.asarray(state[f"{prefix}.weight"], dtype=np.float32)
-            return {"kernel": w.transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+            # torch OI(freq)(time); our NHWC spatial order is (time, freq)
+            # -> kernel (time, freq, in, out)
+            return {"kernel": w.transpose(3, 2, 1, 0)}
 
         def bn(prefix):
             p = {"scale": np.asarray(state[f"{prefix}.weight"],

@@ -68,145 +68,47 @@ class DiarizeOutput:
         }
 
 
-class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
-    """Parity: SpeakerDiarization (reference speaker_diarization.py:127+)."""
+class EmbeddingHotPathMixin:
+    """Fused per-(chunk, speaker) embedding extraction.
 
-    def __init__(
-        self,
-        legacy: bool = False,
-        segmentation: PipelineModel = None,
-        segmentation_step: float = 0.1,
-        embedding: PipelineModel = None,
-        embedding_exclude_overlap: bool = False,
-        plda=None,
-        clustering: str = "AgglomerativeClustering",
-        embedding_batch_size: int = 32,
-        segmentation_batch_size: int = 32,
-        der_variant: Optional[dict] = None,
-        token=None,
-        cache_dir=None,
-    ):
-        super().__init__()
-        self.legacy = legacy
-        self.segmentation_model = segmentation
-        self.segmentation_step = segmentation_step
-        self.embedding = embedding
-        self.embedding_batch_size = embedding_batch_size
-        self.embedding_exclude_overlap = embedding_exclude_overlap
-        self.plda = plda
-        self.klustering = clustering
-        self.der_variant = der_variant or {"collar": 0.0,
-                                           "skip_overlap": False}
-
-        model: Model = get_model(segmentation, token=token,
-                                 cache_dir=cache_dir)
-        specs = model.specifications
-        spec = specs if isinstance(specs, Specifications) else specs[0]
-        segmentation_duration = spec.duration
-        self._segmentation = Inference(
-            model,
-            duration=segmentation_duration,
-            step=self.segmentation_step * segmentation_duration,
-            skip_aggregation=True,
-            batch_size=segmentation_batch_size,
-        )
-        self._powerset = spec.powerset
-
-        if self._powerset:
-            self.segmentation = ParamDict(
-                min_duration_off=Uniform(0.0, 1.0))
-        else:
-            self.segmentation = ParamDict(
-                threshold=Uniform(0.1, 0.9),
-                min_duration_off=Uniform(0.0, 1.0))
-
-        metric = "not_applicable" if clustering == "OracleClustering" \
-            else "cosine"
-
-        self._embedding = get_model(embedding, token=token,
-                                    cache_dir=cache_dir) \
-            if embedding is not None else None
-        self._audio = Audio(sample_rate=16000, mono="downmix")
-
-        try:
-            Klustering = Clustering[clustering]
-        except KeyError:
-            raise ValueError(
-                f"clustering must be one of "
-                f"{[member.name for member in Clustering]}")
-        if clustering == "VBxClustering":
-            self.clustering = Klustering.value(
-                plda=get_plda(plda), metric=metric)
-        elif clustering == "OracleClustering":
-            self.clustering = Klustering.value()
-        else:
-            self.clustering = Klustering.value(metric=metric)
-        self._expects_num_speakers = self.clustering.expects_num_clusters
-
-        self._jitted_embedding_batch = None
-
-    def default_parameters(self) -> Dict[str, Any]:
-        if self.klustering == "VBxClustering":
-            return {
-                "segmentation": {"min_duration_off": 0.0},
-                "clustering": {"threshold": 0.6, "Fa": 0.07, "Fb": 0.8},
-            }
-        if self._powerset:
-            return {
-                "segmentation": {"min_duration_off": 0.0},
-                "clustering": {"method": "centroid", "min_cluster_size": 15,
-                               "threshold": 0.7},
-            }
-        raise NotImplementedError
-
-    def classes(self):
-        """Infinite SPEAKER_%02d label generator."""
-        i = 0
-        while True:
-            yield f"SPEAKER_{i:02d}"
-            i += 1
-
-    def setup_hook(self, file: AudioFile,
-                   hook: Optional[Callable] = None) -> Callable:
-        if hook is None:
-            return lambda *args, **kwargs: None
-        return functools.partial(hook, file=file)
-
-    # -- segmentation ------------------------------------------------------
-
-    CACHED_SEGMENTATION = "training_cache/segmentation"
-
-    def get_segmentations(self, file, hook=None) -> SlidingWindowFeature:
-        if hook is not None:
-            hook = functools.partial(hook, "segmentation", None)
-        if self.training and self.CACHED_SEGMENTATION in file:
-            return file[self.CACHED_SEGMENTATION]
-        segmentations = self._segmentation(file, hook=hook)
-        if self.training:
-            file[self.CACHED_SEGMENTATION] = segmentations
-        return segmentations
-
-    # -- embeddings (the fused hot path) ----------------------------------
+    Shared by SpeakerDiarization and SpeechSeparation. Requires attributes:
+    ``_embedding`` (Model), ``_audio`` (Audio), ``embedding_batch_size``,
+    ``mesh``, ``training``, ``_powerset``, ``segmentation`` (ParamDict),
+    ``_jitted_embedding_batch`` (init to None).
+    """
 
     def _make_embedding_batch_fn(self, window_samples: int,
                                  num_speakers: int):
         """Split gather (per-length, cheap) from forward (once, heavy)."""
         module = self._embedding.module
 
-        @jax.jit
-        def gather_fn(waveform, starts):
+        def gather(waveform, starts):
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
             return jax.vmap(get_chunk)(starts)            # (B, ch, window)
 
-        @jax.jit
-        def forward_fn(params, chunks, masks):
+        def forward(params, chunks, masks):
             frames = module.apply(params, chunks,
                                   method=type(module).frames)
             return module.apply(params, frames, masks,
                                 method=type(module).embed)  # (B, S, D)
+
+        if self.mesh is None:
+            gather_fn = jax.jit(gather)
+            forward_fn = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            sharded = NamedSharding(self.mesh, P("data"))
+            gather_fn = jax.jit(gather,
+                                in_shardings=(replicated, sharded),
+                                out_shardings=sharded)
+            forward_fn = jax.jit(
+                forward,
+                in_shardings=(replicated, sharded, sharded),
+                out_shardings=sharded)
 
         def batch_fn(params, waveform, starts, masks):
             return forward_fn(params, gather_fn(waveform, starts), masks)
@@ -286,11 +188,14 @@ class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
             emb = self._jitted_embedding_batch(
                 self._embedding.params, device_waveform,
                 jnp.asarray(batch_starts), jnp.asarray(batch_masks))
-            out.append(np.asarray(emb[:n_real]))
+            # keep on device: a host sync here would serialize the batch
+            # pipeline; one transfer happens after the loop
+            out.append(emb[:n_real])
             if hook is not None:
-                hook("embeddings", out[-1], total=num_batches,
+                hook("embeddings", None, total=num_batches,
                      completed=b + 1)
-        embeddings = np.concatenate(out, axis=0)    # (C, S, D)
+        embeddings = np.asarray(jnp.concatenate(out, axis=0)
+                                if len(out) > 1 else out[0])  # (C, S, D)
 
         if self.training:
             cache = {"embeddings": embeddings}
@@ -299,6 +204,132 @@ class SpeakerDiarization(SpeakerDiarizationMixin, Pipeline):
                     self.segmentation.threshold
             file["training_cache/embeddings"] = cache
         return embeddings
+
+
+class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
+                         Pipeline):
+    """Parity: SpeakerDiarization (reference speaker_diarization.py:127+)."""
+
+    def __init__(
+        self,
+        legacy: bool = False,
+        segmentation: PipelineModel = None,
+        segmentation_step: float = 0.1,
+        embedding: PipelineModel = None,
+        embedding_exclude_overlap: bool = False,
+        plda=None,
+        clustering: str = "AgglomerativeClustering",
+        embedding_batch_size: int = 32,
+        segmentation_batch_size: int = 32,
+        der_variant: Optional[dict] = None,
+        token=None,
+        cache_dir=None,
+        mesh=None,
+    ):
+        super().__init__()
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            embedding_batch_size = -(-embedding_batch_size // n) * n
+        self.legacy = legacy
+        self.segmentation_model = segmentation
+        self.segmentation_step = segmentation_step
+        self.embedding = embedding
+        self.embedding_batch_size = embedding_batch_size
+        self.embedding_exclude_overlap = embedding_exclude_overlap
+        self.plda = plda
+        self.klustering = clustering
+        self.der_variant = der_variant or {"collar": 0.0,
+                                           "skip_overlap": False}
+
+        model: Model = get_model(segmentation, token=token,
+                                 cache_dir=cache_dir)
+        specs = model.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        segmentation_duration = spec.duration
+        self._segmentation = Inference(
+            model,
+            duration=segmentation_duration,
+            step=self.segmentation_step * segmentation_duration,
+            skip_aggregation=True,
+            batch_size=segmentation_batch_size,
+            mesh=mesh,
+        )
+        self._powerset = spec.powerset
+
+        if self._powerset:
+            self.segmentation = ParamDict(
+                min_duration_off=Uniform(0.0, 1.0))
+        else:
+            self.segmentation = ParamDict(
+                threshold=Uniform(0.1, 0.9),
+                min_duration_off=Uniform(0.0, 1.0))
+
+        metric = "not_applicable" if clustering == "OracleClustering" \
+            else "cosine"
+
+        self._embedding = get_model(embedding, token=token,
+                                    cache_dir=cache_dir) \
+            if embedding is not None else None
+        self._audio = Audio(sample_rate=16000, mono="downmix")
+
+        try:
+            Klustering = Clustering[clustering]
+        except KeyError:
+            raise ValueError(
+                f"clustering must be one of "
+                f"{[member.name for member in Clustering]}")
+        if clustering == "VBxClustering":
+            self.clustering = Klustering.value(
+                plda=get_plda(plda), metric=metric)
+        elif clustering == "OracleClustering":
+            self.clustering = Klustering.value()
+        else:
+            self.clustering = Klustering.value(metric=metric)
+        self._expects_num_speakers = self.clustering.expects_num_clusters
+
+        self._jitted_embedding_batch = None
+
+    def default_parameters(self) -> Dict[str, Any]:
+        if self.klustering == "VBxClustering":
+            return {
+                "segmentation": {"min_duration_off": 0.0},
+                "clustering": {"threshold": 0.6, "Fa": 0.07, "Fb": 0.8},
+            }
+        if self._powerset:
+            return {
+                "segmentation": {"min_duration_off": 0.0},
+                "clustering": {"method": "centroid", "min_cluster_size": 15,
+                               "threshold": 0.7},
+            }
+        raise NotImplementedError
+
+    def classes(self):
+        """Infinite SPEAKER_%02d label generator."""
+        i = 0
+        while True:
+            yield f"SPEAKER_{i:02d}"
+            i += 1
+
+    def setup_hook(self, file: AudioFile,
+                   hook: Optional[Callable] = None) -> Callable:
+        if hook is None:
+            return lambda *args, **kwargs: None
+        return functools.partial(hook, file=file)
+
+    # -- segmentation ------------------------------------------------------
+
+    CACHED_SEGMENTATION = "training_cache/segmentation"
+
+    def get_segmentations(self, file, hook=None) -> SlidingWindowFeature:
+        if hook is not None:
+            hook = functools.partial(hook, "segmentation", None)
+        if self.training and self.CACHED_SEGMENTATION in file:
+            return file[self.CACHED_SEGMENTATION]
+        segmentations = self._segmentation(file, hook=hook)
+        if self.training:
+            file[self.CACHED_SEGMENTATION] = segmentations
+        return segmentations
 
     # -- reconstruction ----------------------------------------------------
 

@@ -28,7 +28,7 @@ from ..core.pipeline import Pipeline
 from ..utils.signal import binarize_swf
 from .clustering import Clustering
 from .parameter import ParamDict, Uniform
-from .speaker_diarization import DiarizeOutput
+from .speaker_diarization import DiarizeOutput, EmbeddingHotPathMixin
 from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
 from .utils.getter import PipelineModel, get_model
 
@@ -44,7 +44,8 @@ class SeparationOutput(DiarizeOutput):
         self.sources = sources
 
 
-class SpeechSeparation(SpeakerDiarizationMixin, Pipeline):
+class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
+                       Pipeline):
     def __init__(
         self,
         segmentation: PipelineModel = None,
@@ -85,6 +86,9 @@ class SpeechSeparation(SpeakerDiarizationMixin, Pipeline):
         Klustering = Clustering[clustering]
         self.clustering = Klustering.value(metric="cosine")
         self._expects_num_speakers = self.clustering.expects_num_clusters
+        self.mesh = None
+        self._powerset = False
+        self._jitted_embedding_batch = None
 
     def default_parameters(self):
         return {"segmentation": {"min_duration_off": 0.0,
@@ -166,9 +170,8 @@ class SpeechSeparation(SpeakerDiarizationMixin, Pipeline):
         # activity patterns as "embeddings" when no embedding model given
         num_chunks, num_frames, local = binarized.data.shape
         if self._embedding is not None:
-            from .speaker_diarization import SpeakerDiarization as _SD
-            embeddings = _SD.get_embeddings(
-                self, file, binarized, exclude_overlap=False, hook=hook)
+            embeddings = self.get_embeddings(
+                file, binarized, exclude_overlap=False, hook=hook)
         else:
             embeddings = np.transpose(binarized.data, (0, 2, 1))
         hard_clusters, _, centroids = self.clustering(

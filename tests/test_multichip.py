@@ -1,0 +1,57 @@
+"""Multi-device inference tests over the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                           Specifications)
+from pyannote_audio_tpu.models.embedding.debug import SimpleEmbeddingModel
+from pyannote_audio_tpu.models.segmentation.debug import \
+    SimpleSegmentationModel
+from pyannote_audio_tpu.parallel import make_mesh
+
+from corpus import default_two_speaker_file
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    return model
+
+
+def test_sharded_inference_matches_single_device(seg_model, tmp_path):
+    import pyannote_audio_tpu as pat
+    file = default_two_speaker_file(tmp_path / "x.wav")
+    single = pat.Inference(seg_model, duration=5.0, step=1.0,
+                           batch_size=8)(file)
+    mesh = make_mesh()
+    sharded = pat.Inference(seg_model, duration=5.0, step=1.0,
+                            batch_size=8, mesh=mesh)(file)
+    assert sharded.data.shape == single.data.shape
+    np.testing.assert_allclose(sharded.data, single.data, atol=1e-4)
+
+
+def test_sharded_diarization_pipeline(seg_model, tmp_path):
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    file = default_two_speaker_file(tmp_path / "y.wav")
+    mesh = make_mesh()
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8, mesh=mesh)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    output = pipeline(file, max_speakers=3)
+    assert len(output.speaker_diarization.labels()) <= 3

@@ -1,0 +1,85 @@
+"""Speech separation pipeline + PixIT task tests (tiny ToTaToNet)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+from pyannote_audio_tpu.tasks.separation import (PixIT, mixit_loss,
+                                                 mixit_partitions,
+                                                 negative_sisdr)
+from pyannote_audio_tpu.train import Trainer
+from pyannote_audio_tpu.utils.database import Protocol
+
+from corpus import default_two_speaker_file, make_file
+
+
+def _tiny_totatonet():
+    model = ToTaToNet(dprnn={"n_repeats": 1, "bn_chan": 16,
+                             "hid_size": 16, "chunk_size": 25},
+                      encoder_decoder={"n_filters": 16},
+                      linear={"hidden_size": 16, "num_layers": 1})
+    model.build()
+    return model
+
+
+def test_negative_sisdr_perfect():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+    loss = np.asarray(negative_sisdr(x, x))
+    assert (loss < -50).all()  # perfect reconstruction: very high SI-SDR
+
+
+def test_mixit_partitions():
+    parts = mixit_partitions(3)
+    assert parts.shape == (6, 3)  # 2^3 - 2 (no empty/full)
+
+
+def test_mixit_loss_recovers_assignment():
+    rng = np.random.default_rng(0)
+    s1 = rng.standard_normal(2000).astype(np.float32)
+    s2 = rng.standard_normal(2000).astype(np.float32)
+    s3 = rng.standard_normal(2000).astype(np.float32)
+    # estimated sources = exactly the constituents
+    est = jnp.asarray(np.stack([s1, s2, s3], axis=-1)[None])
+    mix1 = jnp.asarray((s1 + s3)[None])
+    mix2 = jnp.asarray(s2[None])
+    loss = float(mixit_loss(est, mix1, mix2))
+    assert loss < -50  # a perfect partition exists
+
+
+def test_separation_pipeline_end_to_end(tmp_path):
+    from pyannote_audio_tpu.pipelines.speech_separation import (
+        SeparationOutput, SpeechSeparation)
+    model = _tiny_totatonet()
+    file = default_two_speaker_file(tmp_path / "sep.wav")
+    pipeline = SpeechSeparation(segmentation=model,
+                                segmentation_batch_size=4)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0, "threshold": 0.4},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    output = pipeline(file, max_speakers=3)
+    assert isinstance(output, SeparationOutput)
+    assert output.sources.shape[0] == 30 * 16000
+    assert np.isfinite(output.sources).all()
+
+
+def test_pixit_task_loss(tmp_path):
+    protocol = Protocol(
+        name="d",
+        subsets={"train": [default_two_speaker_file(tmp_path / "t.wav"),
+                           make_file(tmp_path / "t2.wav",
+                                     [("carol", 0.5, 6.0),
+                                      ("dave", 7.0, 13.0)],
+                                     duration=14.0, seed=5)]})
+    task = PixIT(protocol, duration=2.0, batch_size=2)
+    model = _tiny_totatonet()
+    model.task = task
+    task.setup(model)
+    batch = next(iter(task.train_batches(epoch=0)))
+    assert batch.X.shape == (2, 1, 32000)
+    assert batch.meta is not None and "mix1" in batch.meta
+    loss = float(task.loss(model, model.params, batch))
+    assert np.isfinite(loss)

@@ -1,0 +1,223 @@
+"""Golden parity vs torch replicas of the reference architectures.
+
+Builds the architectures with *standard torch layers* (torch.nn only,
+state-dict keys named as the reference checkpoints name them), converts
+the weights with our converters, and checks our jax forward against the
+torch forward. This is the strongest offline guarantee that real
+reference checkpoints will produce the same scores (SURVEY.md §7.2 item 1).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+
+def _sinc_weights_np(n_filters=80, kernel_size=251):
+    """Fixed sinc filterbank weights shared by both sides."""
+    from pyannote_audio_tpu.models.blocks.sincnet import (
+        mel_initialized_bands, sinc_filters)
+    low, band = mel_initialized_bands(n_filters, 16000, 50.0, 50.0)
+    k = np.asarray(sinc_filters(jnp.asarray(low), jnp.asarray(band),
+                                kernel_size, 16000))  # (K, F)
+    return low, band, k
+
+
+class TorchPyanNet(tnn.Module):
+    """Reference-shaped PyanNet with a fixed (precomputed) sinc conv."""
+
+    def __init__(self, sinc_kernel: np.ndarray, dimension: int = 7):
+        super().__init__()
+        self.wav_norm = tnn.InstanceNorm1d(1, affine=True)
+        self.register_buffer(
+            "sinc", torch.from_numpy(sinc_kernel.T[:, None, :].copy()))
+        self.norm80 = tnn.InstanceNorm1d(80, affine=True)
+        self.conv1 = tnn.Conv1d(80, 60, 5)
+        self.norm60a = tnn.InstanceNorm1d(60, affine=True)
+        self.conv2 = tnn.Conv1d(60, 60, 5)
+        self.norm60b = tnn.InstanceNorm1d(60, affine=True)
+        self.lstm = tnn.LSTM(60, 128, num_layers=2, batch_first=True,
+                             bidirectional=True)
+        self.lin1 = tnn.Linear(256, 128)
+        self.lin2 = tnn.Linear(128, 128)
+        self.classifier = tnn.Linear(128, dimension)
+
+    def forward(self, wav):
+        x = self.wav_norm(wav)
+        x = F.conv1d(x, self.sinc, stride=10)
+        x = torch.abs(x)
+        x = F.leaky_relu(self.norm80(F.max_pool1d(x, 3, 3)))
+        x = self.conv1(x)
+        x = F.leaky_relu(self.norm60a(F.max_pool1d(x, 3, 3)))
+        x = self.conv2(x)
+        x = F.leaky_relu(self.norm60b(F.max_pool1d(x, 3, 3)))
+        x, _ = self.lstm(x.transpose(1, 2))
+        x = F.leaky_relu(self.lin1(x))
+        x = F.leaky_relu(self.lin2(x))
+        return F.log_softmax(self.classifier(x), dim=-1)
+
+    def reference_state_dict(self, low, band):
+        """Keys named as the reference checkpoint names them."""
+        sd = {
+            "sincnet.wav_norm1d.weight": self.wav_norm.weight,
+            "sincnet.wav_norm1d.bias": self.wav_norm.bias,
+            "sincnet.conv1d.0.filterbank.low_hz_":
+                torch.from_numpy(low[:, None].copy()),
+            "sincnet.conv1d.0.filterbank.band_hz_":
+                torch.from_numpy(band[:, None].copy()),
+            "sincnet.norm1d.0.weight": self.norm80.weight,
+            "sincnet.norm1d.0.bias": self.norm80.bias,
+            "sincnet.conv1d.1.weight": self.conv1.weight,
+            "sincnet.conv1d.1.bias": self.conv1.bias,
+            "sincnet.norm1d.1.weight": self.norm60a.weight,
+            "sincnet.norm1d.1.bias": self.norm60a.bias,
+            "sincnet.conv1d.2.weight": self.conv2.weight,
+            "sincnet.conv1d.2.bias": self.conv2.bias,
+            "sincnet.norm1d.2.weight": self.norm60b.weight,
+            "sincnet.norm1d.2.bias": self.norm60b.bias,
+            "linear.0.weight": self.lin1.weight,
+            "linear.0.bias": self.lin1.bias,
+            "linear.1.weight": self.lin2.weight,
+            "linear.1.bias": self.lin2.bias,
+            "classifier.weight": self.classifier.weight,
+            "classifier.bias": self.classifier.bias,
+        }
+        for i in range(2):
+            for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                for suffix in ("", "_reverse"):
+                    sd[f"lstm.{kind}_l{i}{suffix}"] = getattr(
+                        self.lstm, f"{kind}_l{i}{suffix}")
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_pyannet_matches_torch_replica():
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
+
+    torch.manual_seed(0)
+    low, band, sinc_kernel = _sinc_weights_np()
+    ref = TorchPyanNet(sinc_kernel)
+    # non-trivial affine norms
+    with torch.no_grad():
+        for norm in (ref.wav_norm, ref.norm80, ref.norm60a, ref.norm60b):
+            norm.weight.uniform_(0.5, 1.5)
+            norm.bias.uniform_(-0.2, 0.2)
+    ref.eval()
+
+    wav = torch.randn(2, 1, 32000) * 0.1
+    with torch.no_grad():
+        expected = ref(wav).numpy()
+
+    model = PyanNet()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray,
+        model.convert_torch_state_dict(ref.reference_state_dict(low, band)))
+    model._jitted_apply = None
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.shortcut = tnn.Sequential()
+        if stride != 1 or cin != cout:
+            self.shortcut = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + self.shortcut(x))
+
+
+class TorchResNet34Trunk(tnn.Module):
+    def __init__(self, m=32):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(1, m, 3, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(m)
+        layers = []
+        cin = m
+        for mult, n, stride in ((1, 3, 1), (2, 4, 2), (4, 6, 2),
+                                (8, 3, 2)):
+            blocks = []
+            for i in range(n):
+                blocks.append(TorchBasicBlock(
+                    cin, m * mult, stride=stride if i == 0 else 1))
+                cin = m * mult
+            layers.append(tnn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        return x
+
+
+def test_wespeaker_trunk_matches_torch_replica():
+    from pyannote_audio_tpu.models.embedding.wespeaker import \
+        WeSpeakerResNet34
+
+    torch.manual_seed(1)
+    trunk = TorchResNet34Trunk()
+    # randomize batch-norm running stats so they actually matter
+    with torch.no_grad():
+        for mod in trunk.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.3, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.2, 0.2)
+    trunk.eval()
+
+    feats = torch.randn(2, 98, 80)  # (B, T, F) fbank-like features
+    with torch.no_grad():
+        # reference layout: (B, 1, F, T)
+        out = trunk(feats.permute(0, 2, 1).unsqueeze(1))
+        # flatten like TSTP: (c, f) -> c*F + f over (B, C, F', T')
+        B, C, Fr, T = out.shape
+        expected = out.reshape(B, C * Fr, T).transpose(1, 2).numpy()
+
+    state = {f"resnet.{k}": v.detach().numpy()
+             for k, v in trunk.state_dict().items()
+             if "num_batches" not in k}
+    state["resnet.seg_1.weight"] = np.zeros((256, 5120), np.float32)
+    state["resnet.seg_1.bias"] = np.zeros(256, np.float32)
+
+    model = WeSpeakerResNet34()
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray, model.convert_torch_state_dict(state))
+
+    # drive only the trunk (bypass fbank) in f32: this validates the
+    # weight conversion exactly; production bf16 noise is a separate,
+    # DER-level concern
+    from pyannote_audio_tpu.models.embedding.wespeaker import ResNetTrunk
+    x = jnp.asarray(feats.numpy())[..., None]  # (B, T, F, 1)
+    trunk_f32 = ResNetTrunk(dtype=jnp.float32)
+    variables = {"params": model.params["params"]["trunk"],
+                 "batch_stats": model.params["batch_stats"]["trunk"]}
+    h = trunk_f32.apply(variables, x)
+    B, T, Fr, C = h.shape
+    ours = np.asarray(jnp.swapaxes(h, 2, 3).reshape(B, T, C * Fr))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=2e-3)
