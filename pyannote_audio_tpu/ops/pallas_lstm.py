@@ -123,3 +123,176 @@ def pallas_lstm_single_direction(x, w_ih, w_hh, b_ih, b_hh,
     hs = pallas_lstm_cell(jnp.swapaxes(xw, 0, 1), w_hh, reverse=reverse,
                           interpret=interpret)
     return jnp.swapaxes(hs, 0, 1)
+
+
+def _interleave_gates(w_f: jnp.ndarray, w_b: jnp.ndarray, H: int
+                      ) -> jnp.ndarray:
+    """Stack torch-layout (4H, ...) weights as gate blocks
+    [i_f; i_b; f_f; f_b; g_f; g_b; o_f; o_b] -> (8H, ...)."""
+    parts = []
+    for g in range(4):
+        parts.append(w_f[g * H:(g + 1) * H])
+        parts.append(w_b[g * H:(g + 1) * H])
+    return jnp.concatenate(parts, axis=0)
+
+
+def pallas_lstm_bidirectional_layer(x: jnp.ndarray, layer,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Both directions in ONE kernel pass (2x fewer sequential launches).
+
+    Trick: treat the pair of directions as a single LSTM of hidden size
+    2H. Interleaving the gate blocks ([i_f i_b | f_f f_b | ...]) and
+    making W_hh block-diagonal keeps the generic cell's ``split into 4``
+    gate math exactly correct, with state layout [h_f | h_b]. The
+    backward direction's hoisted inputs are time-reversed before the
+    kernel and its outputs re-reversed after.
+    """
+    B, T, D = x.shape
+    H = layer["w_hh"].shape[1]
+    w_ih_cat = _interleave_gates(layer["w_ih"], layer["w_ih_r"], H)
+    b_cat = _interleave_gates(
+        (layer["b_ih"] + layer["b_hh"])[:, None],
+        (layer["b_ih_r"] + layer["b_hh_r"])[:, None], H)[:, 0]
+    # block-diagonal recurrence: fwd rows see only h_f, bwd rows only h_b
+    zeros = jnp.zeros((4 * H, H), layer["w_hh"].dtype)
+    w_hh_f = jnp.concatenate([layer["w_hh"], zeros], axis=1)    # (4H, 2H)
+    w_hh_b = jnp.concatenate([zeros, layer["w_hh_r"]], axis=1)  # (4H, 2H)
+    w_hh_cat = _interleave_gates(w_hh_f, w_hh_b, H)             # (8H, 2H)
+
+    xw = jnp.einsum("btd,hd->bth", x, w_ih_cat,
+                    precision=jax.lax.Precision.HIGHEST) + b_cat
+    # time-reverse the backward columns (every odd gate block)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8 * H,), 0)
+    is_bwd = ((col // H) % 2) == 1
+    xw = jnp.where(is_bwd[None, None, :], xw[:, ::-1], xw)
+
+    hs = pallas_lstm_cell(jnp.swapaxes(xw, 0, 1), w_hh_cat,
+                          interpret=interpret)       # (T, B, 2H)
+    hs = jnp.swapaxes(hs, 0, 1)                      # (B, T, 2H)
+    fwd = hs[..., :H]
+    bwd = hs[..., H:][:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _scan_bidir_flat(x, w_ih, w_hh, b_ih, b_hh, w_ih_r, w_hh_r, b_ih_r,
+                     b_hh_r):
+    """Reference bidirectional layer as two scans (used for gradients)."""
+    from .lstm import lstm_single_direction
+    fwd = lstm_single_direction(x, w_ih, w_hh, b_ih, b_hh)
+    bwd = lstm_single_direction(x, w_ih_r, w_hh_r, b_ih_r, b_hh_r,
+                                reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+@jax.custom_vjp
+def _bidir_layer(x, w_ih, w_hh, b_ih, b_hh, w_ih_r, w_hh_r, b_ih_r,
+                 b_hh_r):
+    return pallas_lstm_bidirectional_layer(
+        x, {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh,
+            "w_ih_r": w_ih_r, "w_hh_r": w_hh_r, "b_ih_r": b_ih_r,
+            "b_hh_r": b_hh_r})
+
+
+def _bidir_layer_fwd(*args):
+    return _bidir_layer(*args), args
+
+
+def _bidir_layer_bwd(residuals, g):
+    # gradient of the mathematically-identical scan implementation
+    _, vjp = jax.vjp(_scan_bidir_flat, *residuals)
+    return vjp(g)
+
+
+_bidir_layer.defvjp(_bidir_layer_fwd, _bidir_layer_bwd)
+
+
+def _scan_single_flat(x, w_ih, w_hh, b_ih, b_hh, reverse):
+    from .lstm import lstm_single_direction
+    return lstm_single_direction(x, w_ih, w_hh, b_ih, b_hh,
+                                 reverse=reverse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _single_layer(x, w_ih, w_hh, b_ih, b_hh, reverse):
+    return pallas_lstm_single_direction(x, w_ih, w_hh, b_ih, b_hh,
+                                        reverse=reverse)
+
+
+def _single_layer_fwd(x, w_ih, w_hh, b_ih, b_hh, reverse):
+    return _single_layer(x, w_ih, w_hh, b_ih, b_hh, reverse), \
+        (x, w_ih, w_hh, b_ih, b_hh)
+
+
+def _single_layer_bwd(reverse, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _scan_single_flat(*a, reverse), *residuals)
+    return vjp(g)
+
+
+_single_layer.defvjp(_single_layer_fwd, _single_layer_bwd)
+
+
+def pallas_multilayer_lstm(x, layers, bidirectional: bool = True,
+                           interpret: bool = False):
+    """Pallas-backed drop-in for ops.lstm.multilayer_lstm.
+
+    Uses per-direction kernels: same runtime as the XLA scan but ~10x
+    faster to compile on the remote TPU toolchain (scans take 30-70 s to
+    compile even for tiny shapes; the kernel takes ~3 s). The fused
+    bidirectional variant exists (pallas_lstm_bidirectional_layer, ~2x
+    runtime) but currently compiles pathologically — see
+    lstm_backend_is_pallas. Differentiable: gradients fall back to the
+    scan implementation's VJP.
+    """
+    import os
+    fused = os.environ.get("PYANNOTE_TPU_FUSED_BIDIR_LSTM", "0") == "1"
+    h = x
+    for layer in layers:
+        if bidirectional and fused:
+            if interpret:
+                h = pallas_lstm_bidirectional_layer(h, layer,
+                                                    interpret=True)
+            else:
+                h = _bidir_layer(h, layer["w_ih"], layer["w_hh"],
+                                 layer["b_ih"], layer["b_hh"],
+                                 layer["w_ih_r"], layer["w_hh_r"],
+                                 layer["b_ih_r"], layer["b_hh_r"])
+        elif bidirectional:
+            if interpret:
+                fwd = pallas_lstm_single_direction(
+                    h, layer["w_ih"], layer["w_hh"], layer["b_ih"],
+                    layer["b_hh"], interpret=True)
+                bwd = pallas_lstm_single_direction(
+                    h, layer["w_ih_r"], layer["w_hh_r"],
+                    layer["b_ih_r"], layer["b_hh_r"], reverse=True,
+                    interpret=True)
+            else:
+                fwd = _single_layer(h, layer["w_ih"], layer["w_hh"],
+                                    layer["b_ih"], layer["b_hh"], False)
+                bwd = _single_layer(h, layer["w_ih_r"], layer["w_hh_r"],
+                                    layer["b_ih_r"], layer["b_hh_r"],
+                                    True)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            h = _single_layer(h, layer["w_ih"], layer["w_hh"],
+                              layer["b_ih"], layer["b_hh"], False) \
+                if not interpret else pallas_lstm_single_direction(
+                    h, layer["w_ih"], layer["w_hh"], layer["b_ih"],
+                    layer["b_hh"], interpret=True)
+    return h
+
+
+def lstm_backend_is_pallas() -> bool:
+    """Use the Pallas LSTM path on TPU backends (scan elsewhere).
+
+    Per-direction kernels match the scan's runtime but compile ~10x
+    faster on the remote TPU toolchain. Set PYANNOTE_TPU_PALLAS_LSTM=0 to
+    force the XLA scan.
+    """
+    import os
+    if os.environ.get("PYANNOTE_TPU_PALLAS_LSTM", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
