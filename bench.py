@@ -7,9 +7,8 @@ embeddings, clustering, reconstruction — and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: community-1 on H100 = 31 s/audio-hour (BASELINE.md) =
-116 audio-hours per minute... per *8-GPU-equivalent*? No: per H100. So
-vs_baseline = ours_hours_per_min / (3600/31/60) hours-per-min-per-H100.
+Baseline: community-1 at 31 s per audio-hour on one H100 (BASELINE.md)
+= 60/31 audio-hours per minute; vs_baseline = ours / that.
 """
 
 from __future__ import annotations

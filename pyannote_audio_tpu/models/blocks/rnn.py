@@ -55,7 +55,8 @@ class LSTM(nn.Module):
             in_dim = H * dirs
         from ...ops.pallas_lstm import (lstm_backend_is_pallas,
                                         pallas_multilayer_lstm)
-        if lstm_backend_is_pallas():
+        # Mosaic requires the gate slices (width H) to be lane-aligned
+        if lstm_backend_is_pallas() and H % 128 == 0:
             return pallas_multilayer_lstm(
                 x, layers, bidirectional=self.bidirectional)
         return multilayer_lstm(x, layers, bidirectional=self.bidirectional)

@@ -23,7 +23,9 @@ import numpy as np
 
 
 def hamming_weights(num_frames: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Periodic-symmetric hamming window (matches torch.hamming_window)."""
+    """Symmetric hamming window (matches torch.hamming_window periodic=False)."""
+    if num_frames == 1:
+        return jnp.ones((1,), dtype)
     n = jnp.arange(num_frames, dtype=dtype)
     return 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / (num_frames - 1))
 

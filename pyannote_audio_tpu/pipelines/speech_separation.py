@@ -216,9 +216,7 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
 
         # leakage removal: zero a speaker's source where inactive
         # (dilated activity mask, reference speech_separation.py:~630)
-        frames = model.receptive_field
-        for k, label in enumerate(diarization.labels()
-                                  if False else range(num_clusters)):
+        for k in range(num_clusters):
             active = np.zeros(num_samples, dtype=bool)
             for seg, _, lbl in diarization.itertracks(yield_label=True):
                 if lbl == k:

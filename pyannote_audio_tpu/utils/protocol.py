@@ -45,7 +45,7 @@ def check_protocol(protocol: Protocol) -> Tuple[Protocol, bool]:
 
 
 class FilterByNumberOfSpeakers:
-    """Keep only the speakers... er, files with a given speaker count."""
+    """Restrict annotations to a fixed number of speakers."""
 
     def __init__(self, num_speakers: int):
         self.num_speakers = num_speakers
