@@ -15,6 +15,7 @@ jit-compiled; golden-tested against torchaudio in tests/test_fbank.py.
 from __future__ import annotations
 
 import math
+import functools
 from functools import partial
 from typing import Optional
 
@@ -77,6 +78,30 @@ def _next_power_of_two(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _use_dft_matmul() -> bool:
+    """Opt-in matmul DFT (PYANNOTE_TPU_DFT_FBANK=1).
+
+    Measured slower than XLA's rfft end-to-end on v5e at f32 precision
+    (39.6 vs 13.0 s/audio-hour in bench.py), so rfft stays the default.
+    """
+    import os
+    return os.environ.get("PYANNOTE_TPU_DFT_FBANK", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_basis_np(window_size: int, padded: int):
+    k = np.arange(padded // 2 + 1)
+    n = np.arange(window_size)
+    angle = 2.0 * np.pi * np.outer(n, k) / padded
+    return (np.cos(angle).astype(np.float32),
+            -np.sin(angle).astype(np.float32))
+
+
+def _dft_basis(window_size: int, padded: int):
+    cos_b, sin_b = _dft_basis_np(window_size, padded)
+    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+
 def fbank_num_frames(num_samples: int, sample_rate: int = 16000,
                      frame_length: float = 25.0, frame_shift: float = 10.0,
                      snip_edges: bool = True) -> int:
@@ -130,11 +155,23 @@ def fbank(
         frames = jnp.concatenate([first, rest], axis=-1)
     frames = frames * jnp.asarray(_window(window_type, window_size))
 
-    if padded > window_size:
-        frames = jnp.pad(frames,
-                         ((0, 0), (0, 0), (0, padded - window_size)))
-    spectrum = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+    if _use_dft_matmul():
+        # TPU path: the power spectrum as two real matmuls — XLA's TPU FFT
+        # lowers poorly, while a (frames, window) x (window, bins) DFT
+        # contraction rides the MXU. Zero-padding is implicit (basis rows
+        # beyond the window are dropped).
+        cos_b, sin_b = _dft_basis(window_size, padded)
+        re = jnp.einsum("bnf,fk->bnk", frames, cos_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("bnf,fk->bnk", frames, sin_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        power = jnp.square(re) + jnp.square(im)
+    else:
+        if padded > window_size:
+            frames = jnp.pad(frames,
+                             ((0, 0), (0, 0), (0, padded - window_size)))
+        spectrum = jnp.fft.rfft(frames, axis=-1)
+        power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
 
     banks = jnp.asarray(kaldi_mel_banks(num_mel_bins, padded, sample_rate,
                                         low_freq, high_freq))

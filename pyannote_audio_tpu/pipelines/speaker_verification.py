@@ -73,7 +73,7 @@ class PyannoteAudioPretrainedSpeakerEmbedding:
         out = self.model(waveforms,
                          weights=None if masks is None
                          else np.asarray(masks, dtype=np.float32))
-        emb = np.asarray(out)
+        emb = np.array(out)  # writable copy (jax buffers are read-only)
         # too-short effective speech -> NaN sentinel (parity with the
         # reference's failure contract, speaker_verification.py:184-198)
         if masks is not None:

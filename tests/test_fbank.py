@@ -63,7 +63,7 @@ def test_fbank_batched():
     out = np.asarray(fbank(jnp.asarray(wav)))
     assert out.shape == (3, 48, 80)
     one = np.asarray(fbank(jnp.asarray(wav[1])))
-    np.testing.assert_allclose(out[1], one, atol=1e-4)
+    np.testing.assert_allclose(out[1], one, atol=1e-3)
 
 
 def test_wespeaker_fbank_centered():

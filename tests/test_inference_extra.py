@@ -1,0 +1,101 @@
+"""Inference engine edge cases: whole window, crop, batch apply."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import pyannote_audio_tpu as pat
+from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                           Specifications)
+from pyannote_audio_tpu.core.segment import Segment
+from pyannote_audio_tpu.models.embedding.debug import SimpleEmbeddingModel
+from pyannote_audio_tpu.models.segmentation.debug import \
+    SimpleSegmentationModel
+
+from corpus import default_two_speaker_file
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    return model
+
+
+@pytest.fixture(scope="module")
+def corpus_file(tmp_path_factory):
+    return default_two_speaker_file(
+        tmp_path_factory.mktemp("inf") / "x.wav")
+
+
+def test_whole_window(corpus_file):
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    inference = pat.Inference(emb, window="whole")
+    out = inference(corpus_file)
+    assert out.shape == (32,)
+
+
+def test_crop_segment(seg_model, corpus_file):
+    inference = pat.Inference(seg_model, duration=5.0, step=1.0,
+                              batch_size=4)
+    out = inference.crop(corpus_file, Segment(5.0, 15.0))
+    # output window is shifted to the crop start
+    assert abs(out.sliding_window.start - 5.0) < 0.1
+    assert np.isfinite(out.data).all()
+
+
+def test_skip_conversion_keeps_powerset(seg_model, corpus_file):
+    inference = pat.Inference(seg_model, duration=5.0, step=2.5,
+                              batch_size=4, skip_aggregation=True,
+                              skip_conversion=True)
+    out = inference(corpus_file)
+    assert out.data.shape[-1] == 7  # powerset classes, not 3
+    # log-probabilities
+    np.testing.assert_allclose(np.exp(out.data).sum(-1), 1.0, atol=1e-3)
+
+
+def test_pipeline_batch_apply(seg_model, tmp_path):
+    from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+        VoiceActivityDetection
+    f1 = default_two_speaker_file(tmp_path / "a.wav")
+    f2 = default_two_speaker_file(tmp_path / "b.wav")
+    pipeline = VoiceActivityDetection(segmentation=seg_model, batch_size=4)
+    pipeline.instantiate({"onset": 0.5, "offset": 0.5,
+                          "min_duration_on": 0.0, "min_duration_off": 0.0})
+    outputs = pipeline([f1, f2])
+    assert len(outputs) == 2
+    with pytest.raises(ValueError):
+        pipeline([f1, f1])  # duplicate URIs
+
+
+def test_pretrained_speaker_embedding_wrapper(corpus_file):
+    from pyannote_audio_tpu.pipelines.speaker_verification import \
+        PretrainedSpeakerEmbedding
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    wrapper = PretrainedSpeakerEmbedding(emb)
+    waveforms = np.random.default_rng(0).standard_normal(
+        (2, 1, 16000)).astype(np.float32)
+    out = wrapper(waveforms)
+    assert out.shape == (2, 32)
+    # silent masks -> NaN sentinel
+    masks = np.zeros((2, 99), np.float32)
+    out = wrapper(waveforms, masks=masks)
+    assert np.isnan(out).all()
+
+
+def test_speaker_embedding_pipeline(seg_model, corpus_file):
+    from pyannote_audio_tpu.pipelines.speaker_verification import \
+        SpeakerEmbedding
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    pipeline = SpeakerEmbedding(embedding=emb, segmentation=seg_model)
+    vector = pipeline(corpus_file)
+    assert vector.shape == (32,)
+    assert np.isfinite(vector).all()
