@@ -248,6 +248,15 @@ class Pipeline:
 
     def __call__(self, file: AudioFile, hook: Optional[Callable] = None,
                  **kwargs):
+        # deterministic inference entry (parity: fix_reproducibility is
+        # called at every reference Pipeline.__call__, pipeline.py:543)
+        from ..utils.reproducibility import fix_reproducibility
+        fix_reproducibility()
+        from ..telemetry import track_pipeline_apply
+        track_pipeline_apply(self, file,
+                             num_speakers=kwargs.get("num_speakers"),
+                             min_speakers=kwargs.get("min_speakers"),
+                             max_speakers=kwargs.get("max_speakers"))
         if not getattr(self, "instantiated", False):
             try:
                 self.instantiate(self.default_parameters())

@@ -61,8 +61,12 @@ class Task:
         num_workers: Optional[int] = None,
         seed: int = 42,
         cache: Optional[str] = None,
+        balance: Optional[Sequence[Text]] = None,
     ):
         self.protocol = protocol
+        # metadata keys to balance chunks across (parity: the cartesian-
+        # product balancing of tasks/segmentation/mixins.py:162-181)
+        self.balance = list(balance) if balance else None
         self.duration = duration
         self.min_duration = duration if min_duration is None else min_duration
         if isinstance(warm_up, (int, float)):
@@ -119,11 +123,22 @@ class Task:
     # -- sampling ----------------------------------------------------------
 
     def draw_chunk(self, rng: np.random.Generator) -> Tuple[Dict, Segment]:
-        """File ∝ annotated duration, region ∝ duration, uniform start."""
-        weights = np.array([f["_annotated_duration"]
-                            for f in self._train_files])
-        file = self._train_files[
-            rng.choice(len(self._train_files), p=weights / weights.sum())]
+        """File ∝ annotated duration, region ∝ duration, uniform start.
+
+        With ``balance``, a metadata subgroup (e.g. per database) is drawn
+        uniformly first, then a file within it.
+        """
+        candidates = self._train_files
+        if self.balance:
+            groups: Dict[Tuple, List[Dict]] = {}
+            for f in candidates:
+                key = tuple(f.get(k) for k in self.balance)
+                groups.setdefault(key, []).append(f)
+            keys = sorted(groups, key=str)
+            candidates = groups[keys[rng.integers(len(keys))]]
+        weights = np.array([f["_annotated_duration"] for f in candidates])
+        file = candidates[
+            rng.choice(len(candidates), p=weights / weights.sum())]
         regions = file["_regions"]
         region_weights = np.array([r.duration for r in regions])
         region = regions[rng.choice(len(regions),
@@ -139,6 +154,10 @@ class Task:
     def collate(self, chunks: List[Dict]) -> TrainingBatch:
         X = np.stack([c["X"] for c in chunks])
         y = np.stack([c["y"] for c in chunks]) if "y" in chunks[0] else None
+        # registered batch augmentations (parity: collate_fn applies
+        # torch_audiomentations on the batch, mixins.py:202-243)
+        from ..augmentation.registry import apply_augmentations
+        X, y = apply_augmentations(X, y, when="input")
         return TrainingBatch(X=X, y=y)
 
     def train_batches(self, epoch: int = 0, worker_id: int = 0,

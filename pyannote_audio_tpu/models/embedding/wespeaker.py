@@ -154,6 +154,20 @@ class WeSpeakerModule(nn.Module):
         feats = wespeaker_fbank(waveforms, num_mel_bins=self.num_mel_bins,
                                 sample_rate=self.sample_rate,
                                 window_type=self.window_type)
+        return self.frames_from_fbank(feats, centered=True, train=train)
+
+    def frames_from_fbank(self, feats: jnp.ndarray, centered: bool = False,
+                          train: bool = False) -> jnp.ndarray:
+        """(B, T, mel) fbank -> frame-wise features (B, T', F'*C).
+
+        ``centered=False`` applies the per-chunk mean subtraction here —
+        the entry point for the shared whole-file fbank fast path (fbank
+        frames only depend on their own 400-sample window, so slicing a
+        whole-file fbank at chunk offsets is exact when offsets align to
+        the 160-sample frame shift).
+        """
+        if not centered:
+            feats = feats - jnp.mean(feats, axis=-2, keepdims=True)
         x = feats[..., None].astype(self.compute_dtype)  # (B, T, F, 1)
         x = self.trunk(x, train=train).astype(jnp.float32)
         B, T, F, C = x.shape

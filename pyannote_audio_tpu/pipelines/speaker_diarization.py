@@ -115,6 +115,65 @@ class EmbeddingHotPathMixin:
 
         return batch_fn
 
+    def _make_fbank_embedding_batch_fn(self, window_samples: int):
+        """Shared-fbank fast path: fbank once per file, gather frames.
+
+        Chunks overlap ~90%, so per-chunk fbank recomputes each frame up
+        to 10x. Fbank frames depend only on their own 400-sample window,
+        so when chunk starts align to the 160-sample frame shift, slicing
+        one whole-file (uncentered) fbank is exact; per-chunk mean
+        centering happens in frames_from_fbank.
+        """
+        module = self._embedding.module
+        from ..ops.fbank import fbank, fbank_num_frames
+        frames_per_chunk = fbank_num_frames(
+            window_samples, self._embedding.sample_rate,
+            self._embedding.frame_length, self._embedding.frame_shift)
+
+        @jax.jit
+        def whole_fbank(waveform):
+            # (channels, T) -> (T_frames, mel), uncentered
+            return fbank(waveform[0] * 32768.0,
+                         sample_rate=self._embedding.sample_rate,
+                         num_mel_bins=self._embedding.num_mel_bins,
+                         frame_length=self._embedding.frame_length,
+                         frame_shift=self._embedding.frame_shift,
+                         window_type=self._embedding.window_type)
+
+        def gather(feats, frame_starts):
+            def get_chunk(start):
+                return jax.lax.dynamic_slice(
+                    feats, (start, 0),
+                    (frames_per_chunk, feats.shape[1]))
+            return jax.vmap(get_chunk)(frame_starts)  # (B, T, mel)
+
+        def forward(params, chunk_feats, masks):
+            frames = module.apply(params, chunk_feats, False,
+                                  method=type(module).frames_from_fbank)
+            return module.apply(params, frames, masks,
+                                method=type(module).embed)
+
+        if self.mesh is None:
+            gather_fn = jax.jit(gather)
+            forward_fn = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            sharded = NamedSharding(self.mesh, P("data"))
+            gather_fn = jax.jit(gather,
+                                in_shardings=(replicated, sharded),
+                                out_shardings=sharded)
+            forward_fn = jax.jit(
+                forward,
+                in_shardings=(replicated, sharded, sharded),
+                out_shardings=sharded)
+
+        def batch_fn(params, feats, frame_starts, masks):
+            return forward_fn(params, gather_fn(feats, frame_starts),
+                              masks)
+
+        return whole_fbank, batch_fn
+
     def get_embeddings(
         self,
         file,
@@ -168,9 +227,32 @@ class EmbeddingHotPathMixin:
 
         if self._embedding.module is None:
             self._embedding.build()
-        if self._jitted_embedding_batch is None:
-            self._jitted_embedding_batch = self._make_embedding_batch_fn(
-                window_samples, num_speakers)
+
+        # shared-fbank fast path: exact when chunk starts align to the
+        # fbank frame shift and the model supports frames_from_fbank
+        frame_shift_samples = int(
+            self._embedding.sample_rate
+            * getattr(self._embedding, "frame_shift", 10.0) * 0.001)
+        shared_fbank = (
+            hasattr(type(self._embedding.module), "frames_from_fbank")
+            and frame_shift_samples > 0
+            and step_samples % frame_shift_samples == 0)
+        if shared_fbank:
+            if getattr(self, "_jitted_fbank_embedding", None) is None:
+                self._jitted_fbank_embedding = \
+                    self._make_fbank_embedding_batch_fn(window_samples)
+            whole_fbank, batch_fn = self._jitted_fbank_embedding
+            device_input = whole_fbank(device_waveform)
+            starts_for_batch = (starts // frame_shift_samples).astype(
+                np.int32)
+        else:
+            if self._jitted_embedding_batch is None:
+                self._jitted_embedding_batch = \
+                    self._make_embedding_batch_fn(window_samples,
+                                                  num_speakers)
+            batch_fn = self._jitted_embedding_batch
+            device_input = device_waveform
+            starts_for_batch = starts
 
         B = self.embedding_batch_size
         num_batches = math.ceil(num_chunks / B)
@@ -178,15 +260,15 @@ class EmbeddingHotPathMixin:
         if hook is not None:
             hook("embeddings", None, total=num_batches, completed=0)
         for b in range(num_batches):
-            batch_starts = starts[b * B:(b + 1) * B]
+            batch_starts = starts_for_batch[b * B:(b + 1) * B]
             batch_masks = masks[b * B:(b + 1) * B]
             n_real = len(batch_starts)
             if n_real < B:
                 batch_starts = np.pad(batch_starts, (0, B - n_real))
                 batch_masks = np.pad(
                     batch_masks, ((0, B - n_real), (0, 0), (0, 0)))
-            emb = self._jitted_embedding_batch(
-                self._embedding.params, device_waveform,
+            emb = batch_fn(
+                self._embedding.params, device_input,
                 jnp.asarray(batch_starts), jnp.asarray(batch_masks))
             # keep on device: a host sync here would serialize the batch
             # pipeline; one transfer happens after the loop

@@ -27,8 +27,21 @@ class ReproducibilityWarning(UserWarning):
     pass
 
 
-def fix_reproducibility(precision: str = "highest") -> None:
-    """Pin the global default matmul precision."""
+def fix_reproducibility(precision=None) -> None:
+    """Pin the global default matmul precision.
+
+    Called at every pipeline entry (parity with the reference's TF32
+    guard). By default this is a no-op unless
+    ``PYANNOTE_TPU_STRICT_REPRO=1`` (or an explicit precision is given):
+    the numerically-sensitive paths (LSTM recurrence, statistics pooling)
+    already pin f32 locally, and pinning everything would forfeit the
+    bf16 trunk throughput.
+    """
+    import os
+    if precision is None:
+        if os.environ.get("PYANNOTE_TPU_STRICT_REPRO", "0") != "1":
+            return
+        precision = "highest"
     current = jax.config.jax_default_matmul_precision
     if current != precision:
         if not _WARNED[0]:
