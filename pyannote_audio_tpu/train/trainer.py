@@ -218,6 +218,16 @@ class Trainer:
             n = min(multilabel.shape[1], y.shape[1])
             metric.update(np.asarray(multilabel)[:, :n], y[:, :n])
             out["der/val"] = metric.compute()
+        elif batch_y[0] is not None and np.asarray(preds).ndim == 3:
+            # VAD / multilabel: frame-level AUROC
+            # (parity: mixins.py:302-437)
+            from ..metrics.auroc import BinnedAUROC
+            y = np.stack(batch_y)
+            p = np.asarray(preds)
+            n = min(p.shape[1], y.shape[1])
+            auroc = BinnedAUROC()
+            auroc.update(p[:, :n], y[:, :n])
+            out["auroc/val"] = auroc.compute()
         try:
             out["loss/val"] = float(task.loss(
                 model, params,
