@@ -146,6 +146,12 @@ def pallas_lstm_bidirectional_layer(x: jnp.ndarray, layer,
     gate math exactly correct, with state layout [h_f | h_b]. The
     backward direction's hoisted inputs are time-reversed before the
     kernel and its outputs re-reversed after.
+
+    EXPERIMENTAL: correct in interpret mode (tested), but on-device
+    Mosaic compilation currently produces wrong values (max err ~0.2 vs
+    the per-direction kernels) and runs ~8x slower — do not enable
+    PYANNOTE_TPU_FUSED_BIDIR_LSTM in production until the Mosaic issue is
+    root-caused.
     """
     B, T, D = x.shape
     H = layer["w_hh"].shape[1]
