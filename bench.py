@@ -68,8 +68,8 @@ def main():
         segmentation=seg_model,
         embedding=emb_model,
         clustering="AgglomerativeClustering",
-        segmentation_batch_size=128,
-        embedding_batch_size=128,
+        segmentation_batch_size=256,
+        embedding_batch_size=256,
     )
     pipeline.instantiate({
         "segmentation": {"min_duration_off": 0.0},
