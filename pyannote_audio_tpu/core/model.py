@@ -308,6 +308,15 @@ class Model:
             return cls._from_torch_checkpoint(path, **kwargs)
         if path is None or not path.is_dir():
             raise ValueError(f"cannot load checkpoint {checkpoint!r}")
+        if not (path / CHECKPOINT_CONFIG).exists():
+            # untouched reference snapshot directory
+            for name in ("pytorch_model.bin", "model.ckpt", "model.pt"):
+                if (path / name).exists():
+                    return cls._from_torch_checkpoint(path / name,
+                                                      **kwargs)
+            raise ValueError(
+                f"{path} holds neither a native checkpoint "
+                f"({CHECKPOINT_CONFIG}) nor a torch one")
         with open(path / CHECKPOINT_CONFIG) as f:
             config = yaml.safe_load(f)
         vendor = config["pyannote_audio_tpu"]
@@ -333,9 +342,41 @@ class Model:
 
     @classmethod
     def _from_torch_checkpoint(cls, path: Path, **kwargs) -> "Model":
-        """Load a reference (lightning) checkpoint: pytorch_model.bin."""
+        """Load a reference (lightning) checkpoint: pytorch_model.bin.
+
+        Reference checkpoints pickle ``pyannote.audio`` classes inside the
+        vendor block (Specifications/Problem/Resolution, reference
+        core/model.py:244-256); a shim unpickler maps them onto ours
+        (identical field names and enum values).
+        """
+        import pickle
+
         import torch
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+        shims = {
+            ("pyannote.audio.core.task", "Specifications"): Specifications,
+            ("pyannote.audio.core.model", "Specifications"): Specifications,
+            ("pyannote.audio.core.task", "Problem"): Problem,
+            ("pyannote.audio.core.task", "Resolution"): Resolution,
+        }
+
+        class _ShimUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                if (module, name) in shims:
+                    return shims[(module, name)]
+                if module.startswith("pyannote.audio"):
+                    # unknown reference-internal object: substitute a
+                    # permissive namespace container
+                    return _PermissiveShim
+                return super().find_class(module, name)
+
+        class _ShimPickleModule:
+            Unpickler = _ShimUnpickler
+            load = staticmethod(
+                lambda f, **kw: _ShimUnpickler(f).load())
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                          pickle_module=_ShimPickleModule)
         return cls.from_torch_dict(ckpt, **kwargs)
 
     @classmethod
@@ -365,6 +406,18 @@ class Model:
     def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
         raise NotImplementedError(
             f"{type(self).__name__} does not implement torch conversion")
+
+
+class _PermissiveShim:
+    """Stand-in for unpickled reference-internal objects we don't model."""
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+        self.kwargs = kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
 
 
 def _resolve_architecture(class_name: str):

@@ -1,0 +1,145 @@
+"""Loading untouched reference-style checkpoints (pytorch_model.bin).
+
+Builds a lightning-style checkpoint exactly as the reference writes it —
+including the pickled ``pyannote.audio`` vendor block (fake modules stand
+in for the reference package during pickling) — and loads it through
+``Model.from_pretrained``.
+"""
+
+import sys
+import types
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import List, Optional, Text, Tuple
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+
+def _install_fake_reference_modules():
+    """Create pyannote.audio.core.task with reference-shaped classes."""
+
+    class Problem(Enum):
+        BINARY_CLASSIFICATION = 0
+        MONO_LABEL_CLASSIFICATION = 1
+        MULTI_LABEL_CLASSIFICATION = 2
+        REPRESENTATION = 3
+        REGRESSION = 4
+
+    class Resolution(Enum):
+        FRAME = 1
+        CHUNK = 2
+
+    @dataclass
+    class Specifications:
+        problem: Problem
+        resolution: Resolution
+        duration: float
+        min_duration: Optional[float] = None
+        warm_up: Optional[Tuple[float, float]] = (0.0, 0.0)
+        classes: Optional[List[Text]] = None
+        powerset_max_classes: Optional[int] = None
+        permutation_invariant: bool = False
+
+    created = []
+    for name in ("pyannote", "pyannote.audio", "pyannote.audio.core",
+                 "pyannote.audio.core.task"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    mod = sys.modules["pyannote.audio.core.task"]
+    for klass in (Problem, Resolution, Specifications):
+        klass.__module__ = "pyannote.audio.core.task"
+        klass.__qualname__ = klass.__name__
+        setattr(mod, klass.__name__, klass)
+    return created, Specifications, Problem, Resolution
+
+
+def test_load_reference_style_checkpoint(tmp_path):
+    from test_torch_parity import TorchPyanNet, _sinc_weights_np
+    from pyannote_audio_tpu.core.model import Model
+
+    created, Spec, Problem, Resolution = _install_fake_reference_modules()
+    try:
+        torch.manual_seed(0)
+        low, band, sinc_kernel = _sinc_weights_np()
+        ref = TorchPyanNet(sinc_kernel)
+        ref.eval()
+        state = ref.reference_state_dict(low, band)
+        specs = Spec(
+            problem=Problem.MONO_LABEL_CLASSIFICATION,
+            resolution=Resolution.FRAME, duration=2.0,
+            classes=["speaker#1", "speaker#2", "speaker#3"],
+            powerset_max_classes=2, permutation_invariant=True)
+        ckpt = {
+            "state_dict": {k: torch.from_numpy(np.asarray(v))
+                           for k, v in state.items()},
+            "hyper_parameters": {
+                "sincnet": {"stride": 10},
+                "lstm": {"hidden_size": 128, "num_layers": 2,
+                         "bidirectional": True, "monolithic": True,
+                         "dropout": 0.0, "batch_first": True},
+                "linear": {"hidden_size": 128, "num_layers": 2},
+            },
+            "pyannote.audio": {
+                "architecture": {
+                    "module": "pyannote.audio.models.segmentation",
+                    "class": "PyanNet",
+                },
+                "specifications": specs,
+            },
+        }
+        path = tmp_path / "pytorch_model.bin"
+        torch.save(ckpt, path)
+    finally:
+        for name in created:
+            del sys.modules[name]
+
+    # the reference package is gone now; loading must still work
+    model = Model.from_pretrained(path)
+    assert type(model).__name__ == "PyanNet"
+    assert model.specifications.powerset
+    assert model.specifications.classes == ["speaker#1", "speaker#2",
+                                            "speaker#3"]
+
+    wav = torch.randn(1, 1, 32000) * 0.1
+    with torch.no_grad():
+        expected = ref(wav).numpy()
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+def test_load_reference_snapshot_directory(tmp_path):
+    """A directory holding only pytorch_model.bin loads transparently."""
+    from test_torch_parity import TorchPyanNet, _sinc_weights_np
+    from pyannote_audio_tpu.core.model import Model
+
+    created, Spec, Problem, Resolution = _install_fake_reference_modules()
+    try:
+        low, band, sinc_kernel = _sinc_weights_np()
+        ref = TorchPyanNet(sinc_kernel)
+        specs = Spec(problem=Problem.MONO_LABEL_CLASSIFICATION,
+                     resolution=Resolution.FRAME, duration=2.0,
+                     classes=["a", "b", "c"], powerset_max_classes=2)
+        ckpt = {
+            "state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in
+                           ref.reference_state_dict(low, band).items()},
+            "hyper_parameters": {},
+            "pyannote.audio": {
+                "architecture": {"module": "x", "class": "PyanNet"},
+                "specifications": specs,
+            },
+        }
+        snapshot = tmp_path / "segmentation"
+        snapshot.mkdir()
+        torch.save(ckpt, snapshot / "pytorch_model.bin")
+    finally:
+        for name in created:
+            del sys.modules[name]
+
+    model = Model.from_pretrained(snapshot)
+    assert model.dimension == 7
