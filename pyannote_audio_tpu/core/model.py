@@ -274,7 +274,14 @@ class Model:
             },
         }
 
-    def save_checkpoint(self, path: Union[str, Path]) -> None:
+    def save_checkpoint(self, path: Union[str, Path],
+                        use_orbax: bool = False) -> None:
+        """Write config.yaml + parameters.
+
+        ``use_orbax=True`` writes an orbax checkpoint directory instead of
+        the msgpack blob — the TPU-native choice for sharded / multi-host
+        parameters (orbax handles per-shard files and atomic commits).
+        """
         from flax import serialization
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
@@ -282,8 +289,16 @@ class Model:
             yaml.safe_dump(self.to_checkpoint_dict(), f)
         if self.params is None:
             self.build()
-        with open(path / CHECKPOINT_PARAMS, "wb") as f:
-            f.write(serialization.to_bytes(self.params))
+        if use_orbax:
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as checkpointer:
+                checkpointer.save(
+                    (path / "orbax").absolute(),
+                    jax.tree_util.tree_map(np.asarray, self.params),
+                    force=True)
+        else:
+            with open(path / CHECKPOINT_PARAMS, "wb") as f:
+                f.write(serialization.to_bytes(self.params))
 
     @classmethod
     def from_pretrained(
@@ -335,8 +350,21 @@ class Model:
         elif specs is not None:
             model.specifications = Specifications.from_dict(specs)
         model.build()
-        with open(path / CHECKPOINT_PARAMS, "rb") as f:
-            model.params = serialization.from_bytes(model.params, f.read())
+        if (path / CHECKPOINT_PARAMS).exists():
+            with open(path / CHECKPOINT_PARAMS, "rb") as f:
+                model.params = serialization.from_bytes(model.params,
+                                                        f.read())
+        elif (path / "orbax").exists():
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as checkpointer:
+                restored = checkpointer.restore(
+                    (path / "orbax").absolute(),
+                    jax.tree_util.tree_map(np.asarray, model.params))
+            model.params = jax.tree_util.tree_map(jnp.asarray, restored)
+        else:
+            raise FileNotFoundError(
+                f"no parameters found in {path} "
+                f"({CHECKPOINT_PARAMS} or orbax/)")
         model._jitted_apply = None
         return model
 

@@ -309,8 +309,8 @@ class VBxClustering(BaseClustering):
         # centroids from responsibilities of surviving speakers
         keep = pi > 1e-7
         weights = gamma[:, keep]                               # (T, S_kept)
-        centroids = (weights.T @ train) / \
-            weights.sum(axis=0)[:, None]
+        totals = np.maximum(weights.sum(axis=0)[:, None], 1e-8)
+        centroids = (weights.T @ train) / totals
 
         # fall back to seeded KMeans when count constraints are violated
         auto = centroids.shape[0]

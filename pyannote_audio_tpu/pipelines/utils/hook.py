@@ -108,6 +108,45 @@ class TimingHook:
             file[self.file_key] = dict(self._timing)
 
 
+class TraceHook:
+    """jax.profiler annotations per pipeline step (SURVEY.md §5).
+
+    Wrapping a pipeline apply in ``with TraceHook("/tmp/trace"):`` captures
+    a TensorBoard-compatible device trace with one named region per
+    pipeline step.
+    """
+
+    def __init__(self, log_dir: Optional[Text] = None):
+        self.log_dir = log_dir
+        self._current = None
+        self._span = None
+
+    def __enter__(self):
+        import jax
+        if self.log_dir is not None:
+            jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        if self._span is not None:
+            self._span.__exit__(None, None, None)
+            self._span = None
+        if self.log_dir is not None:
+            jax.profiler.stop_trace()
+
+    def __call__(self, step_name: Text, step_artifact: Any,
+                 file: Optional[Mapping] = None, total: Optional[int] = None,
+                 completed: Optional[int] = None):
+        import jax
+        if step_name != self._current:
+            if self._span is not None:
+                self._span.__exit__(None, None, None)
+            self._span = jax.profiler.TraceAnnotation(step_name)
+            self._span.__enter__()
+            self._current = step_name
+
+
 class Hooks:
     """Compose several hooks into one callable."""
 

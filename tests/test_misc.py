@@ -239,3 +239,27 @@ def test_probe_intermediates():
     fn = probe(model, ["lstm"])
     out, taps = fn(np.zeros((1, 1, 16000), np.float32))
     assert any("lstm" in k for k in taps)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from pyannote_audio_tpu.core.model import (Model, Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    m = SimpleSegmentationModel()
+    m.specifications = Specifications(
+        problem=Problem.BINARY_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=1.0, classes=["speech"])
+    m.build()
+    m.save_checkpoint(tmp_path / "ck", use_orbax=True)
+    m2 = Model.from_pretrained(tmp_path / "ck")
+    x = np.zeros((1, 1, 16000), np.float32)
+    np.testing.assert_array_equal(np.asarray(m(x)), np.asarray(m2(x)))
+
+
+def test_trace_hook_smoke():
+    from pyannote_audio_tpu.pipelines.utils.hook import TraceHook
+    with TraceHook() as hook:   # no log dir: annotations only
+        hook("stage_a", None)
+        hook("stage_a", None)
+        hook("stage_b", None)
