@@ -143,13 +143,24 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             waveform,
             ((0, 0), (0, int(starts[-1]) + window_size - num_samples)))
 
-        diar_chunks, source_chunks = [], []
-        for s in starts:
-            diar, sources = model(padded[None, :, s:s + window_size])
-            diar_chunks.append(np.asarray(diar[0]))
-            source_chunks.append(np.asarray(sources[0]))
+        # batched forward with a fixed batch shape (one executable)
+        B = getattr(self._segmentation, "batch_size", 32)
+        diar_parts, source_parts = [], []
+        for b in range(0, len(starts), B):
+            batch_starts = starts[b:b + B]
+            chunks = np.stack([padded[:, s:s + window_size]
+                               for s in batch_starts])
+            n_real = len(batch_starts)
+            if n_real < B:
+                chunks = np.pad(chunks,
+                                ((0, B - n_real), (0, 0), (0, 0)))
+            diar, sources = model(chunks)
+            diar_parts.append(np.asarray(diar[:n_real]))
+            source_parts.append(np.asarray(sources[:n_real]))
+        diar_chunks = np.concatenate(diar_parts, axis=0)
+        source_chunks = np.concatenate(source_parts, axis=0)
         segmentations = SlidingWindowFeature(
-            np.stack(diar_chunks),
+            diar_chunks,
             SlidingWindow(start=0.0, duration=duration, step=step))
         hook("segmentation", segmentations)
 
