@@ -219,15 +219,29 @@ class Inference:
                 batch_starts = np.pad(batch_starts, (0, B - n_real))
             out = self._jitted_batch(self.model.params, device_waveform,
                                      jnp.asarray(batch_starts))
-            outputs.append(out[:n_real])
+            outputs.append(jax.tree_util.tree_map(
+                lambda o: o[:n_real], out))
             if hook is not None:
                 hook(completed=min((b + 1) * B, num_chunks),
                      total=num_chunks)
-        scores = jnp.concatenate(outputs, axis=0) if len(outputs) > 1 \
-            else outputs[0]
+        if len(outputs) > 1:
+            scores = jax.tree_util.tree_map(
+                lambda *parts: jnp.concatenate(parts, axis=0), *outputs)
+        else:
+            scores = outputs[0]
 
         chunk_window = SlidingWindow(start=0.0, duration=self.duration,
                                      step=self.step)
+
+        # multi-task models (e.g. ToTaToNet) return one output per
+        # Specifications; wrap each as chunk-level scores (parity:
+        # map_with_specifications, reference inference.py:328-369 — all
+        # in-tree multi-task specs are permutation-invariant, so
+        # aggregation is skipped for them)
+        if isinstance(scores, tuple):
+            return tuple(
+                SlidingWindowFeature(np.asarray(s), chunk_window)
+                for s in scores)
 
         if not frame_resolution:
             return SlidingWindowFeature(np.asarray(scores), chunk_window)

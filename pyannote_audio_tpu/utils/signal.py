@@ -85,32 +85,52 @@ class Binarize:
     def __call__(self, scores: SlidingWindowFeature) -> Annotation:
         num_frames, num_classes = scores.data.shape
         window = scores.sliding_window
-        timestamps = [window[i].middle for i in range(num_frames)]
         labels = scores.labels or list(range(num_classes))
 
         active = Annotation(uri=getattr(scores, "uri", None))
-        for k, label in enumerate(labels):
-            y = scores.data[:, k]
-            is_active = y[0] > self.onset
-            start = timestamps[0]
-            for t, (ts, score) in enumerate(zip(timestamps, y)):
+        if self.onset == self.offset:
+            # vectorized run extraction (hysteresis degenerates to a
+            # simple threshold); centers = window[i].middle
+            on = scores.data > self.onset
+            t0 = window.start + 0.5 * window.duration
+            for k, label in enumerate(labels):
+                padded = np.concatenate([[False], on[:, k], [False]])
+                starts = np.nonzero(~padded[:-1] & padded[1:])[0]
+                # a segment ends at the first inactive frame's center
+                # (clipped to the last frame — matches the scan below)
+                ends = np.minimum(
+                    np.nonzero(padded[:-1] & ~padded[1:])[0],
+                    num_frames - 1)
+                for i0, i1 in zip(starts, ends):
+                    seg = Segment(
+                        t0 + i0 * window.step - self.pad_onset,
+                        t0 + i1 * window.step + self.pad_offset)
+                    if seg:
+                        active[seg, k] = label
+        else:
+            timestamps = [window[i].middle for i in range(num_frames)]
+            for k, label in enumerate(labels):
+                y = scores.data[:, k]
+                is_active = y[0] > self.onset
+                start = timestamps[0]
+                for ts, score in zip(timestamps, y):
+                    if is_active:
+                        if score < self.offset:
+                            seg = Segment(start - self.pad_onset,
+                                          ts + self.pad_offset)
+                            if seg:
+                                active[seg, k] = label
+                            start = ts
+                            is_active = False
+                    else:
+                        if score > self.onset:
+                            start = ts
+                            is_active = True
                 if is_active:
-                    if score < self.offset:
-                        seg = Segment(start - self.pad_onset,
-                                      ts + self.pad_offset)
-                        if seg:
-                            active[seg, k] = label
-                        start = ts
-                        is_active = False
-                else:
-                    if score > self.onset:
-                        start = ts
-                        is_active = True
-            if is_active:
-                seg = Segment(start - self.pad_onset,
-                              timestamps[-1] + self.pad_offset)
-                if seg:
-                    active[seg, k] = label
+                    seg = Segment(start - self.pad_onset,
+                                  timestamps[-1] + self.pad_offset)
+                    if seg:
+                        active[seg, k] = label
 
         # merge over short gaps
         if self.pad_offset > 0.0 or self.pad_onset > 0.0 or \
