@@ -57,6 +57,25 @@ def get_calibration(calibration, token=None, cache_dir=None):
     return Calibration.from_file(calibration)
 
 
+def get_augmentation(augmentation, token=None, cache_dir=None):
+    """Resolve an augmentation spec: instance / name / {name, params}."""
+    from ...augmentation.registry import get_augmentation as lookup
+    if augmentation is None or callable(augmentation):
+        return augmentation
+    if isinstance(augmentation, str):
+        spec = lookup(augmentation)
+        if spec is None:
+            raise ValueError(f"unknown augmentation {augmentation!r}")
+        return spec.transform
+    if isinstance(augmentation, Mapping):
+        from ...core.pipeline import get_class_by_name
+        Klass = get_class_by_name(
+            augmentation["name"],
+            default_module_name="pyannote_audio_tpu.augmentation")
+        return Klass(**(augmentation.get("params") or {}))
+    raise ValueError(f"cannot resolve augmentation {augmentation!r}")
+
+
 def get_devices(needs: int = 1):
     """Round-robin over available accelerator devices (API parity)."""
     import jax

@@ -133,6 +133,12 @@ class SupervisedRepresentationLearningWithArcFace(Task):
                     for _, seg in turns)
         return max(self.batch_size, math.floor(total / self.duration))
 
+    def prepare_validation(self):
+        """Representation learning validates on verification trials
+        (pipelines.speaker_verification.verification_trials_eer), not on a
+        fixed chunk grid — nothing for the generic validate loop to do."""
+        return []
+
     def loss(self, model, params, batch):
         """Joint loss; class prototypes live in params["arcface"]."""
         embeddings = model.apply_fn(

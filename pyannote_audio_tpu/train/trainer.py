@@ -199,8 +199,11 @@ class Trainer:
         step = max(1, len(chunks) // 32)
         batch_X, batch_y = [], []
         for file, chunk in chunks[::step]:
-            prepared = task.prepare_chunk(
-                file, chunk, np.random.default_rng(0))
+            try:
+                prepared = task.prepare_chunk(
+                    file, chunk, np.random.default_rng(0))
+            except NotImplementedError:
+                return {}
             if prepared is None:
                 continue
             batch_X.append(prepared["X"])

@@ -178,3 +178,39 @@ def test_transfer_learning_head_swap(protocol):
         model.params["params"]["frontend"]["kernel"])
     assert frontend_before.shape == frontend_after.shape
     assert model.dimension == task2.powerset.num_powerset_classes
+
+
+def test_arcface_task_training(protocol):
+    from pyannote_audio_tpu.models.embedding.debug import \
+        SimpleEmbeddingModel
+    from pyannote_audio_tpu.tasks.embedding import (
+        SupervisedRepresentationLearningWithArcFace, arcface_loss)
+
+    task = SupervisedRepresentationLearningWithArcFace(
+        protocol, duration=2.0, min_duration=1.0,
+        num_classes_per_batch=2, num_chunks_per_class=2)
+    model = SimpleEmbeddingModel(task=task)
+    task.setup(model)
+    assert len(task.classes) >= 2
+    batch = next(iter(task.train_batches(epoch=0)))
+    assert batch.X.shape[0] == 4
+    assert set(np.unique(batch.y)) <= set(range(len(task.classes)))
+
+    trainer = Trainer(max_epochs=2, limit_train_batches=3,
+                      learning_rate=3e-3)
+    trainer.fit(model, task)
+    losses = [h["loss"] for h in trainer.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learning
+
+
+def test_arcface_loss_prefers_correct_class():
+    import jax
+    from pyannote_audio_tpu.tasks.embedding import arcface_loss
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    emb_correct = W[jnp.asarray([0, 1, 2])] * 3.0
+    labels = jnp.asarray([0, 1, 2])
+    good = float(arcface_loss(emb_correct, labels, W))
+    bad = float(arcface_loss(emb_correct, jnp.asarray([1, 2, 3]), W))
+    assert good < bad
