@@ -81,6 +81,49 @@ def vbx_em(
     return gamma, pi, trace
 
 
+def vbx_em_jax(x, phi, fa: float = 1.0, fb: float = 1.0, gamma=None,
+               max_iters: int = 10):
+    """Jittable VBx EM: fixed-iteration lax.scan on device.
+
+    Same updates as :func:`vbx_em` with the early-stopping test replaced
+    by a fixed iteration count (compiler-friendly control flow; extra
+    iterations only tighten the ELBO). Inputs are tiny, so this exists for
+    end-to-end on-device pipelines rather than raw speed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    phi = jnp.asarray(phi, jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+    t_frames, dim = x.shape
+
+    const = -0.5 * (jnp.sum(x ** 2, axis=1, keepdims=True)
+                    + dim * jnp.log(2 * jnp.pi))
+    rho = x * jnp.sqrt(phi)
+
+    def step(carry, _):
+        gamma, pi = carry
+        occupancy = gamma.sum(axis=0)
+        inv_l = 1.0 / (1.0 + (fa / fb) * occupancy[:, None] * phi)
+        mu = (fa / fb) * inv_l * (gamma.T @ rho)
+        log_p = fa * (rho @ mu.T - 0.5 * (inv_l + mu ** 2) @ phi + const)
+        log_joint = log_p + jnp.log(pi + 1e-8)
+        log_marginal = jax.scipy.special.logsumexp(log_joint, axis=-1)
+        gamma = jnp.exp(log_joint - log_marginal[:, None])
+        pi = gamma.sum(axis=0)
+        pi = pi / pi.sum()
+        elbo = log_marginal.sum() + fb * 0.5 * jnp.sum(
+            jnp.log(inv_l) - inv_l - mu ** 2 + 1.0)
+        return (gamma, pi), elbo
+
+    num_speakers = gamma.shape[1]
+    pi0 = jnp.full((num_speakers,), 1.0 / num_speakers)
+    (gamma, pi), elbos = jax.lax.scan(step, (gamma, pi0), None,
+                                      length=max_iters)
+    return gamma, pi, elbos
+
+
 def cluster_vbx(
     init_clusters: np.ndarray,     # (T,) integer AHC initialization
     features: np.ndarray,          # (T, D) PLDA latent features
