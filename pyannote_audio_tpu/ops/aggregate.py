@@ -117,5 +117,8 @@ def aggregate_scores(
     if skip_average:
         average = out_sum
     else:
-        average = out_sum / jnp.where(out_w > 0, out_w, 1.0)
+        # epsilon-floored divisor (reference inference.py:615): frames
+        # covered only by warm-up regions are attenuated toward 0 rather
+        # than properly averaged — intentional reference semantics
+        average = out_sum / jnp.maximum(out_w, 1e-12)
     return jnp.where(out_w > 0, average, missing)[:num_output_frames]

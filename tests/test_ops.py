@@ -142,3 +142,43 @@ def test_lstm_matches_torch(bidirectional, num_layers):
                            bidirectional=bidirectional)
     np.testing.assert_allclose(np.asarray(ours), expected.numpy(),
                                atol=2e-5)
+
+
+def test_aggregate_matches_loop_oracle():
+    """aggregate_scores == a literal per-chunk overlap-add loop
+    (the reference's aggregate semantics, inference.py:498-620)."""
+    rng = np.random.default_rng(7)
+    num_chunks, frames, C = 13, 17, 3
+    scores = rng.standard_normal((num_chunks, frames, C)).astype(np.float32)
+    # sprinkle NaNs (missing frames from partial stitching)
+    nan_mask = rng.uniform(size=scores.shape) < 0.05
+    scores[nan_mask] = np.nan
+    offsets = np.sort(rng.integers(0, 40, size=num_chunks)).astype(np.int32)
+    total = int(offsets[-1]) + frames + 3
+    warm_up = (0.2, 0.1)
+
+    # oracle: literal loop
+    hamming = 0.54 - 0.46 * np.cos(
+        2 * np.pi * np.arange(frames) / (frames - 1))
+    warm = np.ones(frames)
+    warm[:round(warm_up[0] * frames)] = 1e-12
+    warm[frames - round(warm_up[1] * frames):] = 1e-12
+    w = (hamming * warm)[:, None]
+    acc = np.zeros((total, C))
+    cnt = np.zeros((total, C))
+    covered = np.zeros((total, C))
+    for c in range(num_chunks):
+        s = scores[c]
+        mask = ~np.isnan(s)
+        sv = np.nan_to_num(s)
+        sl = slice(offsets[c], offsets[c] + frames)
+        acc[sl] += sv * mask * w
+        cnt[sl] += mask * w
+        covered[sl] = np.maximum(covered[sl], mask)
+    expected = acc / np.maximum(cnt, 1e-12)
+    expected[covered == 0] = np.nan
+
+    ours = np.asarray(aggregate_scores(
+        jnp.asarray(scores), jnp.asarray(offsets), total,
+        hamming=True, warm_up=warm_up, missing=np.nan))
+    np.testing.assert_allclose(ours, expected, atol=1e-4, equal_nan=True)
