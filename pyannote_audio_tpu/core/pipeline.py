@@ -262,9 +262,10 @@ class Pipeline:
                 self.instantiate(self.default_parameters())
             except NotImplementedError:
                 self.instantiated = True
+        from collections.abc import Mapping as _Mapping
         if isinstance(file, (list, tuple)) or (
                 hasattr(file, "__iter__")
-                and not isinstance(file, (str, Path, dict))
+                and not isinstance(file, (str, Path, _Mapping))
                 and not hasattr(file, "read")):
             return self._apply_batch(list(file), hook=hook, **kwargs)
         file = self.prepare_one(file)
@@ -272,16 +273,48 @@ class Pipeline:
 
     def _apply_batch(self, files: List[AudioFile],
                      hook: Optional[Callable] = None, **kwargs):
-        """Sequential fallback (reference pipeline.py:489-508); subclasses
-        may override ``apply_batch`` with a genuinely batched version."""
+        """Batch apply (reference pipeline.py:489-508 is sequential).
+
+        The NN executables are shared across files automatically (static
+        shapes + buckets); the host decode is parallelized across the
+        batch via the native C++ thread pool when available.
+        """
         apply_batch = getattr(self, "apply_batch", None)
         files = [self.prepare_one(f) for f in files]
         uris = [f.get("uri") for f in files]
         if len(set(uris)) != len(uris):
             raise ValueError("duplicate URIs in batch")
+        self._predecode_batch(files)
         if apply_batch is not None:
             return apply_batch(files, hook=hook, **kwargs)
         return [self.apply(f, hook=hook, **kwargs) for f in files]
+
+    def _predecode_batch(self, files: List[Dict]) -> None:
+        """Decode+downmix+resample path-backed files in parallel (C++)."""
+        from .. import native
+        if not native.available():
+            return
+        from .io import get_audio_metadata
+        pending = [f for f in files
+                   if "waveform" not in f
+                   and isinstance(f.get("audio"), (str, Path))]
+        if len(pending) < 2:
+            return
+        try:
+            target_rate = 16000
+            max_seconds = max(
+                get_audio_metadata(f).duration for f in pending)
+            decoded = native.batch_decode_resample(
+                [str(f["audio"]) for f in pending], target_rate,
+                max_seconds=max_seconds + 0.1)
+            if decoded is None:
+                return
+            out, lengths = decoded
+            for f, row, n in zip(pending, out, lengths):
+                f["waveform"] = row[None, :int(n)].copy()
+                f["sample_rate"] = target_rate
+        except (ValueError, OSError):
+            return
 
     def apply(self, file: Dict, hook: Optional[Callable] = None, **kwargs):
         raise NotImplementedError

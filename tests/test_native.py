@@ -76,3 +76,35 @@ def test_audio_uses_native_decode(wav):
     path, data, sr = wav
     decoded, rate = Audio(sample_rate=sr)(path)
     np.testing.assert_allclose(decoded, data, atol=1.0 / 32767)
+
+
+def test_pipeline_batch_predecode(tmp_path):
+    """_apply_batch pre-decodes path-backed files via the C++ pool."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+        VoiceActivityDetection
+
+    f1 = default_two_speaker_file(tmp_path / "p0.wav")
+    f2 = default_two_speaker_file(tmp_path / "p1.wav")
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    pipeline = VoiceActivityDetection(segmentation=model, batch_size=8)
+    pipeline.instantiate({"onset": 0.5, "offset": 0.5,
+                          "min_duration_on": 0.0, "min_duration_off": 0.0})
+    # path-only file dicts -> predecode kicks in
+    outputs = pipeline([{"audio": f1["audio"], "uri": "p0"},
+                        {"audio": f2["audio"], "uri": "p1"}])
+    assert len(outputs) == 2
+    # single-file output identical to batch output
+    single = pipeline({"audio": f1["audio"], "uri": "p0"})
+    assert outputs[0] == single
