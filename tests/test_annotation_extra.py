@@ -1,0 +1,97 @@
+"""Extra coverage: Annotation/Timeline geometry operations."""
+
+import numpy as np
+import pytest
+
+from pyannote_audio_tpu import Annotation, Segment, Timeline
+
+
+def test_annotation_extrude():
+    ann = Annotation(uri="x")
+    ann[Segment(0, 10)] = "A"
+    out = ann.extrude(Segment(4, 6))
+    segs = list(out.itersegments())
+    assert segs == [Segment(0, 4), Segment(6, 10)]
+
+
+def test_annotation_update_and_copy():
+    a = Annotation(uri="x")
+    a[Segment(0, 1)] = "A"
+    b = Annotation(uri="x")
+    b[Segment(2, 3)] = "B"
+    c = a.update(b, copy=True)
+    assert len(c) == 2 and len(a) == 1
+    a.update(b)
+    assert len(a) == 2
+
+
+def test_annotation_cooccurrence():
+    a = Annotation()
+    a[Segment(0, 10)] = "A"
+    b = Annotation()
+    b[Segment(5, 15)] = "X"
+    mat = a * b
+    assert mat.shape == (1, 1)
+    assert mat[0, 0] == pytest.approx(5.0)
+
+
+def test_annotation_subset_invert():
+    ann = Annotation()
+    ann[Segment(0, 1)] = "A"
+    ann[Segment(1, 2)] = "B"
+    assert ann.subset(["A"]).labels() == ["A"]
+    assert ann.subset(["A"], invert=True).labels() == ["B"]
+
+
+def test_annotation_get_tracks_labels():
+    ann = Annotation()
+    seg = Segment(0, 1)
+    ann[seg, "t1"] = "A"
+    ann[seg, "t2"] = "B"
+    assert ann.get_tracks(seg) == {"t1", "t2"}
+    assert ann.get_labels(seg) == {"A", "B"}
+    del ann[seg, "t1"]
+    assert ann.get_labels(seg) == {"B"}
+
+
+def test_timeline_covers_and_union():
+    a = Timeline([Segment(0, 5), Segment(6, 10)])
+    b = Timeline([Segment(1, 2), Segment(7, 8)])
+    assert a.covers(b)
+    assert not b.covers(a)
+    u = a.union(b)
+    assert len(u) == 4
+    assert u.support().duration() == pytest.approx(9.0)
+
+
+def test_timeline_to_annotation():
+    tl = Timeline([Segment(0, 1), Segment(2, 3)])
+    ann = tl.to_annotation()
+    assert len(ann.labels()) == 2
+
+
+def test_sliding_window_crop_modes():
+    from pyannote_audio_tpu.core.segment import SlidingWindow
+    sw = SlidingWindow(duration=1.0, step=0.5)
+    loose = sw.crop(Segment(1.0, 2.0), mode="loose")
+    strict = sw.crop(Segment(1.0, 2.0), mode="strict")
+    # strict indices are a subset of loose
+    assert set(strict).issubset(set(loose))
+    fixed = sw.crop(Segment(1.0, 3.0), mode="loose", fixed=2.0)
+    assert len(fixed) == sw.crop(Segment(5.0, 7.0), mode="loose",
+                                 fixed=2.0).shape[0]
+
+
+def test_rttm_roundtrip(tmp_path):
+    from pyannote_audio_tpu.utils.rttm import dump_rttm, load_rttm
+    ann = Annotation(uri="f1")
+    ann[Segment(0.5, 2.25)] = "alice"
+    ann[Segment(3.0, 4.5)] = "bob"
+    dump_rttm({"f1": ann}, tmp_path / "x.rttm")
+    loaded = load_rttm(tmp_path / "x.rttm")["f1"]
+    assert loaded.labels() == ["alice", "bob"]
+    for (s1, _, l1), (s2, _, l2) in zip(
+            loaded.itertracks(yield_label=True),
+            ann.itertracks(yield_label=True)):
+        assert abs(s1.start - s2.start) < 1e-3
+        assert abs(s1.duration - s2.duration) < 1e-3
