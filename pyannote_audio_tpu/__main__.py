@@ -101,6 +101,29 @@ def cmd_benchmark(args) -> int:
         print(f"{file['uri']}: DER="
               f"{der['diarization error rate']:.2%} ({wall:.1f}s)")
 
+    # post-hoc min_duration_off optimization over stored hypotheses
+    # (parity: MinDurationOffOptimizer, reference __main__.py:430-510)
+    if getattr(args, "optimize_min_duration_off", False):
+        best = (0.0, abs(metric))
+        for collar in np.linspace(0.0, 1.0, 21)[1:]:
+            trial = DiarizationErrorRate(collar=args.collar,
+                                         skip_overlap=args.skip_overlap)
+            for row, file in zip(rows, getattr(protocol, args.subset)()):
+                from .utils.rttm import load_rttm
+                hyp = load_rttm(into / f"{file['uri']}.rttm").get(
+                    file["uri"])
+                if hyp is None:
+                    continue
+                trial(file["annotation"], hyp.support(collar=collar),
+                      uem=file.get("annotated"))
+            if abs(trial) < best[1]:
+                best = (float(collar), abs(trial))
+        print(f"optimal min_duration_off = {best[0]:.2f} "
+              f"(DER {best[1]:.2%})")
+        with open(into / "min_duration_off.yml", "w") as f:
+            yaml.safe_dump({"min_duration_off": float(best[0]),
+                            "der": float(best[1])}, f)
+
     report = metric.report()
     seconds_per_hour = total_wall / (total_audio / 3600.0) \
         if total_audio else float("nan")
@@ -236,6 +259,8 @@ def main(argv=None) -> int:
     p_bench.add_argument("--skip-overlap", action="store_true")
     p_bench.add_argument("--num-speakers", default=None,
                          choices=[None, "oracle"], nargs="?")
+    p_bench.add_argument("--optimize-min-duration-off",
+                         action="store_true")
     p_bench.add_argument("--device", default=None)
     p_bench.set_defaults(fn=cmd_benchmark)
 

@@ -125,3 +125,14 @@ def test_cli_optimize(pipeline_dir, corpus_dir, tmp_path):
     for line in journal:
         trial = json.loads(line)
         assert "objective" in trial
+
+
+def test_cli_benchmark_min_duration_off(pipeline_dir, corpus_dir, tmp_path):
+    out = tmp_path / "bench2"
+    rc = main(["benchmark", str(pipeline_dir),
+               "CliDB.SpeakerDiarization.P", str(out),
+               "--registry", str(corpus_dir / "database.yml"),
+               "--optimize-min-duration-off"])
+    assert rc == 0
+    result = yaml.safe_load((out / "min_duration_off.yml").read_text())
+    assert 0.0 <= result["min_duration_off"] <= 1.0
