@@ -221,3 +221,33 @@ def test_vad_pipeline(seg_model, corpus_file):
     speech = pipeline(corpus_file)
     assert isinstance(speech, pat.Annotation)
     assert set(speech.labels()) <= {"SPEECH"}
+
+
+def test_oracle_clustering_end_to_end(seg_model, corpus_file):
+    """OracleClustering derives clusters from the reference annotation."""
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model,
+        embedding=None,
+        clustering="OracleClustering",
+        segmentation_batch_size=8,
+    )
+    pipeline.instantiate({"segmentation": {"min_duration_off": 0.0}})
+    output = pipeline(dict(corpus_file))
+    diar = output.speaker_diarization
+    # oracle clustering caps hypothesis speakers at the true count
+    assert len(diar.labels()) <= len(corpus_file["annotation"].labels())
+    assert "oracle_segmentations" not in corpus_file  # copy untouched
+
+
+def test_oracle_segmentation_shapes(corpus_file):
+    from pyannote_audio_tpu.core.segment import SlidingWindow
+    from pyannote_audio_tpu.pipelines.utils.oracle import oracle_segmentation
+    window = SlidingWindow(duration=5.0, step=2.5)
+    frames = SlidingWindow(duration=0.02, step=0.02)
+    oracle = oracle_segmentation(dict(corpus_file), window, frames=frames)
+    num_chunks, num_frames, num_speakers = oracle.data.shape
+    assert num_speakers == 2
+    assert num_frames == 250  # 5s / 0.02
+    assert set(np.unique(oracle.data)) <= {0.0, 1.0}
+    # ground truth: alice speaks during [1, 5] -> first chunk active
+    assert oracle.data[0, :, :].sum() > 0
