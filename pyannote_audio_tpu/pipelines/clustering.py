@@ -29,6 +29,17 @@ from ..utils.vbx import cluster_vbx
 from .parameter import Categorical, Integer, Uniform
 
 
+def _device_ahc_enabled() -> bool:
+    """Opt-in on-device centroid linkage (ops/ahc.py).
+
+    Off by default: host scipy keeps bit-exact tie-breaking parity with
+    the reference; the device path avoids the last host-compute stage for
+    fully on-device deployments (set PYANNOTE_TPU_DEVICE_AHC=1).
+    """
+    import os
+    return os.environ.get("PYANNOTE_TPU_DEVICE_AHC", "0") == "1"
+
+
 class BaseClustering(Pipeline):
     """Shared orchestration: filter -> cluster -> assign."""
 
@@ -174,8 +185,12 @@ class AgglomerativeClustering(BaseClustering):
             with np.errstate(divide="ignore", invalid="ignore"):
                 embeddings = embeddings / np.linalg.norm(
                     embeddings, axis=-1, keepdims=True)
-            dendrogram = linkage(embeddings, method=self.method,
-                                 metric="euclidean")
+            if self.method == "centroid" and _device_ahc_enabled():
+                from ..ops.ahc import device_linkage
+                dendrogram = device_linkage(embeddings)
+            else:
+                dendrogram = linkage(embeddings, method=self.method,
+                                     metric="euclidean")
         else:
             dendrogram = linkage(embeddings, method=self.method,
                                  metric=self.metric)

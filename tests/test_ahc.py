@@ -1,0 +1,97 @@
+"""On-device AHC (ops/ahc.py) vs scipy centroid linkage."""
+
+import numpy as np
+import pytest
+from scipy.cluster.hierarchy import fcluster, linkage
+
+from pyannote_audio_tpu.ops.ahc import (ahc_on_device, centroid_linkage,
+                                        device_linkage,
+                                        fcluster_by_distance)
+
+
+def _blobs(n_clusters=3, per=12, dim=8, spread=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    x = np.concatenate([centers[k] + spread * rng.standard_normal((per, dim))
+                        for k in range(n_clusters)])
+    truth = np.repeat(np.arange(n_clusters), per)
+    perm = rng.permutation(len(x))
+    return x[perm].astype(np.float32), truth[perm]
+
+
+def _co_membership(a, b):
+    sa = a[:, None] == a[None, :]
+    sb = b[:, None] == b[None, :]
+    return (sa == sb).mean()
+
+
+def test_device_linkage_matches_scipy_heights():
+    x, _ = _blobs()
+    ours = device_linkage(x)
+    ref = linkage(x.astype(np.float64), method="centroid",
+                  metric="euclidean")
+    # same multiset of merge heights (tie-breaking may reorder equal ones)
+    # f32 device vs f64 scipy: the ||a||^2+||b||^2-2ab expansion costs
+    # a few 1e-4 of absolute precision at these magnitudes
+    np.testing.assert_allclose(np.sort(ours[:, 2]), np.sort(ref[:, 2]),
+                               rtol=5e-3, atol=5e-4)
+    # sizes column: final merge always covers all leaves
+    assert ours[-1, 3] == len(x)
+
+
+def test_device_fcluster_matches_scipy_assignments():
+    x, truth = _blobs()
+    ours = device_linkage(x)
+    ref = linkage(x.astype(np.float64), method="centroid",
+                  metric="euclidean")
+    threshold = 1.0  # well inside the gap between blob spread and centers
+    ours_c = fcluster(ours, threshold, criterion="distance")
+    ref_c = fcluster(ref, threshold, criterion="distance")
+    assert _co_membership(ours_c, ref_c) == 1.0
+    assert _co_membership(ours_c, truth) == 1.0
+
+
+def test_ahc_on_device_end_to_end():
+    x, truth = _blobs(n_clusters=2, per=20, seed=1)
+    clusters = ahc_on_device(x, threshold=0.5, unit_norm=True)
+    assert clusters.min() == 0
+    assert _co_membership(clusters, truth) == 1.0
+
+
+def test_fcluster_by_distance_matches_scipy_cut():
+    x, _ = _blobs(seed=2)
+    merges, heights = centroid_linkage(x)
+    mat = device_linkage(x)
+    for thr in (0.2, 1.0, 5.0):
+        ours = fcluster_by_distance(np.asarray(merges), np.asarray(heights),
+                                    len(x), thr)
+        ref = fcluster(mat, thr, criterion="distance")
+        assert _co_membership(ours, ref) == 1.0
+
+
+def test_pipeline_device_ahc_backend(monkeypatch):
+    from pyannote_audio_tpu.pipelines.clustering import \
+        AgglomerativeClustering
+    monkeypatch.setenv("PYANNOTE_TPU_DEVICE_AHC", "1")
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((2, 16)) * 5
+    num_chunks, num_speakers = 15, 2
+    emb = np.zeros((num_chunks, num_speakers, 16))
+    truth = np.zeros((num_chunks, num_speakers), int)
+    for c in range(num_chunks):
+        for s in range(num_speakers):
+            k = (c + s) % 2
+            truth[c, s] = k
+            emb[c, s] = centers[k] + 0.05 * rng.standard_normal(16)
+    seg = np.zeros((num_chunks, 10, num_speakers), np.float32)
+    for s in range(num_speakers):
+        seg[:, s * 4:(s + 1) * 4, s] = 1.0
+    from pyannote_audio_tpu.core.segment import (SlidingWindow,
+                                                 SlidingWindowFeature)
+    swf = SlidingWindowFeature(seg, SlidingWindow(duration=1.0, step=0.5))
+    pipeline = AgglomerativeClustering()
+    pipeline.instantiate({"method": "centroid", "threshold": 0.5,
+                          "min_cluster_size": 1})
+    hard, _, centroids = pipeline(embeddings=emb, segmentations=swf)
+    assert centroids.shape[0] == 2
+    assert _co_membership(hard.reshape(-1), truth.reshape(-1)) > 0.99
