@@ -69,6 +69,21 @@ def test_fcluster_by_distance_matches_scipy_cut():
         assert _co_membership(ours, ref) == 1.0
 
 
+def test_agglomerative_no_overmerge_at_target_count():
+    """Reference regression (tests/test_clustering.py, pyannote issue #1525):
+    when the threshold cut already yields num_clusters, the iteration-based
+    re-cut must not merge further."""
+    from pyannote_audio_tpu.pipelines.clustering import \
+        AgglomerativeClustering
+    embeddings = np.array([[1.0, 1.0, 1.0, 1.0], [1.0, 2.0, 1.0, 2.0]])
+    clustering = AgglomerativeClustering()
+    clustering.instantiate({"method": "centroid", "min_cluster_size": 0,
+                            "threshold": 0.0})
+    clusters = clustering.cluster(embeddings=embeddings, min_clusters=2,
+                                  max_clusters=2, num_clusters=2)
+    np.testing.assert_array_equal(clusters, [0, 1])
+
+
 def test_pipeline_device_ahc_backend(monkeypatch):
     from pyannote_audio_tpu.pipelines.clustering import \
         AgglomerativeClustering

@@ -57,6 +57,37 @@ def test_stats_pool_zero_weights_finite():
     assert np.isfinite(out).all()
 
 
+def test_stats_pool_reference_fixtures():
+    """Exact values from the reference test suite (tests/test_stats_pool.py).
+
+    x: (batch=2, features=2, frames=2); weightless, one-speaker weights,
+    frame-count mismatch (nearest interp), and all-zero weights -> zeros.
+    """
+    x = jnp.asarray([[[2.0, 4.0], [2.0, 4.0]], [[1.0, 1.0], [1.0, 1.0]]])
+
+    out = np.round(np.asarray(stats_pool(x)), 4)
+    np.testing.assert_allclose(
+        out, atol=1e-6, desired= [[3.0, 3.0, 1.4142, 1.4142], [1.0, 1.0, 0.0, 0.0]])
+
+    w = jnp.asarray([[0.5, 0.01], [0.2, 0.1]])
+    out = np.round(np.asarray(stats_pool(x, w)), 4)
+    np.testing.assert_allclose(
+        out, atol=1e-6, desired= [[2.0392, 2.0392, 1.4142, 1.4142], [1.0, 1.0, 0.0, 0.0]])
+
+    # weights longer than the frame axis: nearest-interpolated down
+    x2 = jnp.asarray([[[2.0, 2.0], [2.0, 2.0]], [[1.0, 1.0], [1.0, 1.0]]])
+    w3 = jnp.asarray([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5]])
+    out = np.round(np.asarray(stats_pool(x2, w3)), 4)
+    np.testing.assert_allclose(
+        out, atol=1e-6, desired= [[2.0, 2.0, 0.0, 0.0], [1.0, 1.0, 0.0, 0.0]])
+
+    # all-zero weight row collapses to exactly zero (not NaN)
+    w0 = jnp.asarray([[0.5, 0.01], [0.0, 0.0]])
+    out = np.round(np.asarray(stats_pool(x, w0)), 4)
+    np.testing.assert_allclose(
+        out, atol=1e-6, desired= [[2.0392, 2.0392, 1.4142, 1.4142], [0.0, 0.0, 0.0, 0.0]])
+
+
 def test_interpolate_weights():
     w = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
     out = np.asarray(interpolate_weights(w, 8))

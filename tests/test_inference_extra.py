@@ -33,6 +33,23 @@ def corpus_file(tmp_path_factory):
         tmp_path_factory.mktemp("inf") / "x.wav")
 
 
+def test_inference_validation(seg_model):
+    """Constructor validation parity (reference tests/inference_test.py:51-77):
+    unknown window -> ValueError; step > duration -> ValueError; duration
+    mismatch vs specifications -> warning; whole window on a
+    frame-resolution model -> warning."""
+    with pytest.raises(ValueError):
+        pat.Inference(seg_model, window="unknown")
+    with pytest.raises(ValueError):
+        pat.Inference(seg_model, step=seg_model.specifications.duration + 1)
+    with pytest.warns(UserWarning):
+        pat.Inference(seg_model,
+                      duration=seg_model.specifications.duration + 1,
+                      step=0.1)
+    with pytest.warns(UserWarning):
+        pat.Inference(seg_model, window="whole")
+
+
 def test_whole_window(corpus_file):
     emb = SimpleEmbeddingModel()
     emb.build()

@@ -263,3 +263,33 @@ def test_trace_hook_smoke():
         hook("stage_a", None)
         hook("stage_a", None)
         hook("stage_b", None)
+
+
+def test_expand_subfolders():
+    """$model placeholder expansion parity
+    (reference tests/test_pipeline_subfolder.py:87-150)."""
+    from pyannote_audio_tpu.core.pipeline import expand_subfolders
+
+    # no references: untouched
+    config = {"a": 1, "b": ["x", {"c": 2}]}
+    assert expand_subfolders(config, "org/repo") == config
+
+    # dict value
+    out = expand_subfolders({"seg": "$model/seg"}, "org/repo")
+    assert out == {"seg": {"checkpoint": "org/repo", "subfolder": "seg"}}
+
+    # bare $model (no subfolder)
+    out = expand_subfolders({"m": "$model"}, "org/repo")
+    assert out == {"m": {"checkpoint": "org/repo"}}
+
+    # explicit revision
+    out = expand_subfolders({"m": "$model/emb@v2"}, "org/repo")
+    assert out == {"m": {"checkpoint": "org/repo",
+                         "subfolder": "emb", "revision": "v2"}}
+
+    # list + nested dict references
+    out = expand_subfolders({"models": ["$model/a", {"deep": "$model/b"}]},
+                            "org/repo")
+    assert out["models"][0] == {"checkpoint": "org/repo", "subfolder": "a"}
+    assert out["models"][1]["deep"] == {"checkpoint": "org/repo",
+                                        "subfolder": "b"}
