@@ -84,18 +84,38 @@ class Task:
     # -- metadata ----------------------------------------------------------
 
     def prepare_data(self) -> None:
-        """Scan the protocol and collect per-file metadata."""
+        """Scan the protocol and collect per-file metadata.
+
+        With ``cache`` set (parity: Task(cache=...) and the prepared-data
+        npz of the reference, core/task.py prepare_data), the per-file
+        usable regions are stored in an npz; subsequent runs skip the
+        protocol scan's audio-header reads entirely.
+        """
         if self._prepared:
             return
+        cached_regions = None
+        if self.cache is not None:
+            from pathlib import Path
+            cache_path = Path(self.cache)
+            if cache_path.exists():
+                with np.load(cache_path) as z:
+                    cached_regions = {name[len("uri:"):]: z[name]
+                                      for name in z.files
+                                      if name.startswith("uri:")}
         self._train_files = []
         for file in self.protocol.train():
-            annotated = file.get("annotated")
-            if annotated is None:
-                duration = self.audio.get_duration(file)
-                regions = [Segment(0, duration)]
+            uri = file.get("uri")
+            if cached_regions is not None and uri in cached_regions:
+                regions = [Segment(float(s), float(e))
+                           for s, e in cached_regions[uri]]
             else:
-                regions = [s for s in annotated
-                           if s.duration > self.min_duration]
+                annotated = file.get("annotated")
+                if annotated is None:
+                    duration = self.audio.get_duration(file)
+                    regions = [Segment(0, duration)]
+                else:
+                    regions = [s for s in annotated
+                               if s.duration > self.min_duration]
             total = sum(s.duration for s in regions)
             if total <= 0:
                 continue
@@ -103,6 +123,14 @@ class Task:
             file["_regions"] = regions
             file["_annotated_duration"] = total
             self._train_files.append(file)
+        if self.cache is not None and cached_regions is None:
+            from pathlib import Path
+            cache_path = Path(self.cache)
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(cache_path, **{
+                f"uri:{f['uri']}": np.array(
+                    [[s.start, s.end] for s in f["_regions"]], np.float64)
+                for f in self._train_files if f.get("uri")})
         self._prepared = True
 
     def setup(self, model=None) -> None:
@@ -186,6 +214,8 @@ class Task:
     def prepare_validation(self) -> List[Tuple[Dict, Segment]]:
         """Fixed grid of validation chunks (parity: mixins.py:254-289)."""
         chunks = []
+        if not hasattr(self.protocol, "development"):
+            return chunks          # protocol without a development subset
         for file in self.protocol.development():
             annotated = file.get("annotated")
             regions = list(annotated) if annotated is not None else \

@@ -214,3 +214,28 @@ def test_arcface_loss_prefers_correct_class():
     good = float(arcface_loss(emb_correct, labels, W))
     bad = float(arcface_loss(emb_correct, jnp.asarray([1, 2, 3]), W))
     assert good < bad
+
+
+def test_task_prepared_data_cache(protocol, tmp_path):
+    """cache= writes an npz on first prepare, reuses it on the next
+    (parity: test_train_segmentation_with_cached_data_mono_device)."""
+    cache = tmp_path / "prepared" / "meta.npz"
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              seed=7, cache=str(cache))
+    task.setup(SimpleSegmentationModel(task=task))
+    assert cache.exists()
+    b1 = next(iter(task.train_batches(epoch=0)))
+
+    # second task loads regions from the cache even if durations are
+    # unreadable: poison get_duration to prove the scan is skipped
+    task2 = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                               seed=7, cache=str(cache))
+
+    def boom(file):
+        raise RuntimeError("audio scan ran despite cache")
+    task2.audio.get_duration = boom
+    task2.setup(SimpleSegmentationModel(task=task2))
+    b2 = next(iter(task2.train_batches(epoch=0)))
+    np.testing.assert_array_equal(b1.X, b2.X)
+    assert [f["_annotated_duration"] for f in task._train_files] == \
+        [f["_annotated_duration"] for f in task2._train_files]
