@@ -137,6 +137,17 @@ def test_trainer_fit_diarization(protocol):
     assert np.isfinite(trainer.history[0]["loss"])
 
 
+def test_trainer_fit_multilabel(protocol):
+    """Parity: reference test_train_multilabel_segmentation."""
+    task = MultiLabelSegmentation(protocol, duration=2.0, batch_size=4)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer.fit(model, task)
+    assert np.isfinite(trainer.history[0]["loss"])
+    # classes inferred from the training annotations
+    assert set(task.classes) == {"alice", "bob", "carol", "dave"}
+
+
 def test_trainer_fit_multidevice_dp(protocol):
     from jax.sharding import Mesh
     devices = jax.devices()
