@@ -74,8 +74,13 @@ def powerset_pit_loss(
     multilabel_target: jnp.ndarray,  # (batch, frames, K) binary
     powerset: Powerset,
     weight: Optional[jnp.ndarray] = None,
+    class_weight: Optional[jnp.ndarray] = None,  # (K_powerset,)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Permutation-invariant powerset NLL.
+
+    ``class_weight`` reweights each frame by the weight of its (permuted)
+    target powerset class — weighted mean as in torch nll_loss — used by
+    the diarization task's weigh_by_cardinality option.
 
     Returns (loss, best_perm_index (batch,)).
     """
@@ -89,10 +94,15 @@ def powerset_pit_loss(
     picked = jnp.take_along_axis(
         log_probs[None], permuted_targets[..., None], axis=-1)[..., 0]
     # (P, B, F) log-prob of each permuted target
+    w = None                                             # (P, B, F) or None
+    if class_weight is not None:
+        w = class_weight[permuted_targets].astype(log_probs.dtype)
     if weight is not None:
-        w = interpolate_weight(weight, log_probs.shape[1])[..., 0]
-        per_perm = -jnp.sum(picked * w[None], axis=-1) / \
-            (jnp.sum(w, axis=-1)[None] + 1e-8)
+        fw = interpolate_weight(weight, log_probs.shape[1])[..., 0]
+        w = fw[None] if w is None else w * fw[None]
+    if w is not None:
+        per_perm = -jnp.sum(picked * w, axis=-1) / \
+            (jnp.sum(w, axis=-1) + 1e-8)
     else:
         per_perm = -jnp.mean(picked, axis=-1)            # (P, B)
     best = jnp.argmin(per_perm, axis=0)                  # (B,)

@@ -54,6 +54,12 @@ class Powerset:
     def num_powerset_classes(self) -> int:
         return int(self.mapping.shape[0])
 
+    @property
+    def cardinality(self) -> jnp.ndarray:
+        """Size of each powerset class (parity: build_cardinality,
+        reference utils/powerset.py:111-113)."""
+        return jnp.sum(self.mapping, axis=-1)
+
     def to_multilabel(self, powerset: jnp.ndarray, soft: bool = False
                       ) -> jnp.ndarray:
         """(..., K_powerset) log-probs -> (..., K) multilabel scores.

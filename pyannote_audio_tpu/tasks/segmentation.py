@@ -197,6 +197,9 @@ class SpeakerDiarization(SegmentationTaskMixin):
 
     def loss(self, model, params, batch):
         log_probs = model.apply_fn(params, jnp.asarray(batch.X))
+        class_weight = jnp.maximum(self.powerset.cardinality, 1) \
+            if self.weigh_by_cardinality else None
         loss, _ = powerset_pit_loss(log_probs, jnp.asarray(batch.y),
-                                    self.powerset)
+                                    self.powerset,
+                                    class_weight=class_weight)
         return loss

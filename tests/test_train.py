@@ -250,3 +250,40 @@ def test_task_prepared_data_cache(protocol, tmp_path):
     np.testing.assert_array_equal(b1.X, b2.X)
     assert [f["_annotated_duration"] for f in task._train_files] == \
         [f["_annotated_duration"] for f in task2._train_files]
+
+
+def test_powerset_cardinality_and_weighted_loss():
+    """Powerset.cardinality parity (build_cardinality, reference
+    utils/powerset.py:111) and class-weighted PIT loss behavior."""
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.ops.powerset import Powerset
+    from pyannote_audio_tpu.ops.losses import powerset_pit_loss
+
+    ps = Powerset(3, 2)   # {}, {0},{1},{2}, {01},{02},{12} -> 7 classes
+    card = np.asarray(ps.cardinality)
+    np.testing.assert_array_equal(card, [0, 1, 1, 1, 2, 2, 2])
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 8, 7)).astype(np.float32)
+    log_probs = jnp.asarray(logits) - \
+        jnp.log(jnp.sum(jnp.exp(logits), axis=-1, keepdims=True))
+    target = (rng.uniform(size=(2, 8, 3)) > 0.6).astype(np.float32)
+
+    plain, _ = powerset_pit_loss(log_probs, jnp.asarray(target), ps)
+    weighted, _ = powerset_pit_loss(
+        log_probs, jnp.asarray(target), ps,
+        class_weight=jnp.maximum(ps.cardinality, 1))
+    assert np.isfinite(float(plain)) and np.isfinite(float(weighted))
+    # uniform class weights must reproduce the unweighted loss
+    uniform, _ = powerset_pit_loss(log_probs, jnp.asarray(target), ps,
+                                   class_weight=jnp.ones(7))
+    np.testing.assert_allclose(float(uniform), float(plain), rtol=1e-5)
+
+
+def test_trainer_fit_weigh_by_cardinality(protocol):
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=4,
+                              weigh_by_cardinality=True)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer.fit(model, task)
+    assert np.isfinite(trainer.history[0]["loss"])
