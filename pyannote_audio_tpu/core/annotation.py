@@ -344,7 +344,13 @@ class Annotation:
                 if not inter:
                     continue
                 if mode == "intersection":
-                    out[inter, track] = lbl
+                    # distinct source tracks may crop to the same segment
+                    # (e.g. (0,10) and (5,10), both track "_", cropped to
+                    # (5,8)) — uniquify instead of silently overwriting
+                    tr = track
+                    if tr in out._tracks.get(inter, {}):
+                        tr = out.new_track(inter)
+                    out[inter, tr] = lbl
                 elif mode == "strict":
                     if seg in sup:
                         out[seg, track] = lbl

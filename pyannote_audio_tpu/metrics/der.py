@@ -257,6 +257,14 @@ class GreedyDiarizationErrorRate(DiarizationErrorRate):
 def detection_error_rate(reference: Annotation, hypothesis: Annotation,
                          uem: Optional[Timeline] = None) -> float:
     """Speech-activity detection error (any-speaker vs any-speaker)."""
+    fa, miss, total = _detection_components(reference, hypothesis, uem)
+    return (fa + miss) / total if total > 0 else 0.0
+
+
+def _detection_components(reference: Annotation, hypothesis: Annotation,
+                          uem: Optional[Timeline] = None
+                          ) -> Tuple[float, float, float]:
+    """(false_alarm, missed, total) durations of speech-activity detection."""
     ref = reference.get_timeline().support()
     hyp = hypothesis.get_timeline().support()
     pts = set()
@@ -283,4 +291,131 @@ def detection_error_rate(reference: Annotation, hypothesis: Annotation,
                 miss += dur
         elif in_hyp:
             fa += dur
-    return (fa + miss) / total if total > 0 else 0.0
+    return fa, miss, total
+
+
+class DetectionErrorRate:
+    """Accumulating detection error rate (parity: pyannote.metrics
+    DetectionErrorRate as used by VoiceActivityDetection.get_metric,
+    reference pipelines/voice_activity_detection.py:207-213)."""
+
+    def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
+        del collar, skip_overlap  # accepted for API parity
+        self.fa_ = 0.0
+        self.miss_ = 0.0
+        self.total_ = 0.0
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        fa, miss, total = _detection_components(reference, hypothesis, uem)
+        self.fa_ += fa
+        self.miss_ += miss
+        self.total_ += total
+        rate = (fa + miss) / total if total > 0 else 0.0
+        if detailed:
+            return {"detection error rate": rate, "false alarm": fa,
+                    "miss": miss, "total": total}
+        return rate
+
+    def __abs__(self) -> float:
+        return (self.fa_ + self.miss_) / self.total_ \
+            if self.total_ > 0 else 0.0
+
+
+class DetectionPrecisionRecallFMeasure:
+    """Accumulating detection F-measure (parity: the fscore=True branch of
+    VoiceActivityDetection.get_metric)."""
+
+    def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
+        del collar, skip_overlap
+        self.tp_ = 0.0
+        self.fp_ = 0.0
+        self.fn_ = 0.0
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        fa, miss, total = _detection_components(reference, hypothesis, uem)
+        tp = total - miss
+        self.tp_ += tp
+        self.fp_ += fa
+        self.fn_ += miss
+        precision = tp / (tp + fa) if tp + fa > 0 else 1.0
+        recall = tp / total if total > 0 else 1.0
+        f = 2 * precision * recall / (precision + recall) \
+            if precision + recall > 0 else 0.0
+        if detailed:
+            return {"precision": precision, "recall": recall, "fscore": f}
+        return f
+
+    def __abs__(self) -> float:
+        p = self.tp_ / (self.tp_ + self.fp_) \
+            if self.tp_ + self.fp_ > 0 else 1.0
+        r = self.tp_ / (self.tp_ + self.fn_) \
+            if self.tp_ + self.fn_ > 0 else 1.0
+        return 2 * p * r / (p + r) if p + r > 0 else 0.0
+
+
+class IdentificationErrorRate:
+    """Accumulating identification error rate: labels compared directly
+    (no optimal mapping). Parity: pyannote.metrics IdentificationErrorRate
+    as used by MultiLabelSegmentation.get_metric (reference
+    pipelines/multilabel.py:218-224).
+
+    Per region with reference label set R and hypothesis label set H:
+    confusion = min(|R\\H|, |H\\R|), miss = |R\\H| - confusion,
+    false alarm = |H\\R| - confusion, total = |R| (duration-weighted).
+    """
+
+    def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
+        del collar, skip_overlap
+        self.fa_ = 0.0
+        self.miss_ = 0.0
+        self.conf_ = 0.0
+        self.total_ = 0.0
+
+    @staticmethod
+    def _components(reference: Annotation, hypothesis: Annotation,
+                    uem: Optional[Timeline] = None):
+        pts = set()
+        for ann in (reference, hypothesis):
+            for seg in ann.get_timeline():
+                pts.add(seg.start)
+                pts.add(seg.end)
+        if uem is not None:
+            for s in uem:
+                pts.add(s.start)
+                pts.add(s.end)
+        pts = sorted(pts)
+        fa = miss = conf = total = 0.0
+        for lo, hi in zip(pts[:-1], pts[1:]):
+            mid, dur = 0.5 * (lo + hi), hi - lo
+            if uem is not None and not any(
+                    s.start <= mid < s.end for s in uem):
+                continue
+            probe = Segment(lo, hi)
+            r = set(reference.crop(probe, mode="intersection").labels())
+            h = set(hypothesis.crop(probe, mode="intersection").labels())
+            n_conf = min(len(r - h), len(h - r))
+            conf += n_conf * dur
+            miss += (len(r - h) - n_conf) * dur
+            fa += (len(h - r) - n_conf) * dur
+            total += len(r) * dur
+        return fa, miss, conf, total
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        fa, miss, conf, total = self._components(reference, hypothesis, uem)
+        self.fa_ += fa
+        self.miss_ += miss
+        self.conf_ += conf
+        self.total_ += total
+        rate = (fa + miss + conf) / total if total > 0 else 0.0
+        if detailed:
+            return {"identification error rate": rate, "false alarm": fa,
+                    "missed detection": miss, "confusion": conf,
+                    "total": total}
+        return rate
+
+    def __abs__(self) -> float:
+        return (self.fa_ + self.miss_ + self.conf_) / self.total_ \
+            if self.total_ > 0 else 0.0

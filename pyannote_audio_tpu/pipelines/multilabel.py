@@ -96,3 +96,37 @@ class MultiLabelSegmentation(Pipeline):
             for seg, _, _ in binarize(scores).itertracks(yield_label=True):
                 result[seg, result.new_track(seg)] = label
         return result
+
+    def get_metric(self):
+        """Identification error rate, or macro-average per-class detection
+        F-measure when fscore=True (parity: multilabel.py:218-224)."""
+        from ..metrics.der import (DetectionPrecisionRecallFMeasure,
+                                   IdentificationErrorRate)
+        if self.fscore:
+            return MacroAverageFMeasure(self._classes)
+        return IdentificationErrorRate()
+
+    def get_direction(self):
+        return "maximize" if self.fscore else "minimize"
+
+
+class MacroAverageFMeasure:
+    """Per-class detection F, macro-averaged over classes."""
+
+    def __init__(self, classes):
+        from ..metrics.der import DetectionPrecisionRecallFMeasure
+        self._per_class = {c: DetectionPrecisionRecallFMeasure()
+                           for c in classes}
+
+    def __call__(self, reference, hypothesis, uem=None,
+                 detailed: bool = False):
+        values = {}
+        for label, metric in self._per_class.items():
+            values[label] = metric(reference.subset([label]),
+                                   hypothesis.subset([label]), uem=uem)
+        mean = sum(values.values()) / max(len(values), 1)
+        return {"macro fscore": mean, **values} if detailed else mean
+
+    def __abs__(self) -> float:
+        vals = [abs(m) for m in self._per_class.values()]
+        return sum(vals) / max(len(vals), 1)

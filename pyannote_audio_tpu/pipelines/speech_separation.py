@@ -244,3 +244,8 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         exclusive = exclusive.rename_labels(mapping=mapping)
 
         return SeparationOutput(diarization, exclusive, centroids, sources)
+
+    def get_metric(self):
+        """Optimization metric (parity: speech_separation.py:732-733)."""
+        from ..metrics.der import GreedyDiarizationErrorRate
+        return GreedyDiarizationErrorRate(**self.der_variant)

@@ -95,5 +95,13 @@ class VoiceActivityDetection(Pipeline):
                                      for label in speech.labels()})
 
     def get_metric(self):
-        from ..metrics.der import detection_error_rate
-        return detection_error_rate
+        """DetectionErrorRate, or F-measure when fscore=True (parity:
+        reference voice_activity_detection.py:207-213)."""
+        from ..metrics.der import (DetectionErrorRate,
+                                   DetectionPrecisionRecallFMeasure)
+        if self.fscore:
+            return DetectionPrecisionRecallFMeasure()
+        return DetectionErrorRate()
+
+    def get_direction(self):
+        return "maximize" if self.fscore else "minimize"

@@ -95,3 +95,14 @@ def test_rttm_roundtrip(tmp_path):
             ann.itertracks(yield_label=True)):
         assert abs(s1.start - s2.start) < 1e-3
         assert abs(s1.duration - s2.duration) < 1e-3
+
+
+def test_crop_intersection_preserves_colliding_tracks():
+    """Two tracks cropping to the same (segment, track) key must both
+    survive (regression: the second silently overwrote the first)."""
+    ann = Annotation(uri="u")
+    ann[Segment(0, 10)] = "speech"
+    ann[Segment(5, 10)] = "music"
+    cropped = ann.crop(Segment(5, 8))
+    assert sorted(cropped.labels()) == ["music", "speech"]
+    assert len(list(cropped.itertracks())) == 2

@@ -110,3 +110,66 @@ def test_detection_error_rate():
     hyp = Annotation(uri="f")
     hyp[Segment(0, 10), "_"] = "anything"
     assert detection_error_rate(ref, hyp) == pytest.approx(8 / 18)
+
+
+def test_detection_metric_classes():
+    """Stateful DetectionErrorRate / F-measure accumulate across files."""
+    from pyannote_audio_tpu.metrics.der import (
+        DetectionErrorRate, DetectionPrecisionRecallFMeasure)
+    ref = Annotation(uri="u")
+    ref[Segment(0, 10)] = "A"
+    hyp = Annotation(uri="u")
+    hyp[Segment(0, 8)] = "X"       # 2s miss
+    hyp[Segment(12, 14)] = "X"     # 2s false alarm
+    der = DetectionErrorRate()
+    rate = der(ref, hyp)
+    assert rate == pytest.approx(4 / 10)
+    # accumulate a perfect file: corpus rate halves the error mass
+    der(ref, ref)
+    assert abs(der) == pytest.approx(4 / 20)
+
+    f = DetectionPrecisionRecallFMeasure()
+    detail = f(ref, hyp, detailed=True)
+    assert detail["precision"] == pytest.approx(8 / 10)
+    assert detail["recall"] == pytest.approx(8 / 10)
+    assert detail["fscore"] == pytest.approx(0.8)
+    assert 0.8 < abs(f) <= 1.0 or abs(f) == pytest.approx(0.8)
+
+
+def test_identification_error_rate():
+    """Direct-label comparison (no optimal mapping)."""
+    from pyannote_audio_tpu.metrics.der import IdentificationErrorRate
+    ref = Annotation(uri="u")
+    ref[Segment(0, 10)] = "speech"
+    ref[Segment(5, 10)] = "music"
+    hyp = Annotation(uri="u")
+    hyp[Segment(0, 10)] = "speech"
+    hyp[Segment(5, 8)] = "noise"    # confusion with music for 3s, miss 2s
+    ier = IdentificationErrorRate()
+    detail = ier(ref, hyp, detailed=True)
+    assert detail["total"] == pytest.approx(15.0)
+    assert detail["confusion"] == pytest.approx(3.0)
+    assert detail["missed detection"] == pytest.approx(2.0)
+    assert detail["false alarm"] == pytest.approx(0.0)
+    assert abs(ier) == pytest.approx(5 / 15)
+
+
+def test_vad_and_multilabel_get_metric():
+    from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+        VoiceActivityDetection
+    from pyannote_audio_tpu.pipelines.multilabel import MacroAverageFMeasure
+    vad = VoiceActivityDetection.__new__(VoiceActivityDetection)
+    vad.fscore = False
+    assert type(vad.get_metric()).__name__ == "DetectionErrorRate"
+    assert vad.get_direction() == "minimize"
+    vad.fscore = True
+    assert type(vad.get_metric()).__name__ == \
+        "DetectionPrecisionRecallFMeasure"
+    assert vad.get_direction() == "maximize"
+
+    ref = Annotation(uri="u")
+    ref[Segment(0, 10)] = "speech"
+    ref[Segment(2, 4)] = "music"
+    macro = MacroAverageFMeasure(["speech", "music"])
+    assert macro(ref, ref) == pytest.approx(1.0)
+    assert abs(macro) == pytest.approx(1.0)
