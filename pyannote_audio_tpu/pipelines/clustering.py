@@ -273,6 +273,10 @@ class KMeansClustering(BaseClustering):
             with np.errstate(divide="ignore", invalid="ignore"):
                 embeddings = embeddings / np.linalg.norm(
                     embeddings, axis=-1, keepdims=True)
+        import os
+        if os.environ.get("PYANNOTE_TPU_DEVICE_KMEANS", "0") == "1":
+            from ..ops.kmeans import kmeans_jax
+            return kmeans_jax(embeddings, num_clusters)
         return KMeans(n_clusters=num_clusters, n_init=3,
                       random_state=42).fit_predict(embeddings)
 

@@ -110,3 +110,42 @@ def test_pipeline_device_ahc_backend(monkeypatch):
     hard, _, centroids = pipeline(embeddings=emb, segmentations=swf)
     assert centroids.shape[0] == 2
     assert _co_membership(hard.reshape(-1), truth.reshape(-1)) > 0.99
+
+
+def test_kmeans_jax_recovers_blobs():
+    from pyannote_audio_tpu.ops.kmeans import kmeans_jax
+    x, truth = _blobs(n_clusters=3, per=15, seed=4)
+    assign = kmeans_jax(x, 3)
+    assert assign.shape == (45,)
+    assert _co_membership(assign, truth) == 1.0
+    # determinism: same seed -> same assignment
+    np.testing.assert_array_equal(assign, kmeans_jax(x, 3))
+
+
+def test_kmeans_jax_k_exceeds_points_edge():
+    from pyannote_audio_tpu.ops.kmeans import kmeans_jax
+    x = np.array([[0.0, 0.0], [10.0, 10.0], [0.1, 0.1]], np.float32)
+    assign = kmeans_jax(x, 2)
+    assert assign[0] == assign[2] != assign[1]
+
+
+def test_pipeline_device_kmeans_backend(monkeypatch):
+    from pyannote_audio_tpu.pipelines.clustering import KMeansClustering
+    from pyannote_audio_tpu.core.segment import (SlidingWindow,
+                                                 SlidingWindowFeature)
+    monkeypatch.setenv("PYANNOTE_TPU_DEVICE_KMEANS", "1")
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((2, 16)) * 5
+    emb = np.stack([[centers[(c + s) % 2] + 0.05 * rng.standard_normal(16)
+                     for s in range(2)] for c in range(12)])
+    truth = np.array([[(c + s) % 2 for s in range(2)] for c in range(12)])
+    seg = np.zeros((12, 10, 2), np.float32)
+    seg[:, :4, 0] = 1.0
+    seg[:, 4:8, 1] = 1.0
+    swf = SlidingWindowFeature(seg, SlidingWindow(duration=1.0, step=0.5))
+    pipeline = KMeansClustering()
+    pipeline.instantiate({})
+    hard, _, centroids = pipeline(embeddings=emb, segmentations=swf,
+                                  num_clusters=2)
+    assert centroids.shape[0] == 2
+    assert _co_membership(hard.reshape(-1), truth.reshape(-1)) > 0.99
