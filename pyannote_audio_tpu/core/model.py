@@ -195,6 +195,17 @@ class Model:
         return self._jitted_apply(self.params, jnp.asarray(waveforms),
                                   **kwargs)
 
+    # -- device management (torch-API parity; placement is XLA's job) ------
+
+    def to(self, device=None) -> "Model":
+        return self
+
+    def eval(self) -> "Model":
+        return self
+
+    def train(self, mode: bool = True) -> "Model":
+        return self
+
     # -- frame math --------------------------------------------------------
 
     def num_frames(self, num_samples: int) -> int:
