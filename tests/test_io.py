@@ -95,3 +95,28 @@ def test_validate_file(wav_file):
         Audio.validate_file({"waveform": waveform})  # missing sample_rate
     with pytest.raises(ValueError):
         Audio.validate_file(42)
+
+
+def test_audio_from_file_like(tmp_path):
+    """File-like (BytesIO) loading + crop parity
+    (reference tests/io_test.py:66-88)."""
+    import io as _io
+    from pyannote_audio_tpu.core.io import Audio, write_wav
+    from pyannote_audio_tpu.core.segment import Segment
+    sr = 16000
+    wav = (0.1 * np.sin(2 * np.pi * 440 *
+                        np.arange(sr * 2) / sr)).astype(np.float32)[None]
+    path = tmp_path / "x.wav"
+    write_wav(path, wav, sr)
+    audio = Audio(sample_rate=sr)
+
+    with open(path, "rb") as f:
+        blob = _io.BytesIO(f.read())
+    loaded, rate = audio(blob)
+    assert rate == sr and loaded.shape == wav.shape
+
+    blob.seek(0)
+    cropped, _ = audio.crop(blob, Segment(0.5, 1.0))
+    assert cropped.shape == (1, sr // 2)
+    # write_wav stores PCM16: 1/32768 quantization
+    np.testing.assert_allclose(cropped[0], wav[0, sr // 2:sr], atol=1e-4)
