@@ -21,6 +21,14 @@ Label = Hashable
 TrackName = Union[str, int]
 
 
+def string_generator() -> Iterator[str]:
+    """A, B, …, Z, AA, AB, … (pyannote.core label generator parity)."""
+    for size in itertools.count(1):
+        for letters in itertools.product(
+                [chr(ord("A") + i) for i in range(26)], repeat=size):
+            yield "".join(letters)
+
+
 class Timeline:
     """An ordered set of (possibly overlapping) segments."""
 
@@ -167,8 +175,9 @@ class Timeline:
 
     def to_annotation(self, generator: str = "string") -> "Annotation":
         ann = Annotation(uri=self.uri)
+        names = string_generator() if generator == "string" else None
         for i, s in enumerate(self):
-            ann[s] = chr(ord("A") + i % 26) if generator == "string" else i
+            ann[s] = next(names) if names is not None else i
         return ann
 
     def __repr__(self) -> str:
@@ -312,10 +321,13 @@ class Annotation:
             out[seg, next(count)] = lbl
         return out
 
-    def relabel_tracks(self, generator: Optional[Iterator[Label]] = None
-                       ) -> "Annotation":
-        if generator is None:
+    def relabel_tracks(self, generator=None) -> "Annotation":
+        """New unique label per track. ``generator``: "string" (A, B, …,
+        AA, …), "int", or an iterator of labels (pyannote.core parity)."""
+        if generator is None or generator == "int":
             generator = iter(itertools.count())
+        elif generator == "string":
+            generator = string_generator()
         out = Annotation(uri=self.uri, modality=self.modality)
         for seg, track in self.itertracks():
             out[seg, track] = next(generator)

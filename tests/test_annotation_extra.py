@@ -106,3 +106,39 @@ def test_crop_intersection_preserves_colliding_tracks():
     cropped = ann.crop(Segment(5, 8))
     assert sorted(cropped.labels()) == ["music", "speech"]
     assert len(list(cropped.itertracks())) == 2
+
+
+def test_annotation_track_and_chart_api():
+    """rename_tracks / relabel_tracks / chart / argmax / union parity."""
+    ann = Annotation(uri="u")
+    ann[Segment(0, 4), "t1"] = "A"
+    ann[Segment(2, 8), "t2"] = "B"
+    ann[Segment(8, 9), "t3"] = "A"
+
+    # chart: labels sorted by decreasing duration
+    assert ann.chart() == [("B", 6.0), ("A", 5.0)]
+    assert ann.argmax() == "B"
+
+    renamed = ann.rename_tracks(generator="int")
+    labels_before = sorted(ann.labels())
+    assert sorted(renamed.labels()) == labels_before
+    assert all(isinstance(t, int)
+               for _, t in renamed.itertracks())
+
+    relabeled = ann.relabel_tracks(generator="string")
+    # every track gets its own label -> 3 distinct labels
+    assert len(relabeled.labels()) == 3
+
+    # timeline union/covers
+    t1 = ann.label_timeline("A")
+    t2 = ann.label_timeline("B")
+    u = t1.union(t2)
+    assert u.extent() == Segment(0, 9)
+
+
+def test_timeline_gaps_and_covers():
+    tl = Timeline([Segment(0, 2), Segment(5, 7)], uri="u")
+    gaps = tl.gaps(support=Segment(0, 10))
+    assert list(gaps) == [Segment(2, 5), Segment(7, 10)]
+    assert tl.covers(Timeline([Segment(0.5, 1.5)]))
+    assert not tl.covers(Timeline([Segment(3, 4)]))
