@@ -182,3 +182,51 @@ def test_aggregate_matches_loop_oracle():
         jnp.asarray(scores), jnp.asarray(offsets), total,
         hamming=True, warm_up=warm_up, missing=np.nan))
     np.testing.assert_allclose(ours, expected, atol=1e-4, equal_nan=True)
+
+
+# ------------------------------------------------------- permutate (host API)
+
+def test_permutate_exact_permutations():
+    """All six 3-speaker permutations recovered exactly
+    (reference tests/utils/test_permutation.py:34-58)."""
+    from itertools import permutations as iperm
+    from pyannote_audio_tpu.ops.permutation import permutate
+    rng = np.random.default_rng(0)
+    actual = list(iperm(range(3)))
+    y2 = rng.standard_normal((10, 3))
+    y1 = np.stack([y2[:, p] for p in actual])
+    permutated, perms = permutate(y1, y2)
+    assert [tuple(p) for p in perms] == actual
+    for p, permutation in enumerate(actual):
+        np.testing.assert_allclose(permutated[p], y2[:, permutation],
+                                   atol=1e-5)
+
+
+def test_permutate_less_speakers():
+    """y2 has fewer speakers: missing columns map to None
+    (reference tests/utils/test_permutation.py:61-85)."""
+    from pyannote_audio_tpu.ops.permutation import permutate
+    rng = np.random.default_rng(1)
+    actual = [(0, 1, None), (0, None, 1), (1, 0, None),
+              (1, None, 0), (None, 0, 1), (None, 1, 0)]
+    y2 = rng.standard_normal((10, 2))
+    y1 = np.zeros((len(actual), 10, 3))
+    for p, permutation in enumerate(actual):
+        for i, j in enumerate(permutation):
+            if j is not None:
+                y1[p, :, i] = y2[:, j]
+    _, perms = permutate(y1, y2)
+    assert [tuple(p) for p in perms] == actual
+
+
+def test_permutate_more_speakers():
+    """y2 has more speakers: extra columns dropped
+    (reference tests/utils/test_permutation.py:88+)."""
+    from pyannote_audio_tpu.ops.permutation import permutate
+    rng = np.random.default_rng(2)
+    y2 = rng.standard_normal((10, 3))
+    actual = [(0, 1), (1, 0), (2, 1), (1, 2), (0, 2), (2, 0)]
+    y1 = np.stack([y2[:, list(p)] for p in actual])
+    permutated, perms = permutate(y1, y2)
+    assert [tuple(p) for p in perms] == actual
+    assert permutated.shape == y1.shape
