@@ -141,7 +141,10 @@ class Task:
     def specifications(self) -> Union[Specifications,
                                       Tuple[Specifications, ...]]:
         if self._specifications is None:
-            raise RuntimeError("call task.setup() first")
+            from .model import UnknownSpecificationsError
+            raise UnknownSpecificationsError(
+                "Task has no specifications yet: call task.setup() first "
+                "(parity: reference core/task.py:76,653).")
         return self._specifications
 
     @specifications.setter

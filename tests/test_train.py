@@ -287,3 +287,15 @@ def test_trainer_fit_weigh_by_cardinality(protocol):
     trainer = Trainer(max_epochs=1, limit_train_batches=2)
     trainer.fit(model, task)
     assert np.isfinite(trainer.history[0]["loss"])
+
+
+def test_unknown_specifications_error(protocol):
+    """Parity: reference tests/tasks/test_specifications.py."""
+    from pyannote_audio_tpu.core.model import UnknownSpecificationsError
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2)
+    with pytest.raises(UnknownSpecificationsError):
+        _ = task.specifications
+    model = SimpleSegmentationModel()
+    model.task = task
+    with pytest.raises(UnknownSpecificationsError):
+        _ = model.specifications
