@@ -36,11 +36,61 @@ _SSL_CONFIGS = {
 }
 
 
+def _load_torch_ssl_state(path) -> Dict[str, np.ndarray]:
+    """Load a local torch wav2vec2/WavLM checkpoint into numpy arrays.
+
+    Accepts a .bin/.pt/.ckpt file or a HF snapshot directory containing
+    pytorch_model.bin; unwraps common nesting ("state_dict"/"model") and
+    strips the HF "wav2vec2." prefix.
+    """
+    from pathlib import Path
+    path = Path(path)
+    if path.is_dir():
+        for name in ("pytorch_model.bin", "model.pt", "checkpoint.pt"):
+            if (path / name).exists():
+                path = path / name
+                break
+        else:
+            raise ValueError(f"no torch checkpoint found in {path}")
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(state, dict) and key in state \
+                and isinstance(state[key], dict):
+            state = state[key]
+    out = {}
+    for key, value in state.items():
+        if not hasattr(value, "numpy"):
+            continue
+        if key.startswith("wav2vec2."):
+            key = key[len("wav2vec2."):]
+        out[key] = value.detach().cpu().numpy()
+    return out
+
+
+def _infer_ssl_config(state: Dict[str, np.ndarray]) -> Dict:
+    """Infer encoder dims from a HF-format wav2vec2/WavLM state dict."""
+    hidden = state["feature_projection.projection.weight"].shape[0]
+    layers = 1 + max(int(k.split(".")[2]) for k in state
+                     if k.startswith("encoder.layers."))
+    ffn_keys = [k for k in state
+                if "feed_forward.intermediate_dense.weight" in k]
+    ffn = state[ffn_keys[0]].shape[0]
+    rel_pos_bias = any("rel_attn_embed" in k or "gru_rel_pos" in k
+                      for k in state)
+    heads = {768: 12, 1024: 16}.get(hidden, max(1, hidden // 64))
+    conv_channels = state[
+        "feature_extractor.conv_layers.0.conv.weight"].shape[0]
+    return dict(hidden=hidden, layers=layers, heads=heads, ffn=ffn,
+                rel_pos_bias=rel_pos_bias, conv_channels=conv_channels)
+
+
 class SSeRiouSSModule(nn.Module):
     ssl_hidden: int = 768
     ssl_layers: int = 12
     ssl_heads: int = 12
     ssl_ffn: int = 3072
+    ssl_conv_channels: int = 512
     rel_pos_bias: bool = True
     wav2vec_layer: int = -1
     lstm_hidden: int = 128
@@ -55,6 +105,7 @@ class SSeRiouSSModule(nn.Module):
     def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
         states = SSLEncoder(hidden=self.ssl_hidden, layers=self.ssl_layers,
                             heads=self.ssl_heads, ffn=self.ssl_ffn,
+                            conv_channels=self.ssl_conv_channels,
                             rel_pos_bias=self.rel_pos_bias,
                             name="wav2vec")(waveforms)
         if self.wav2vec_layer < 0:
@@ -95,13 +146,23 @@ class SSeRiouSS(Model):
                          num_channels=num_channels, task=task)
         if wav2vec is None:
             wav2vec = self.WAV2VEC_DEFAULTS
-        if isinstance(wav2vec, str):
-            if wav2vec not in _SSL_CONFIGS:
-                raise ValueError(
-                    f"unknown SSL bundle {wav2vec!r}; "
-                    f"choose from {sorted(_SSL_CONFIGS)}")
+        self._ssl_state: Optional[Dict[str, np.ndarray]] = None
+        if isinstance(wav2vec, str) and wav2vec in _SSL_CONFIGS:
             self.ssl_config = dict(_SSL_CONFIGS[wav2vec])
             self.wav2vec_name = wav2vec
+        elif isinstance(wav2vec, str):
+            # local torch checkpoint path (parity: the reference accepts a
+            # path to a self-supervised checkpoint, SSeRiouSS.py:96-123)
+            from pathlib import Path
+            path = Path(wav2vec)
+            if not path.exists():
+                raise ValueError(
+                    f"unknown SSL bundle {wav2vec!r}; choose from "
+                    f"{sorted(_SSL_CONFIGS)} or pass a local torch "
+                    f"wav2vec2/WavLM checkpoint path")
+            self._ssl_state = _load_torch_ssl_state(path)
+            self.ssl_config = _infer_ssl_config(self._ssl_state)
+            self.wav2vec_name = str(wav2vec)
         else:
             self.ssl_config = dict(wav2vec)
             self.wav2vec_name = "custom"
@@ -127,6 +188,8 @@ class SSeRiouSS(Model):
             ssl_layers=self.ssl_config["layers"],
             ssl_heads=self.ssl_config["heads"],
             ssl_ffn=self.ssl_config["ffn"],
+            ssl_conv_channels=self.ssl_config.get(
+                "conv_channels", 512),
             rel_pos_bias=self.ssl_config["rel_pos_bias"],
             wav2vec_layer=self.wav2vec_layer,
             lstm_hidden=self.lstm["hidden_size"],
@@ -137,6 +200,13 @@ class SSeRiouSS(Model):
             dimension=self.dimension,
             activation=self.default_activation(),
         )
+
+    def build(self, rng=None) -> "SSeRiouSS":
+        had_params = self.params is not None
+        super().build(rng)
+        if self._ssl_state is not None and not had_params:
+            self.load_ssl_weights(self._ssl_state)
+        return self
 
     def frozen_mask_prefixes(self):
         """For GraduallyUnfreeze / optimizer masking."""

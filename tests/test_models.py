@@ -102,13 +102,9 @@ def test_sseriouss_tiny_forward():
     np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, atol=1e-4)
 
 
-def test_ssl_torch_conversion_roundtrip():
-    """Synthesize an HF-style torch state dict; convert; run."""
-    import jax
-    from pyannote_audio_tpu.models.blocks.ssl import (SSLEncoder,
-                                                      convert_torch_wav2vec2)
-    rng = np.random.default_rng(0)
-    hidden, layers, ffn = 32, 2, 64
+def make_hf_ssl_state(hidden=32, layers=2, ffn=64, seed=0):
+    """Synthesize an HF-style wav2vec2 torch state dict (16-ch conv trunk)."""
+    rng = np.random.default_rng(seed)
     state = {}
     for i, (k, cin) in enumerate(zip([10, 3, 3, 3, 3, 2, 2],
                                      [1, 16, 16, 16, 16, 16, 16])):
@@ -152,6 +148,17 @@ def test_ssl_torch_conversion_roundtrip():
             np.zeros(hidden, np.float32)
     state["encoder.layer_norm.weight"] = np.ones(hidden, np.float32)
     state["encoder.layer_norm.bias"] = np.zeros(hidden, np.float32)
+    return state
+
+
+def test_ssl_torch_conversion_roundtrip():
+    """Synthesize an HF-style torch state dict; convert; run."""
+    import jax
+    from pyannote_audio_tpu.models.blocks.ssl import (SSLEncoder,
+                                                      convert_torch_wav2vec2)
+    rng = np.random.default_rng(0)
+    hidden, layers, ffn = 32, 2, 64
+    state = make_hf_ssl_state(hidden, layers, ffn)
 
     converted = convert_torch_wav2vec2(state, layers=layers)
     enc = SSLEncoder(hidden=hidden, layers=layers, heads=4, ffn=ffn,
@@ -165,3 +172,41 @@ def test_ssl_torch_conversion_roundtrip():
     assert shapes_init == shapes_conv
     out = jax.jit(enc.apply)({"params": converted}, wav)
     assert np.isfinite(np.asarray(out[-1])).all()
+
+
+def test_sseriouss_local_wav2vec_checkpoint(tmp_path):
+    """SSeRiouSS(wav2vec=<local torch path>) infers dims and loads the
+    trunk (reference accepts self-supervised checkpoint paths,
+    SSeRiouSS.py:96-123)."""
+    import torch
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.sseriouss import SSeRiouSS
+
+    state = make_hf_ssl_state(hidden=32, layers=2, ffn=64)
+    ckpt = tmp_path / "wavlm" / "pytorch_model.bin"
+    ckpt.parent.mkdir()
+    torch.save({k: torch.from_numpy(v) for k, v in state.items()}, ckpt)
+
+    model = SSeRiouSS(wav2vec=str(ckpt.parent),
+                      lstm={"hidden_size": 16, "num_layers": 1},
+                      linear={"hidden_size": 16, "num_layers": 1})
+    assert model.ssl_config["hidden"] == 32
+    assert model.ssl_config["layers"] == 2
+    assert model.ssl_config["conv_channels"] == 16
+    assert model.ssl_config["rel_pos_bias"] is False
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=1.0,
+        classes=["a", "b"], powerset_max_classes=1)
+    model.build()
+    # trunk weights actually grafted: projection kernel matches torch
+    proj = np.asarray(
+        model.params["params"]["wav2vec"]["feature_projection"]["kernel"])
+    np.testing.assert_allclose(
+        proj, state["feature_projection.projection.weight"].T, atol=1e-6)
+    out = np.asarray(model(np.zeros((1, 1, 16000), np.float32)))
+    assert np.isfinite(out).all()
+
+    with pytest.raises(ValueError):
+        SSeRiouSS(wav2vec="NOT_A_BUNDLE_OR_PATH")
