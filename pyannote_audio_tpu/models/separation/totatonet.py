@@ -27,6 +27,7 @@ from ...utils.receptive_field import (conv1d_num_frames,
                                       conv1d_receptive_field_center,
                                       conv1d_receptive_field_size)
 from ..blocks.dprnn import DPRNN
+from ..blocks.ssl import SSLEncoder
 
 
 class ToTaToNetModule(nn.Module):
@@ -41,12 +42,33 @@ class ToTaToNetModule(nn.Module):
     linear_hidden: int = 64
     linear_layers: int = 2
     diarization_scaling: int = 8   # 16k / 125fps / stride 16
+    # optional WavLM branch (reference ToTaToNet.py:179-196): SSL features
+    # repeat-upsampled to the encoder frame rate and concatenated before
+    # the masker
+    use_wavlm: bool = False
+    wavlm_hidden: int = 1024
+    wavlm_layers: int = 24
+    wavlm_heads: int = 16
+    wavlm_ffn: int = 4096
+    wavlm_conv_channels: int = 512
+    wavlm_rel_pos_bias: bool = True
+    wavlm_scaling: int = 20        # SSL stride 320 / encoder stride 16
 
     def setup(self):
         self.encoder = nn.Conv(self.n_filters, (self.kernel_size,),
                                strides=(self.stride,), padding="VALID",
                                use_bias=False)
-        self.masker = DPRNN(in_chan=self.n_filters,
+        if self.use_wavlm:
+            self.wavlm = SSLEncoder(hidden=self.wavlm_hidden,
+                                    layers=self.wavlm_layers,
+                                    heads=self.wavlm_heads,
+                                    ffn=self.wavlm_ffn,
+                                    conv_channels=self.wavlm_conv_channels,
+                                    rel_pos_bias=self.wavlm_rel_pos_bias,
+                                    name="wavlm")
+        masker_in = self.n_filters + \
+            (self.wavlm_hidden if self.use_wavlm else 0)
+        self.masker = DPRNN(in_chan=masker_in,
                             out_chan=self.n_filters,
                             n_src=self.n_sources,
                             bn_chan=self.bn_chan,
@@ -67,7 +89,17 @@ class ToTaToNetModule(nn.Module):
         B, _, T = waveforms.shape
         x = jnp.swapaxes(waveforms, 1, 2)        # (B, T, 1)
         rep = self.encoder(x)                     # (B, T', F)
-        masks = self.masker(rep)                  # (B, n_src, T', F)
+        if self.use_wavlm:
+            w = self.wavlm(waveforms)[-1]          # (B, Tw, H) last layer
+            w = jnp.repeat(w, self.wavlm_scaling, axis=1)
+            Tp = rep.shape[1]
+            if w.shape[1] < Tp:
+                w = jnp.pad(w, ((0, 0), (0, Tp - w.shape[1]), (0, 0)))
+            else:
+                w = w[:, :Tp]
+            masks = self.masker(jnp.concatenate([rep, w], axis=-1))
+        else:
+            masks = self.masker(rep)              # (B, n_src, T', F)
         masked = masks * rep[:, None]             # (B, n_src, T', F)
 
         # decode each source back to a waveform
@@ -115,15 +147,27 @@ class ToTaToNet(Model):
                  dprnn: Optional[dict] = None,
                  sample_rate: int = 16000, num_channels: int = 1,
                  task=None, n_sources: int = 3,
-                 use_wavlm: bool = False, wavlm_frozen: bool = False,
+                 use_wavlm=False, wavlm_frozen: bool = False,
                  gradient_clip_val: float = 5.0, **kwargs):
         super().__init__(sample_rate=sample_rate,
                          num_channels=num_channels, task=task)
-        if use_wavlm:
+        # use_wavlm: False, or a local torch WavLM checkpoint path/dir
+        # (reference downloads microsoft/wavlm-large, ToTaToNet.py:180;
+        # no egress here, so the weights must be local)
+        self._wavlm_state = None
+        self.wavlm_config = None
+        if use_wavlm is True:
             raise NotImplementedError(
                 "the WavLM branch needs a local WavLM checkpoint "
-                "(no model downloads in this environment); "
-                "use use_wavlm=False")
+                "(no model downloads in this environment); pass "
+                "use_wavlm=<path to torch checkpoint> or use_wavlm=False")
+        if use_wavlm:
+            from ..segmentation.sseriouss import (_infer_ssl_config,
+                                                  _load_torch_ssl_state)
+            self._wavlm_state = _load_torch_ssl_state(use_wavlm)
+            self.wavlm_config = _infer_ssl_config(self._wavlm_state)
+        self.use_wavlm = bool(use_wavlm)
+        self.wavlm_frozen = wavlm_frozen
         self.encoder_decoder = merge_dict(self.ENCODER_DECODER_DEFAULTS,
                                           encoder_decoder)
         self.linear = merge_dict(self.LINEAR_DEFAULTS, linear)
@@ -133,7 +177,8 @@ class ToTaToNet(Model):
         self.hparams = {"encoder_decoder": self.encoder_decoder,
                         "linear": self.linear, "dprnn": self.dprnn,
                         "diar": self.diar, "n_sources": n_sources,
-                        "use_wavlm": False}
+                        "use_wavlm": self.use_wavlm,
+                        "wavlm_frozen": wavlm_frozen}
         self.diarization_scaling = int(
             sample_rate / self.diar["frames_per_second"]
             / self.encoder_decoder["stride"])
@@ -164,7 +209,36 @@ class ToTaToNet(Model):
             linear_hidden=self.linear["hidden_size"],
             linear_layers=self.linear["num_layers"],
             diarization_scaling=self.diarization_scaling,
+            use_wavlm=self.use_wavlm,
+            **({"wavlm_hidden": self.wavlm_config["hidden"],
+                "wavlm_layers": self.wavlm_config["layers"],
+                "wavlm_heads": self.wavlm_config["heads"],
+                "wavlm_ffn": self.wavlm_config["ffn"],
+                "wavlm_conv_channels": self.wavlm_config["conv_channels"],
+                "wavlm_rel_pos_bias": self.wavlm_config["rel_pos_bias"],
+                "wavlm_scaling":
+                    320 // self.encoder_decoder["stride"]}
+               if self.wavlm_config else {}),
         )
+
+    def build(self, rng=None) -> "ToTaToNet":
+        had_params = self.params is not None
+        super().build(rng)
+        if self._wavlm_state is not None and not had_params:
+            from ..blocks.ssl import convert_torch_wav2vec2
+            from ..segmentation.sseriouss import _merge_trunk
+            trunk = convert_torch_wav2vec2(
+                self._wavlm_state, layers=self.wavlm_config["layers"])
+            params = jax.tree_util.tree_map(lambda x: x, self.params)
+            params["params"]["wavlm"] = jax.tree_util.tree_map(
+                jnp.asarray,
+                _merge_trunk(params["params"]["wavlm"], trunk))
+            self.params = params
+            self._jitted_apply = None
+        return self
+
+    def frozen_mask_prefixes(self):
+        return ["wavlm"] if (self.use_wavlm and self.wavlm_frozen) else []
 
     @property
     def dimension(self) -> int:

@@ -210,3 +210,35 @@ def test_sseriouss_local_wav2vec_checkpoint(tmp_path):
 
     with pytest.raises(ValueError):
         SSeRiouSS(wav2vec="NOT_A_BUNDLE_OR_PATH")
+
+
+def test_totatonet_local_wavlm_branch(tmp_path):
+    """ToTaToNet(use_wavlm=<path>) concatenates upsampled SSL features
+    before the masker (reference ToTaToNet.py:179-196, 331-339)."""
+    import torch
+    from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+
+    state = make_hf_ssl_state(hidden=32, layers=2, ffn=64)
+    ckpt = tmp_path / "wavlm.bin"
+    torch.save({k: torch.from_numpy(v) for k, v in state.items()}, ckpt)
+
+    model = ToTaToNet(use_wavlm=str(ckpt), wavlm_frozen=True,
+                      dprnn={"n_repeats": 1, "bn_chan": 16,
+                             "hid_size": 16, "chunk_size": 20},
+                      linear={"hidden_size": 8, "num_layers": 1})
+    assert model.wavlm_config["hidden"] == 32
+    assert model.frozen_mask_prefixes() == ["wavlm"]
+    model.build()
+    wav = np.zeros((1, 1, 16000), np.float32)
+    diar, sources = model(wav)
+    assert np.asarray(diar).shape[-1] == 3
+    assert np.asarray(sources).shape == (1, 16000, 3)
+    assert np.isfinite(np.asarray(diar)).all()
+    # trunk grafted: projection kernel matches torch weights
+    proj = np.asarray(
+        model.params["params"]["wavlm"]["feature_projection"]["kernel"])
+    np.testing.assert_allclose(
+        proj, state["feature_projection.projection.weight"].T, atol=1e-6)
+
+    with pytest.raises(NotImplementedError):
+        ToTaToNet(use_wavlm=True)
