@@ -54,3 +54,17 @@ def test_vbx_prunes_redundant_speakers():
     init[::7] += 3
     gamma, pi = cluster_vbx(init, x, phi, fa=0.3, fb=6.0, max_iters=25)
     assert (pi > 1e-3).sum() <= 4  # redundant speakers decay
+
+
+def test_cluster_vbx_device_gate(monkeypatch):
+    """PYANNOTE_TPU_DEVICE_VBX=1 routes cluster_vbx through the jittable
+    EM and reproduces the numpy result."""
+    x, truth, phi = _toy_problem(seed=4)
+    gamma_np, pi_np = cluster_vbx(truth, x, phi, fa=0.3, fb=1.0,
+                                  max_iters=15)
+    monkeypatch.setenv("PYANNOTE_TPU_DEVICE_VBX", "1")
+    gamma_dev, pi_dev = cluster_vbx(truth, x, phi, fa=0.3, fb=1.0,
+                                    max_iters=15)
+    assert isinstance(gamma_dev, np.ndarray)
+    np.testing.assert_allclose(pi_dev, pi_np, atol=1e-3)
+    assert (gamma_dev.argmax(1) == gamma_np.argmax(1)).mean() == 1.0
