@@ -136,3 +136,13 @@ def test_cli_benchmark_min_duration_off(pipeline_dir, corpus_dir, tmp_path):
     assert rc == 0
     result = yaml.safe_load((out / "min_duration_off.yml").read_text())
     assert 0.0 <= result["min_duration_off"] <= 1.0
+
+
+def test_cli_apply_stdout(pipeline_dir, corpus_dir, capsys):
+    """apply without --into streams RTTM to stdout."""
+    assert main(["apply", str(pipeline_dir),
+                 str(corpus_dir / "f0.wav")]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("SPEAKER f0 1")
+    fields = out.splitlines()[0].split()
+    assert len(fields) == 10  # RTTM column count
