@@ -19,6 +19,7 @@ import struct
 import warnings
 from dataclasses import dataclass
 from pathlib import Path
+from collections.abc import MutableMapping
 from typing import IO, Mapping, Optional, Tuple, Union
 
 import numpy as np
@@ -188,7 +189,10 @@ class Audio:
     @staticmethod
     def validate_file(file: AudioFile) -> Mapping:
         """Normalize AudioFile union to a dict (reference io.py:154)."""
-        if isinstance(file, Mapping):
+        if isinstance(file, MutableMapping):
+            pass            # mutate in place (reference parity: hooks and
+                            # training caches write back into the dict)
+        elif isinstance(file, Mapping):
             file = dict(file)
         elif isinstance(file, (str, Path)):
             file = {"audio": str(file), "uri": Path(file).stem}

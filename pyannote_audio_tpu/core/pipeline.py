@@ -235,7 +235,7 @@ class Pipeline:
 
     def prepare_one(self, file: AudioFile) -> Dict:
         from .io import Audio
-        file = dict(Audio.validate_file(file))
+        file = Audio.validate_file(file)
         for key, preproc in self.__dict__["_preprocessors"].items():
             file[key] = preproc(file)
         return file
@@ -269,6 +269,17 @@ class Pipeline:
                 and not hasattr(file, "read")):
             return self._apply_batch(list(file), hook=hook, **kwargs)
         file = self.prepare_one(file)
+        if hook is not None:
+            # bind the prepared file into every hook call so stateful hooks
+            # (TimingHook/ArtifactHook) can write back into it (parity:
+            # functools.partial(hook, file=file), reference pipeline.py:545)
+            inner, bound = hook, file
+
+            def hook(step_name, step_artifact, file=None, total=None,
+                     completed=None):
+                return inner(step_name, step_artifact,
+                             file=bound if file is None else file,
+                             total=total, completed=completed)
         return self.apply(file, hook=hook, **kwargs)
 
     def _apply_batch(self, files: List[AudioFile],

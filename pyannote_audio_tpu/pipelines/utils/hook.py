@@ -86,10 +86,18 @@ class TimingHook:
         self._timing = {}
         self._current = None
         self._start = time.time()
+        self._file = None
         return self
 
     def __exit__(self, *exc):
-        pass
+        # flush the still-open final stage (otherwise the last step before
+        # the pipeline returns is never accounted for)
+        if self._current is not None and self._file is not None:
+            self._timing[self._current] = \
+                self._timing.get(self._current, 0.0) + \
+                (time.time() - self._start)
+            self._current = None
+            self._file[self.file_key] = dict(self._timing)
 
     def __call__(self, step_name: Text, step_artifact: Any,
                  file: Optional[Mapping] = None, total: Optional[int] = None,
@@ -105,6 +113,7 @@ class TimingHook:
                 self._timing.get(step_name, 0.0) + (now - self._start)
             self._start = now
         if file is not None:
+            self._file = file
             file[self.file_key] = dict(self._timing)
 
 
