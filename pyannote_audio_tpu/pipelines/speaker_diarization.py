@@ -83,11 +83,12 @@ class EmbeddingHotPathMixin:
         module = self._embedding.module
 
         def gather(waveform, starts):
+            from ..core.inference import _dequantize
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
-            return jax.vmap(get_chunk)(starts)            # (B, ch, window)
+            return _dequantize(jax.vmap(get_chunk)(starts))  # (B, ch, win)
 
         def forward(params, chunks, masks):
             frames = module.apply(params, chunks,
@@ -132,8 +133,12 @@ class EmbeddingHotPathMixin:
 
         @jax.jit
         def whole_fbank(waveform):
-            # (channels, T) -> (T_frames, mel), uncentered
-            return fbank(waveform[0] * 32768.0,
+            # (channels, T) -> (T_frames, mel), uncentered. int16 uploads
+            # are already the x32768 kaldi convention; f32 needs the scale.
+            x = waveform[0]
+            x = x.astype(jnp.float32) if x.dtype == jnp.int16 \
+                else x * 32768.0
+            return fbank(x,
                          sample_rate=self._embedding.sample_rate,
                          num_mel_bins=self._embedding.num_mel_bins,
                          frame_length=self._embedding.frame_length,
@@ -223,7 +228,8 @@ class EmbeddingHotPathMixin:
         if padded_len > waveform.shape[1]:
             waveform = np.pad(
                 waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
-        device_waveform = jnp.asarray(waveform)
+        from ..core.inference import _upload_waveform
+        device_waveform = _upload_waveform(waveform)
 
         if self._embedding.module is None:
             self._embedding.build()

@@ -116,3 +116,36 @@ def test_speaker_embedding_pipeline(seg_model, corpus_file):
     vector = pipeline(corpus_file)
     assert vector.shape == (32,)
     assert np.isfinite(vector).all()
+
+
+def test_int16_upload_fast_path(seg_model, corpus_file, monkeypatch):
+    """PCM16-decoded waveforms ship as int16 (half the relay bytes) with
+    bit-exact results; float-valued waveforms fall back to f32."""
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.core.inference import (_dequantize,
+                                                   _upload_waveform)
+
+    # PCM16-derived values: exactly i/32768
+    w = (np.arange(-5, 6, dtype=np.float32) / 32768.0)[None]
+    up = _upload_waveform(w)
+    assert up.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(_dequantize(up)), w)
+
+    # non-representable values keep f32
+    w2 = np.array([[0.1, 0.2]], np.float32)
+    assert _upload_waveform(w2).dtype == jnp.float32
+
+    # gate off -> always f32
+    monkeypatch.setenv("PYANNOTE_TPU_INT16_UPLOAD", "0")
+    assert _upload_waveform(w).dtype == jnp.float32
+    monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD")
+
+    # end-to-end equivalence on a real PCM16 file
+    inference = pat.Inference(seg_model, duration=5.0, step=2.5,
+                              batch_size=8)
+    out_fast = inference(dict(corpus_file))
+    monkeypatch.setenv("PYANNOTE_TPU_INT16_UPLOAD", "0")
+    inference2 = pat.Inference(seg_model, duration=5.0, step=2.5,
+                               batch_size=8)
+    out_f32 = inference2(dict(corpus_file))
+    np.testing.assert_array_equal(out_fast.data, out_f32.data)
