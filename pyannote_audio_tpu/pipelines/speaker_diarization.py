@@ -228,8 +228,10 @@ class EmbeddingHotPathMixin:
         if padded_len > waveform.shape[1]:
             waveform = np.pad(
                 waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
-        from ..core.inference import _upload_waveform
-        device_waveform = _upload_waveform(waveform)
+        from collections.abc import MutableMapping
+        from ..core.inference import _upload_waveform_cached
+        cache = file if isinstance(file, MutableMapping) else None
+        device_waveform = _upload_waveform_cached(waveform, cache)
 
         if self._embedding.module is None:
             self._embedding.build()

@@ -149,3 +149,38 @@ def test_int16_upload_fast_path(seg_model, corpus_file, monkeypatch):
                                batch_size=8)
     out_f32 = inference2(dict(corpus_file))
     np.testing.assert_array_equal(out_fast.data, out_f32.data)
+
+
+def test_device_waveform_cache_shared_across_stages(seg_model, tmp_path):
+    """Segmentation and embedding stages reuse one device upload when the
+    padded shapes agree; results unchanged."""
+    import pyannote_audio_tpu.core.inference as I
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+    file = default_two_speaker_file(tmp_path / "c.wav")
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    calls = []
+    real = I._upload_waveform
+    I._upload_waveform = lambda w: calls.append(w.shape) or real(w)
+    try:
+        f = dict(file)
+        out_cached = pipeline(f)
+        assert "_device_waveform" in f
+        uploads_with_cache = len(calls)
+        # cache affects only transfer count, not the result
+        out_plain = pipeline(dict(file))
+    finally:
+        I._upload_waveform = real
+    assert uploads_with_cache == 1  # single shared upload for both stages
+    assert out_cached.speaker_diarization.labels() == \
+        out_plain.speaker_diarization.labels()
