@@ -32,7 +32,8 @@ from ..ops.aggregate import aggregate_scores
 from ..ops.powerset import Powerset
 from .io import Audio, AudioFile
 from .model import Model, Resolution, Specifications
-from .segment import Segment, SlidingWindow, SlidingWindowFeature
+from .segment import (DeviceSlidingWindowFeature, Segment, SlidingWindow,
+                      SlidingWindowFeature)
 
 
 
@@ -69,13 +70,19 @@ def _upload_waveform_cached(waveform: np.ndarray, cache) -> jnp.ndarray:
     The diarization pipeline uploads the same (padded) waveform twice —
     once for segmentation, once for embeddings (~0.5 s per 10-min file
     each over the relay). Stages share one upload by caching the device
-    buffer in the file dict, keyed by shape + a sparse content probe.
+    buffer in the file dict, keyed by shape + a full float64 checksum
+    (one pass, ~5 ms per audio-hour — small next to the int16
+    representability scan — and unlike the old 4-point probe it cannot
+    miss a mutated waveform in a reused file dict) plus a strided
+    abs-sum to catch sign-flip mutations.
     """
     if cache is None:
         return _upload_waveform(waveform)
     n = waveform.shape[-1]
-    probe_idx = (0, n // 3, (2 * n) // 3, n - 1) if n >= 4 else (0,)
-    probe = tuple(float(waveform[0, i]) for i in probe_idx)
+    stride = max(1, n // 4096)
+    probe = (float(waveform.sum(dtype=np.float64)),
+             float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
+             float(waveform[0, 0]), float(waveform[0, n - 1]))
     key = (waveform.shape, str(waveform.dtype), probe)
     hit = cache.get("_device_waveform")
     if hit is not None and hit[0] == key:
@@ -301,7 +308,10 @@ class Inference:
             return SlidingWindowFeature(np.asarray(scores), chunk_window)
 
         if self.skip_aggregation or spec.permutation_invariant:
-            return SlidingWindowFeature(np.asarray(scores), chunk_window)
+            # diarization hot path: scores stay in HBM so counting,
+            # embedding masks and reconstruction run on device
+            # (ops/diarize_fused.py); host access stays lazy
+            return DeviceSlidingWindowFeature(scores, chunk_window)
 
         if self.pre_aggregation_hook is not None:
             scores = jnp.asarray(

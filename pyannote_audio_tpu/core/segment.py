@@ -316,3 +316,53 @@ class SlidingWindowFeature:
     def __repr__(self) -> str:
         return (f"<SlidingWindowFeature shape={self.data.shape} "
                 f"window={self.sliding_window!r}>")
+
+
+class DeviceSlidingWindowFeature(SlidingWindowFeature):
+    """SlidingWindowFeature whose data lives on device (HBM).
+
+    The diarization hot path keeps segmentation scores on device across
+    counting / embedding masking / reconstruction (one host sync at most,
+    and only if some consumer actually reads ``.data``). Host access stays
+    transparent: the first ``.data`` read downloads and caches the array.
+
+    ``device_data`` may be padded along the chunk axis (static-shape
+    bucketing); ``num_valid`` is the real chunk count.
+    """
+
+    def __init__(self, device_data, sliding_window: SlidingWindow,
+                 labels=None, num_valid: Optional[int] = None):
+        self.device_data = device_data
+        self.sliding_window = sliding_window
+        self.labels = labels
+        self.num_valid = (int(device_data.shape[0])
+                          if num_valid is None else int(num_valid))
+        self._host_data: Optional[np.ndarray] = None
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._host_data is None:
+            self._host_data = np.asarray(
+                self.device_data)[:self.num_valid]
+        return self._host_data
+
+    @data.setter
+    def data(self, value) -> None:
+        self._host_data = np.asarray(value)
+        self.num_valid = len(self._host_data)
+
+    def __len__(self) -> int:
+        return self.num_valid
+
+    @property
+    def extent(self) -> Segment:
+        return Segment(
+            self.sliding_window[0].start,
+            self.sliding_window[self.num_valid - 1].end,
+        )
+
+    def __repr__(self) -> str:
+        return (f"<DeviceSlidingWindowFeature "
+                f"shape={tuple(self.device_data.shape)} "
+                f"valid={self.num_valid} "
+                f"window={self.sliding_window!r}>")

@@ -1,0 +1,140 @@
+"""Fused on-device diarization post-processing.
+
+The reference runs everything after the segmentation forward on host numpy
+(speaker counting: pipelines/utils/diarization.py:149-185; reconstruction:
+pipelines/speaker_diarization.py:480-528 + utils/diarization.py:220-268),
+paying a device->host download of the full (chunks, frames, speakers)
+score tensor plus two re-uploads for the overlap-add aggregations. Here
+the scores never leave HBM: one dispatch yields the frame-level speaker
+count together with the per-(chunk, speaker) activity statistics that
+clustering needs, a second dispatch yields the count-constrained discrete
+diarization (normal + exclusive variants fused), and only tiny arrays
+cross the relay.
+
+All functions take the chunk axis padded to a bucket (see
+ops/aggregate._bucket) with an explicit ``chunk_mask`` so one executable
+serves many file lengths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .aggregate import overlap_add
+
+
+@partial(jax.jit, static_argnames=("num_output_frames",))
+def fused_count_stats(
+    scores: jnp.ndarray,          # (C_pad, F, S) binarized scores
+    frame_offsets: jnp.ndarray,   # (C_pad,) int32 output-frame offsets
+    chunk_mask: jnp.ndarray,      # (C_pad,) 1.0 real / 0.0 pad
+    num_output_frames: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Speaker count + per-(chunk, speaker) activity stats, one dispatch.
+
+    Returns:
+      count:          (num_output_frames, 1) float32, rint-rounded
+                      instantaneous speaker count (parity:
+                      SpeakerDiarizationMixin.speaker_count with
+                      warm_up=(0, 0), the product path).
+      speaker_frames: (C_pad, S) number of active frames per local speaker
+                      (drives ``inactive_speakers`` and VBx silent-speaker
+                      masking, clustering.py:354).
+      clean_frames:   (C_pad, S) frames where the speaker is active *alone*
+                      (drives BaseClustering.filter_embeddings).
+    """
+    binary = jnp.nan_to_num(scores, nan=0.0)
+    speaker_frames = jnp.sum(binary, axis=1)                    # (C, S)
+    alone = jnp.sum(binary, axis=2, keepdims=True) == 1.0
+    clean_frames = jnp.sum(binary * alone, axis=1)              # (C, S)
+
+    # NaN-propagating sum over speakers (np.sum semantics), then
+    # hamming-free masked overlap-add average + rint
+    summed = jnp.sum(scores, axis=-1, keepdims=True)            # (C, F, 1)
+    ones = jnp.ones((scores.shape[1],), scores.dtype)
+    out_sum, out_w = overlap_add(summed, frame_offsets, chunk_mask, ones,
+                                 num_output_frames)
+    average = out_sum / jnp.maximum(out_w, 1e-12)
+    count = jnp.rint(jnp.where(out_w > 0, average, 0.0))
+    return count, speaker_frames, clean_frames
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "num_output_frames"))
+def fused_reconstruct(
+    scores: jnp.ndarray,          # (C_pad, F, S) segmentation scores
+    hard_clusters: jnp.ndarray,   # (C_pad, S) int32 cluster of each local
+                                  # speaker (negative = discard)
+    frame_offsets: jnp.ndarray,   # (C_pad,) int32
+    chunk_mask: jnp.ndarray,      # (C_pad,)
+    count: jnp.ndarray,           # (num_output_frames,) int32 speaker count
+    num_clusters: int,
+    num_output_frames: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster-max + overlap-add + count-constrained binarization.
+
+    Parity: SpeakerDiarization.reconstruct (cluster-max over local
+    speakers, speaker_diarization.py:480-528) followed by
+    SpeakerDiarizationMixin.to_diarization (skip-average aggregation +
+    keep-top-count binarization, utils/diarization.py:220-268). The
+    exclusive variant (count clipped to 1, speaker_diarization.py:702-713)
+    falls out of the same aggregation for free, so both are returned from
+    one dispatch.
+
+    Returns (binary, exclusive_binary), each (num_output_frames,
+    num_clusters) float32 in {0, 1}.
+    """
+    data = jnp.nan_to_num(scores, nan=-jnp.inf)
+    member = hard_clusters[:, None, :, None] == \
+        jnp.arange(num_clusters, dtype=hard_clusters.dtype)     # (C,1,S,K)
+    masked = jnp.where(member, data[:, :, :, None], -jnp.inf)
+    best = jnp.max(masked, axis=2)                              # (C, F, K)
+    # clusters with no member in a chunk contribute nothing (NaN ->
+    # missing in the reference aggregate; weight 0 here)
+    clustered = jnp.where(jnp.isfinite(best), best, jnp.nan)
+
+    ones = jnp.ones((scores.shape[1],), scores.dtype)
+    out_sum, out_w = overlap_add(clustered, frame_offsets, chunk_mask,
+                                 ones, num_output_frames)
+    # skip_average=True, missing=0.0 (to_diarization semantics)
+    act = jnp.where(out_w > 0, out_sum, 0.0)                    # (F_out, K)
+
+    # keep the count[t] highest-scoring clusters of each frame: a cluster
+    # is active iff its rank (0 = loudest) < count
+    order = jnp.argsort(-act, axis=-1)
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(act.shape[0])[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(num_clusters), act.shape))
+    binary = (ranks < count[:, None]).astype(jnp.float32)
+    exclusive = (ranks < jnp.minimum(count, 1)[:, None]).astype(
+        jnp.float32)
+    return binary, exclusive
+
+
+def make_embedding_masks(
+    scores: jnp.ndarray,          # (C_pad, F, S) binarized scores
+    exclude_overlap: bool,
+    min_num_frames: int,
+) -> jnp.ndarray:
+    """Per-(chunk, speaker) pooling masks, on device.
+
+    Parity: the mask preparation in SpeakerDiarization.get_embeddings
+    (reference speaker_diarization.py:360-400): NaN -> 0, optionally
+    prefer overlap-free frames unless that leaves fewer than
+    ``min_num_frames``. Returns (C_pad, S, F).
+    """
+    @partial(jax.jit, static_argnames=("exclude", "min_frames"))
+    def _masks(scores, exclude: bool, min_frames: int):
+        masks = jnp.nan_to_num(scores, nan=0.0)
+        if exclude:
+            alone = jnp.sum(masks, axis=2, keepdims=True) < 2
+            clean = masks * alone
+            enough = jnp.sum(clean, axis=1, keepdims=True) > min_frames
+            masks = jnp.where(enough, clean, masks)
+        return jnp.transpose(masks, (0, 2, 1))
+
+    return _masks(scores, exclude=exclude_overlap,
+                  min_frames=min_num_frames)

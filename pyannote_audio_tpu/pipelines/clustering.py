@@ -79,10 +79,17 @@ class BaseClustering(Pipeline):
         A speaker must speak *alone* for at least ``min_active_ratio`` of
         the chunk, and its embedding must be NaN-free.
         """
-        seg = segmentations.data
-        _, num_frames, _ = seg.shape
-        alone = np.sum(seg, axis=2, keepdims=True) == 1
-        clean_frames = np.sum(seg * alone, axis=1)       # (chunks, speakers)
+        clean_frames = getattr(segmentations, "precomputed_clean_frames",
+                               None)
+        if clean_frames is not None:
+            # computed on device by ops.diarize_fused.fused_count_stats;
+            # avoids materializing the full score tensor on host
+            num_frames = int(segmentations.device_data.shape[1])
+        else:
+            seg = segmentations.data
+            _, num_frames, _ = seg.shape
+            alone = np.sum(seg, axis=2, keepdims=True) == 1
+            clean_frames = np.sum(seg * alone, axis=1)  # (chunks, speakers)
         active = clean_frames >= min_active_ratio * num_frames
         valid = ~np.any(np.isnan(embeddings), axis=2)
         chunk_idx, speaker_idx = np.where(active & valid)
@@ -351,7 +358,11 @@ class VBxClustering(BaseClustering):
         if constrained:
             # mask silent local speakers below any valid score
             floor = soft.min() - 1.0
-            soft[segmentations.data.sum(axis=1) == 0] = floor
+            speaker_frames = getattr(
+                segmentations, "precomputed_speaker_frames", None)
+            silent = speaker_frames == 0 if speaker_frames is not None \
+                else segmentations.data.sum(axis=1) == 0
+            soft[silent] = floor
             hard = self.constrained_argmax(soft)
         else:
             hard = np.argmax(soft, axis=2)

@@ -78,17 +78,32 @@ class EmbeddingHotPathMixin:
     """
 
     def _make_embedding_batch_fn(self, window_samples: int,
-                                 num_speakers: int):
-        """Split gather (per-length, cheap) from forward (once, heavy)."""
-        module = self._embedding.module
+                                 device_masks: bool = False):
+        """Split gather (per-length, cheap) from forward (once, heavy).
 
-        def gather(waveform, starts):
+        With ``device_masks`` the per-speaker masks live on device as one
+        (C_pad, S, F) array and each batch slice happens inside the gather
+        dispatch — no per-batch host mask upload.
+        """
+        module = self._embedding.module
+        batch_size = self.embedding_batch_size
+
+        def gather_chunks(waveform, starts):
             from ..core.inference import _dequantize
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     waveform, (0, start),
                     (waveform.shape[0], window_samples))
             return _dequantize(jax.vmap(get_chunk)(starts))  # (B, ch, win)
+
+        if device_masks:
+            def gather(waveform, starts, all_masks, batch_start):
+                masks = jax.lax.dynamic_slice_in_dim(
+                    all_masks, batch_start, batch_size, axis=0)
+                return gather_chunks(waveform, starts), masks
+        else:
+            def gather(waveform, starts, masks, batch_start):
+                return gather_chunks(waveform, starts), masks
 
         def forward(params, chunks, masks):
             frames = module.apply(params, chunks,
@@ -103,20 +118,24 @@ class EmbeddingHotPathMixin:
             from jax.sharding import NamedSharding, PartitionSpec as P
             replicated = NamedSharding(self.mesh, P())
             sharded = NamedSharding(self.mesh, P("data"))
-            gather_fn = jax.jit(gather,
-                                in_shardings=(replicated, sharded),
-                                out_shardings=sharded)
+            gather_fn = jax.jit(
+                gather,
+                in_shardings=(replicated, sharded, replicated, replicated),
+                out_shardings=(sharded, sharded))
             forward_fn = jax.jit(
                 forward,
                 in_shardings=(replicated, sharded, sharded),
                 out_shardings=sharded)
 
-        def batch_fn(params, waveform, starts, masks):
-            return forward_fn(params, gather_fn(waveform, starts), masks)
+        def batch_fn(params, waveform, starts, masks, batch_start):
+            chunks, batch_masks = gather_fn(waveform, starts, masks,
+                                            batch_start)
+            return forward_fn(params, chunks, batch_masks)
 
         return batch_fn
 
-    def _make_fbank_embedding_batch_fn(self, window_samples: int):
+    def _make_fbank_embedding_batch_fn(self, window_samples: int,
+                                       device_masks: bool = False):
         """Shared-fbank fast path: fbank once per file, gather frames.
 
         Chunks overlap ~90%, so per-chunk fbank recomputes each frame up
@@ -126,6 +145,7 @@ class EmbeddingHotPathMixin:
         centering happens in frames_from_fbank.
         """
         module = self._embedding.module
+        batch_size = self.embedding_batch_size
         from ..ops.fbank import fbank, fbank_num_frames
         frames_per_chunk = fbank_num_frames(
             window_samples, self._embedding.sample_rate,
@@ -145,12 +165,21 @@ class EmbeddingHotPathMixin:
                          frame_shift=self._embedding.frame_shift,
                          window_type=self._embedding.window_type)
 
-        def gather(feats, frame_starts):
+        def gather_chunks(feats, frame_starts):
             def get_chunk(start):
                 return jax.lax.dynamic_slice(
                     feats, (start, 0),
                     (frames_per_chunk, feats.shape[1]))
             return jax.vmap(get_chunk)(frame_starts)  # (B, T, mel)
+
+        if device_masks:
+            def gather(feats, frame_starts, all_masks, batch_start):
+                masks = jax.lax.dynamic_slice_in_dim(
+                    all_masks, batch_start, batch_size, axis=0)
+                return gather_chunks(feats, frame_starts), masks
+        else:
+            def gather(feats, frame_starts, masks, batch_start):
+                return gather_chunks(feats, frame_starts), masks
 
         def forward(params, chunk_feats, masks):
             frames = module.apply(params, chunk_feats, False,
@@ -165,17 +194,19 @@ class EmbeddingHotPathMixin:
             from jax.sharding import NamedSharding, PartitionSpec as P
             replicated = NamedSharding(self.mesh, P())
             sharded = NamedSharding(self.mesh, P("data"))
-            gather_fn = jax.jit(gather,
-                                in_shardings=(replicated, sharded),
-                                out_shardings=sharded)
+            gather_fn = jax.jit(
+                gather,
+                in_shardings=(replicated, sharded, replicated, replicated),
+                out_shardings=(sharded, sharded))
             forward_fn = jax.jit(
                 forward,
                 in_shardings=(replicated, sharded, sharded),
                 out_shardings=sharded)
 
-        def batch_fn(params, feats, frame_starts, masks):
-            return forward_fn(params, gather_fn(feats, frame_starts),
-                              masks)
+        def batch_fn(params, feats, frame_starts, masks, batch_start):
+            chunks, batch_masks = gather_fn(feats, frame_starts, masks,
+                                            batch_start)
+            return forward_fn(params, chunks, batch_masks)
 
         return whole_fbank, batch_fn
 
@@ -197,22 +228,40 @@ class EmbeddingHotPathMixin:
                     == self.segmentation.threshold):
                 return cache["embeddings"]
 
-        duration = binary_segmentations.sliding_window.duration
-        num_chunks, num_frames, num_speakers = binary_segmentations.data.shape
+        from ..core.segment import DeviceSlidingWindowFeature
+        device_masks = isinstance(binary_segmentations,
+                                  DeviceSlidingWindowFeature)
 
-        masks = np.nan_to_num(binary_segmentations.data, nan=0.0) \
-            .astype(np.float32)                     # (C, F, S)
-        if exclude_overlap:
-            # prefer overlap-free frames unless that leaves too little
-            min_num_samples = 640  # analytically: >=1 trunk frame
-            num_samples = duration * self._embedding.sample_rate
-            min_num_frames = math.ceil(
-                num_frames * min_num_samples / num_samples)
-            alone = (masks.sum(axis=2, keepdims=True) < 2)
-            clean = masks * alone
-            enough = clean.sum(axis=1, keepdims=True) > min_num_frames
-            masks = np.where(enough, clean, masks)
-        masks = np.transpose(masks, (0, 2, 1))      # (C, S, F)
+        duration = binary_segmentations.sliding_window.duration
+        if device_masks:
+            num_chunks = binary_segmentations.num_valid
+            _, num_frames, num_speakers = \
+                binary_segmentations.device_data.shape
+        else:
+            num_chunks, num_frames, num_speakers = \
+                binary_segmentations.data.shape
+
+        # prefer overlap-free frames unless that leaves too little
+        min_num_samples = 640  # analytically: >=1 trunk frame
+        num_samples = duration * self._embedding.sample_rate
+        min_num_frames = math.ceil(
+            num_frames * min_num_samples / num_samples)
+        if device_masks:
+            # masks never leave HBM (ops/diarize_fused.py); batches are
+            # sliced inside the gather dispatch
+            from ..ops.diarize_fused import make_embedding_masks
+            masks = make_embedding_masks(
+                binary_segmentations.device_data[:num_chunks],
+                exclude_overlap, min_num_frames)    # (C, S, F) device
+        else:
+            masks = np.nan_to_num(binary_segmentations.data, nan=0.0) \
+                .astype(np.float32)                 # (C, F, S)
+            if exclude_overlap:
+                alone = (masks.sum(axis=2, keepdims=True) < 2)
+                clean = masks * alone
+                enough = clean.sum(axis=1, keepdims=True) > min_num_frames
+                masks = np.where(enough, clean, masks)
+            masks = np.transpose(masks, (0, 2, 1))  # (C, S, F)
 
         waveform, sample_rate = self._audio(file)
         window_samples = round(duration * sample_rate)
@@ -246,38 +295,57 @@ class EmbeddingHotPathMixin:
             and frame_shift_samples > 0
             and step_samples % frame_shift_samples == 0)
         if shared_fbank:
-            if getattr(self, "_jitted_fbank_embedding", None) is None:
-                self._jitted_fbank_embedding = \
-                    self._make_fbank_embedding_batch_fn(window_samples)
-            whole_fbank, batch_fn = self._jitted_fbank_embedding
+            cache_attr = "_jitted_fbank_embedding_dev" if device_masks \
+                else "_jitted_fbank_embedding"
+            if getattr(self, cache_attr, None) is None:
+                setattr(self, cache_attr,
+                        self._make_fbank_embedding_batch_fn(
+                            window_samples, device_masks=device_masks))
+            whole_fbank, batch_fn = getattr(self, cache_attr)
             device_input = whole_fbank(device_waveform)
             starts_for_batch = (starts // frame_shift_samples).astype(
                 np.int32)
         else:
-            if self._jitted_embedding_batch is None:
-                self._jitted_embedding_batch = \
-                    self._make_embedding_batch_fn(window_samples,
-                                                  num_speakers)
-            batch_fn = self._jitted_embedding_batch
+            cache_attr = "_jitted_embedding_batch_dev" if device_masks \
+                else "_jitted_embedding_batch"
+            if getattr(self, cache_attr, None) is None:
+                setattr(self, cache_attr,
+                        self._make_embedding_batch_fn(
+                            window_samples, device_masks=device_masks))
+            batch_fn = getattr(self, cache_attr)
             device_input = device_waveform
             starts_for_batch = starts
 
         B = self.embedding_batch_size
         num_batches = math.ceil(num_chunks / B)
+        if device_masks:
+            # one padded (C_pad, S, F) device array; per-batch slices
+            # happen inside the gather dispatch
+            pad_chunks = num_batches * B - masks.shape[0]
+            all_masks = jnp.pad(masks, ((0, pad_chunks), (0, 0), (0, 0))) \
+                if pad_chunks else masks
         out = []
         if hook is not None:
             hook("embeddings", None, total=num_batches, completed=0)
         for b in range(num_batches):
             batch_starts = starts_for_batch[b * B:(b + 1) * B]
-            batch_masks = masks[b * B:(b + 1) * B]
             n_real = len(batch_starts)
             if n_real < B:
                 batch_starts = np.pad(batch_starts, (0, B - n_real))
-                batch_masks = np.pad(
-                    batch_masks, ((0, B - n_real), (0, 0), (0, 0)))
-            emb = batch_fn(
-                self._embedding.params, device_input,
-                jnp.asarray(batch_starts), jnp.asarray(batch_masks))
+            if device_masks:
+                emb = batch_fn(
+                    self._embedding.params, device_input,
+                    jnp.asarray(batch_starts), all_masks,
+                    np.int32(b * B))
+            else:
+                batch_masks = masks[b * B:(b + 1) * B]
+                if n_real < B:
+                    batch_masks = np.pad(
+                        batch_masks, ((0, B - n_real), (0, 0), (0, 0)))
+                emb = batch_fn(
+                    self._embedding.params, device_input,
+                    jnp.asarray(batch_starts), jnp.asarray(batch_masks),
+                    np.int32(0))
             # keep on device: a host sync here would serialize the batch
             # pipeline; one transfer happens after the loop
             out.append(emb[:n_real])
@@ -421,6 +489,117 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             file[self.CACHED_SEGMENTATION] = segmentations
         return segmentations
 
+    # -- fused device post-processing ---------------------------------------
+
+    @staticmethod
+    def _aggregation_grid(chunk_window: SlidingWindow,
+                          frames: SlidingWindow, num_chunks: int):
+        """Output frame grid of Inference.aggregate, precomputed on host.
+
+        Mirrors the offset math of Inference.aggregate (reference
+        inference.py:532-543) bit-for-bit: same op order as
+        SlidingWindow.closest_frame.
+        """
+        window = SlidingWindow(start=chunk_window.start,
+                               duration=frames.duration, step=frames.step)
+        t = chunk_window.start + np.arange(num_chunks) * chunk_window.step
+        offsets = np.rint(
+            (t + 0.5 * frames.duration - window.start
+             - 0.5 * window.duration) / window.step).astype(np.int32)
+        num_output_frames = window.closest_frame(
+            chunk_window.start + chunk_window.duration
+            + (num_chunks - 1) * chunk_window.step
+            + 0.5 * frames.duration) + 1
+        return offsets, num_output_frames, window
+
+    def _device_count_stats(self, binarized: SlidingWindowFeature):
+        """Fused on-device speaker count + activity stats, one host sync.
+
+        Replaces the host trim->sum->aggregate->rint of speaker_count
+        (warm_up=(0,0), the product path) plus the host reductions that
+        feed clustering (filter_embeddings clean frames, inactive/silent
+        speaker masks) — the full score tensor never leaves HBM.
+        """
+        from ..ops.aggregate import _bucket
+        from ..ops.diarize_fused import fused_count_stats
+
+        frames = self._segmentation.model.receptive_field
+        chunk_window = binarized.sliding_window
+        num_chunks = binarized.num_valid
+        dev = binarized.device_data[:num_chunks]
+
+        offsets, num_output_frames, window = self._aggregation_grid(
+            chunk_window, frames, num_chunks)
+
+        C_pad = _bucket(num_chunks, 256)
+        if C_pad > num_chunks:
+            dev = jnp.pad(dev, ((0, C_pad - num_chunks), (0, 0), (0, 0)))
+        chunk_mask = np.zeros(C_pad, np.float32)
+        chunk_mask[:num_chunks] = 1.0
+        offsets_padded = np.pad(offsets, (0, C_pad - num_chunks))
+        F_bucket = _bucket(num_output_frames, 4096)
+
+        count_dev, speaker_frames_dev, clean_frames_dev = \
+            fused_count_stats(dev, jnp.asarray(offsets_padded),
+                              jnp.asarray(chunk_mask), F_bucket)
+        count = np.asarray(count_dev)[:num_output_frames]
+        speaker_frames = np.asarray(speaker_frames_dev)[:num_chunks]
+        clean_frames = np.asarray(clean_frames_dev)[:num_chunks]
+
+        count_swf = SlidingWindowFeature(count.astype(np.uint8), window)
+        return (count_swf, speaker_frames, clean_frames, offsets,
+                num_output_frames)
+
+    def _device_reconstruct(
+        self,
+        segmentations: SlidingWindowFeature,
+        hard_clusters: np.ndarray,
+        count: SlidingWindowFeature,
+        offsets: np.ndarray,
+        num_output_frames: int,
+    ):
+        """Fused reconstruct: normal + exclusive variants, one dispatch.
+
+        Parity: reconstruct + to_diarization for both count variants
+        (apply steps at reference speaker_diarization.py:688-713).
+        """
+        from ..ops.aggregate import _bucket
+        from ..ops.diarize_fused import fused_reconstruct
+
+        num_chunks = segmentations.num_valid
+        dev = segmentations.device_data[:num_chunks]
+        C_pad = _bucket(num_chunks, 256)
+        if C_pad > num_chunks:
+            dev = jnp.pad(dev, ((0, C_pad - num_chunks), (0, 0), (0, 0)))
+        chunk_mask = np.zeros(C_pad, np.float32)
+        chunk_mask[:num_chunks] = 1.0
+        offsets_padded = np.pad(offsets, (0, C_pad - num_chunks))
+
+        hard = np.asarray(hard_clusters, dtype=np.int32)
+        hard_padded = np.full((C_pad, hard.shape[1]), -2, dtype=np.int32)
+        hard_padded[:num_chunks] = hard
+
+        cnt = np.asarray(count.data).reshape(-1).astype(np.int32)
+        n = min(num_output_frames, len(cnt))
+        F_bucket = _bucket(num_output_frames, 4096)
+        cnt_padded = np.zeros(F_bucket, dtype=np.int32)
+        cnt_padded[:n] = cnt[:n]
+
+        # like the host path, pad clusters up to the max count so the
+        # rank-vs-count binarization can activate that many columns
+        num_clusters = max(int(hard.max()) + 1,
+                           int(cnt.max()) if len(cnt) else 0, 1)
+
+        binary, exclusive = fused_reconstruct(
+            dev, jnp.asarray(hard_padded), jnp.asarray(offsets_padded),
+            jnp.asarray(chunk_mask), jnp.asarray(cnt_padded),
+            num_clusters, F_bucket)
+        binary = np.asarray(binary)[:n]
+        exclusive = np.asarray(exclusive)[:n]
+        window = count.sliding_window
+        return (SlidingWindowFeature(binary, window),
+                SlidingWindowFeature(exclusive, window))
+
     # -- reconstruction ----------------------------------------------------
 
     def reconstruct(
@@ -488,10 +667,23 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                 segmentations, onset=self.segmentation.threshold,
                 initial_state=False)
 
-        count = self.speaker_count(
-            binarized_segmentations,
-            self._segmentation.model.receptive_field,
-            warm_up=(0.0, 0.0))
+        from ..core.segment import DeviceSlidingWindowFeature
+        device_fast = isinstance(binarized_segmentations,
+                                 DeviceSlidingWindowFeature)
+        if device_fast:
+            (count, speaker_frames, _clean_frames, agg_offsets,
+             agg_num_frames) = self._device_count_stats(
+                binarized_segmentations)
+            # clustering consumes these instead of re-reducing the full
+            # score tensor on host (see BaseClustering.filter_embeddings)
+            binarized_segmentations.precomputed_speaker_frames = \
+                speaker_frames
+            binarized_segmentations.precomputed_clean_frames = _clean_frames
+        else:
+            count = self.speaker_count(
+                binarized_segmentations,
+                self._segmentation.model.receptive_field,
+                warm_up=(0.0, 0.0))
         hook("speaker_counting", count)
 
         # early exit on silent files
@@ -535,26 +727,46 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
 
         count.data = np.minimum(count.data, max_speakers).astype(np.int8)
 
-        inactive_speakers = \
-            np.sum(binarized_segmentations.data, axis=1) == 0
+        if device_fast:
+            inactive_speakers = speaker_frames == 0
+        else:
+            inactive_speakers = \
+                np.sum(binarized_segmentations.data, axis=1) == 0
         hard_clusters[inactive_speakers] = -2
 
-        discrete_diarization = self.reconstruct(
-            segmentations, hard_clusters, count)
-        hook("discrete_diarization", discrete_diarization)
-        diarization = self.to_annotation(
-            discrete_diarization, min_duration_on=0.0,
-            min_duration_off=self.segmentation.min_duration_off)
-        diarization.uri = file["uri"]
+        if device_fast:
+            # one dispatch produces both the normal and the exclusive
+            # discrete diarization; scores never leave HBM
+            discrete_diarization, exclusive_discrete = \
+                self._device_reconstruct(segmentations, hard_clusters,
+                                         count, agg_offsets,
+                                         agg_num_frames)
+            hook("discrete_diarization", discrete_diarization)
+            diarization = self.to_annotation(
+                discrete_diarization, min_duration_on=0.0,
+                min_duration_off=self.segmentation.min_duration_off)
+            diarization.uri = file["uri"]
+            exclusive_diarization = self.to_annotation(
+                exclusive_discrete, min_duration_on=0.0,
+                min_duration_off=self.segmentation.min_duration_off)
+            exclusive_diarization.uri = file["uri"]
+        else:
+            discrete_diarization = self.reconstruct(
+                segmentations, hard_clusters, count)
+            hook("discrete_diarization", discrete_diarization)
+            diarization = self.to_annotation(
+                discrete_diarization, min_duration_on=0.0,
+                min_duration_off=self.segmentation.min_duration_off)
+            diarization.uri = file["uri"]
 
-        # exclusive variant: at most one active speaker at a time
-        count.data = np.minimum(count.data, 1).astype(np.int8)
-        exclusive_discrete = self.reconstruct(
-            segmentations, hard_clusters, count)
-        exclusive_diarization = self.to_annotation(
-            exclusive_discrete, min_duration_on=0.0,
-            min_duration_off=self.segmentation.min_duration_off)
-        exclusive_diarization.uri = file["uri"]
+            # exclusive variant: at most one active speaker at a time
+            count.data = np.minimum(count.data, 1).astype(np.int8)
+            exclusive_discrete = self.reconstruct(
+                segmentations, hard_clusters, count)
+            exclusive_diarization = self.to_annotation(
+                exclusive_discrete, min_duration_on=0.0,
+                min_duration_off=self.segmentation.min_duration_off)
+            exclusive_diarization.uri = file["uri"]
 
         if "annotation" in file and file["annotation"]:
             _, mapping = self.optimal_mapping(

@@ -118,8 +118,11 @@ class SpeakerDiarizationMixin:
         cnt = count.data[:n].reshape(-1)
 
         # keep the cnt[t] highest-scoring speakers of each frame:
-        # rank of each speaker (0 = loudest) < count  -> active
-        order = np.argsort(-act, axis=-1)
+        # rank of each speaker (0 = loudest) < count  -> active.
+        # stable sort: ties break by speaker index, deterministically and
+        # identically to the on-device jnp.argsort in ops/diarize_fused.py
+        # (the reference leaves tie order unspecified)
+        order = np.argsort(-act, axis=-1, kind="stable")
         ranks = np.empty_like(order)
         np.put_along_axis(ranks, order,
                           np.broadcast_to(np.arange(act.shape[1]),

@@ -78,7 +78,10 @@ def test_pipeline_uses_shared_fbank(tmp_path):
     segs = pipeline.get_segmentations(prep)
 
     fast = pipeline.get_embeddings(prep, segs)
-    assert pipeline._jitted_fbank_embedding is not None  # fast path taken
+    # fast path taken (device-mask variant when scores stayed on device)
+    assert (getattr(pipeline, "_jitted_fbank_embedding", None) is not None
+            or getattr(pipeline, "_jitted_fbank_embedding_dev", None)
+            is not None)
 
     emb_fallback = TinyWeSpeaker()
     emb_fallback.build()
@@ -92,4 +95,5 @@ def test_pipeline_uses_shared_fbank(tmp_path):
     segs2 = pipeline2.get_segmentations(prep2)
     slow = pipeline2.get_embeddings(prep2, segs2)
     assert getattr(pipeline2, "_jitted_fbank_embedding", None) is None
+    assert getattr(pipeline2, "_jitted_fbank_embedding_dev", None) is None
     assert np.isfinite(fast).all() and np.isfinite(slow).all()
