@@ -45,6 +45,7 @@ def create_rng_for_worker(seed: int, epoch: int = 0, worker_id: int = 0,
 class TrainingBatch:
     X: np.ndarray                       # (batch, channels, samples)
     y: Optional[np.ndarray] = None      # task-dependent target
+    weight: Optional[np.ndarray] = None  # (batch, frames, 1) loss weight
     meta: Optional[Dict] = None
 
 
@@ -185,11 +186,13 @@ class Task:
     def collate(self, chunks: List[Dict]) -> TrainingBatch:
         X = np.stack([c["X"] for c in chunks])
         y = np.stack([c["y"] for c in chunks]) if "y" in chunks[0] else None
+        weight = np.stack([c["weight"] for c in chunks]) \
+            if "weight" in chunks[0] else None
         # registered batch augmentations (parity: collate_fn applies
         # torch_audiomentations on the batch, mixins.py:202-243)
         from ..augmentation.registry import apply_augmentations
         X, y = apply_augmentations(X, y, when="input")
-        return TrainingBatch(X=X, y=y)
+        return TrainingBatch(X=X, y=y, weight=weight)
 
     def train_batches(self, epoch: int = 0, worker_id: int = 0,
                       rank: int = 0) -> Iterator[TrainingBatch]:

@@ -26,6 +26,57 @@ from ..utils.database import Protocol
 class SegmentationTaskMixin(Task):
     """Shared chunk preparation for frame-level tasks."""
 
+    #: name of the file key carrying per-frame loss weights (reference
+    #: threads it through utils/loss.py:32 interpolation); None = unweighted
+    weight: Optional[Text] = None
+
+    def chunk_weight(self, file: Dict, chunk: Segment
+                     ) -> Optional[np.ndarray]:
+        """(frames, 1) per-frame loss weight cropped from file[self.weight].
+
+        The key may hold a SlidingWindowFeature (cropped to the chunk) or a
+        plain array covering the whole file at the task frame rate.
+        """
+        if self.weight is None:
+            return None
+        values = file.get(self.weight)
+        if values is None:
+            return None
+        from ..core.segment import SlidingWindowFeature
+        if isinstance(values, SlidingWindowFeature):
+            data = values.crop(chunk, fixed=chunk.duration)
+        else:
+            data = np.asarray(values, dtype=np.float32)
+        data = np.nan_to_num(np.asarray(data, dtype=np.float32), nan=0.0)
+        if data.ndim == 1:
+            data = data[:, None]
+        return data[:, :1]
+
+    def loss_weight(self, batch, num_frames: int):
+        """(B, num_frames, 1) loss weight, or None when unweighted.
+
+        Combines the per-frame ``weight`` batch entry (nearest-interpolated
+        to the prediction resolution) with warm-up masking: frames inside
+        the warm-up regions never contribute to the loss (parity:
+        common_step, reference core/task.py:732-773).
+        """
+        left = round(self.warm_up[0] / self.duration * num_frames)
+        right = round(self.warm_up[1] / self.duration * num_frames)
+        w = batch.weight
+        if w is None and left == 0 and right == 0:
+            return None
+        if w is None:
+            w = jnp.ones((batch.X.shape[0], num_frames, 1), jnp.float32)
+        else:
+            from ..ops.losses import interpolate_weight
+            w = interpolate_weight(
+                jnp.asarray(np.asarray(w, dtype=np.float32)), num_frames)
+        if left > 0:
+            w = w.at[:, :left].set(0.0)
+        if right > 0:
+            w = w.at[:, num_frames - right:].set(0.0)
+        return w
+
     def frame_targets(self, file: Dict, chunk: Segment,
                       labels: Sequence[Text]) -> np.ndarray:
         """Discretize file['annotation'] over the chunk at frame resolution."""
@@ -57,8 +108,9 @@ class VoiceActivityDetection(SegmentationTaskMixin):
     """Binary speech/non-speech (parity: voice_activity_detection.py:35)."""
 
     def __init__(self, protocol: Protocol, duration: float = 2.0,
-                 balance=None, weight=None, **kwargs):
+                 balance=None, weight: Optional[Text] = None, **kwargs):
         super().__init__(protocol, duration=duration, **kwargs)
+        self.weight = weight
 
     def setup(self, model=None) -> None:
         super().setup(model)
@@ -75,20 +127,28 @@ class VoiceActivityDetection(SegmentationTaskMixin):
         speech = self.frame_targets(
             file, chunk, file["annotation"].labels()).max(
                 axis=1, keepdims=True)
-        return {"X": X, "y": speech}
+        out = {"X": X, "y": speech}
+        w = self.chunk_weight(file, chunk)
+        if w is not None:
+            out["weight"] = w
+        return out
 
     def loss(self, model, params, batch):
         pred = model.apply_fn(params, jnp.asarray(batch.X))
-        return binary_cross_entropy(pred, jnp.asarray(batch.y))
+        return binary_cross_entropy(pred, jnp.asarray(batch.y),
+                                    weight=self.loss_weight(
+                                        batch, pred.shape[1]))
 
 
 class MultiLabelSegmentation(SegmentationTaskMixin):
     """Generic K-class frame classification (parity: multilabel.py:40)."""
 
     def __init__(self, protocol: Protocol, classes: Optional[List[Text]] = None,
-                 duration: float = 2.0, **kwargs):
+                 duration: float = 2.0, weight: Optional[Text] = None,
+                 **kwargs):
         super().__init__(protocol, duration=duration, **kwargs)
         self.classes = classes
+        self.weight = weight
 
     def setup(self, model=None) -> None:
         super().setup(model)
@@ -106,12 +166,18 @@ class MultiLabelSegmentation(SegmentationTaskMixin):
         )
 
     def prepare_chunk(self, file: Dict, chunk: Segment, rng) -> Dict:
-        return {"X": self.crop_waveform(file, chunk),
-                "y": self.frame_targets(file, chunk, self.classes)}
+        out = {"X": self.crop_waveform(file, chunk),
+               "y": self.frame_targets(file, chunk, self.classes)}
+        w = self.chunk_weight(file, chunk)
+        if w is not None:
+            out["weight"] = w
+        return out
 
     def loss(self, model, params, batch):
         pred = model.apply_fn(params, jnp.asarray(batch.X))
-        return binary_cross_entropy(pred, jnp.asarray(batch.y))
+        return binary_cross_entropy(pred, jnp.asarray(batch.y),
+                                    weight=self.loss_weight(
+                                        batch, pred.shape[1]))
 
 
 class SpeakerDiarization(SegmentationTaskMixin):
@@ -130,9 +196,11 @@ class SpeakerDiarization(SegmentationTaskMixin):
         max_speakers_per_chunk: Optional[int] = None,
         max_speakers_per_frame: Optional[int] = 2,
         weigh_by_cardinality: bool = False,
+        weight: Optional[Text] = None,
         **kwargs,
     ):
         super().__init__(protocol, duration=duration, **kwargs)
+        self.weight = weight
         self.max_speakers_per_chunk = max_speakers_per_chunk
         self.max_speakers_per_frame = max_speakers_per_frame
         self.weigh_by_cardinality = weigh_by_cardinality
@@ -193,7 +261,11 @@ class SpeakerDiarization(SegmentationTaskMixin):
             y = y[:, talkative]
         if y.shape[1] < K:
             y = np.pad(y, ((0, 0), (0, K - y.shape[1])))
-        return {"X": X, "y": y}
+        out = {"X": X, "y": y}
+        w = self.chunk_weight(file, chunk)
+        if w is not None:
+            out["weight"] = w
+        return out
 
     def loss(self, model, params, batch):
         log_probs = model.apply_fn(params, jnp.asarray(batch.X))
@@ -201,5 +273,7 @@ class SpeakerDiarization(SegmentationTaskMixin):
             if self.weigh_by_cardinality else None
         loss, _ = powerset_pit_loss(log_probs, jnp.asarray(batch.y),
                                     self.powerset,
+                                    weight=self.loss_weight(
+                                        batch, log_probs.shape[1]),
                                     class_weight=class_weight)
         return loss

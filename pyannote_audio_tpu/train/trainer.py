@@ -62,13 +62,21 @@ def make_train_step(task: Task, model: Model, optimizer,
             return leaf
         return jax.tree_util.tree_map_with_path(mask, updates)
 
-    def step_fn(params, opt_state, X, y):
+    def step_fn(params, opt_state, X, y, w):
         def loss_fn(p):
-            return task.loss(model, p, TrainingBatch(X=X, y=y))
+            return task.loss(model, p, TrainingBatch(X=X, y=y, weight=w))
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, _freeze(updates))
-        return params, opt_state, loss
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, _freeze(updates))
+        # NaN-loss batch skip (parity: reference
+        # tasks/segmentation/speaker_diarization.py:425-433,
+        # embedding/mixins.py:231-233): a non-finite loss leaves params
+        # and optimizer state untouched, branch-free under jit
+        good = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new, old)
+        return keep(new_params, params), keep(new_opt_state, opt_state), \
+            loss
 
     if mesh is None:
         return jax.jit(step_fn)
@@ -77,7 +85,8 @@ def make_train_step(task: Task, model: Model, optimizer,
     batch_sharded = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
-        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded,
+                      batch_sharded),
         out_shardings=(replicated, replicated, replicated),
     )
 
@@ -158,10 +167,20 @@ class Trainer:
                     break
                 y = batch.y if batch.y is not None else np.zeros(
                     (len(batch.X), 1), np.float32)
+                w = None if batch.weight is None \
+                    else jnp.asarray(batch.weight)
                 params, opt, loss = step_fn(params, opt,
                                             jnp.asarray(batch.X),
-                                            jnp.asarray(y))
-                losses.append(float(loss))
+                                            jnp.asarray(y), w)
+                loss = float(loss)
+                if math.isfinite(loss):
+                    losses.append(loss)
+                else:
+                    # params/opt were left untouched by the jitted step
+                    import warnings
+                    warnings.warn(
+                        f"skipped batch {i} of epoch {epoch}: "
+                        f"non-finite loss {loss}")
             record = {"epoch": epoch,
                       "loss": float(np.mean(losses)) if losses else np.nan}
             record.update(self.validate(model, task, params))
@@ -176,27 +195,31 @@ class Trainer:
         return model
 
 
-    def validate(self, model: Model, task: Task, params) -> Dict:
-        """Validation pass: frame-level DER (diarization) or val loss.
+    def validate(self, model: Model, task: Task, params,
+                 max_chunks: int = 32) -> Dict:
+        """Validation pass: DER component family (diarization) or AUROC.
 
         Parity role: the reference's validation_step family
-        (tasks/segmentation/speaker_diarization.py:487-571 DER metrics,
-        mixins.py:302-437 AUROC) — reduced to the headline metric.
+        (tasks/segmentation/speaker_diarization.py:487-571 DER metric
+        family incl. components and optimal threshold, mixins.py:302-437
+        AUROC). ``max_chunks`` caps per-epoch validation cost (None/0 =
+        use every chunk).
         """
         chunks = getattr(task, "prepare_validation", lambda: [])()
         if not chunks:
             return {}
-        from ..metrics.streaming import DiarizationErrorRate
+        from ..metrics.streaming import (DiarizationErrorRate,
+                                         FalseAlarmRate,
+                                         MissedDetectionRate,
+                                         OptimalDiarizationErrorRate,
+                                         SpeakerConfusionRate)
         from ..ops.powerset import Powerset
 
         powerset: Optional[Powerset] = getattr(task, "_powerset", None)
-        metric = DiarizationErrorRate()
-        losses = []
         model_params = {k: v for k, v in params.items()
                         if k in model.params.keys()} \
             if isinstance(params, dict) else params
-        # cap validation cost: at most 32 chunks per epoch
-        step = max(1, len(chunks) // 32)
+        step = max(1, len(chunks) // max_chunks) if max_chunks else 1
         batch_X, batch_y = [], []
         for file, chunk in chunks[::step]:
             try:
@@ -211,16 +234,27 @@ class Trainer:
         if not batch_X:
             return {}
         X = jnp.asarray(np.stack(batch_X))
-        if not hasattr(self, "_val_apply"):
+        # the jitted apply is keyed on the module instance: a rebuilt
+        # model (new head) must not reuse a stale executable
+        if getattr(self, "_val_apply_key", None) is not model.module:
             self._val_apply = jax.jit(model.apply_fn)
+            self._val_apply_key = model.module
         preds = self._val_apply(model_params, X)
         out: Dict = {}
         if powerset is not None and batch_y[0] is not None:
             multilabel = powerset.to_multilabel(preds)
             y = np.stack(batch_y)
             n = min(multilabel.shape[1], y.shape[1])
-            metric.update(np.asarray(multilabel)[:, :n], y[:, :n])
-            out["der/val"] = metric.compute()
+            p = np.asarray(multilabel)[:, :n]
+            t = y[:, :n]
+            for name, metric in (
+                    ("der/val", DiarizationErrorRate()),
+                    ("der/val/false_alarm", FalseAlarmRate()),
+                    ("der/val/missed_detection", MissedDetectionRate()),
+                    ("der/val/confusion", SpeakerConfusionRate()),
+                    ("der/val/optimal", OptimalDiarizationErrorRate())):
+                metric.update(p, t)
+                out[name] = metric.compute()
         elif batch_y[0] is not None and np.asarray(preds).ndim == 3:
             # VAD / multilabel: frame-level AUROC
             # (parity: mixins.py:302-437)
@@ -231,14 +265,10 @@ class Trainer:
             auroc = BinnedAUROC()
             auroc.update(p[:, :n], y[:, :n])
             out["auroc/val"] = auroc.compute()
-        try:
+        if batch_y[0] is not None:
             out["loss/val"] = float(task.loss(
                 model, params,
-                TrainingBatch(X=np.stack(batch_X),
-                              y=None if batch_y[0] is None
-                              else np.stack(batch_y))))
-        except Exception:
-            pass
+                TrainingBatch(X=np.stack(batch_X), y=np.stack(batch_y))))
         return out
 
 

@@ -299,3 +299,130 @@ def test_unknown_specifications_error(protocol):
     model.task = task
     with pytest.raises(UnknownSpecificationsError):
         _ = model.specifications
+
+
+# ------------------------------------------------- loss weighting / warm-up
+
+class _FrameLogitModel:
+    """Stub model: per-frame predictions = sigmoid(params), (B, F, 1)."""
+
+    def __init__(self, num_frames):
+        self.num_frames = num_frames
+
+    def apply_fn(self, params, X):
+        return jnp.broadcast_to(
+            jax.nn.sigmoid(params)[None, :, None],
+            (X.shape[0], self.num_frames, 1))
+
+
+def test_warm_up_frames_do_not_affect_gradients(protocol):
+    """Loss gradients are zero inside warm-up regions (ref task.py:732)."""
+    from pyannote_audio_tpu.core.task import TrainingBatch
+
+    duration, num_frames = 2.0, 20
+    task = VoiceActivityDetection(protocol, duration=duration,
+                                  warm_up=0.5)   # 0.5 s -> 5 frames/side
+    model = _FrameLogitModel(num_frames)
+    y = np.zeros((2, num_frames, 1), np.float32)
+    y[:, ::2] = 1.0
+    batch = TrainingBatch(X=np.zeros((2, 1, 100), np.float32), y=y)
+
+    params = jnp.zeros((num_frames,))
+    grads = jax.grad(lambda p: task.loss(model, p, batch))(params)
+    grads = np.asarray(grads)
+    assert (grads[:5] == 0).all() and (grads[-5:] == 0).all()
+    assert (grads[5:-5] != 0).any()
+
+    # changing targets inside warm-up must not change the loss
+    y2 = y.copy()
+    y2[:, :5] = 1.0 - y2[:, :5]
+    loss1 = float(task.loss(model, params, batch))
+    loss2 = float(task.loss(
+        model, params,
+        TrainingBatch(X=batch.X, y=y2)))
+    assert loss1 == loss2
+
+
+def test_per_frame_weight_is_used(protocol):
+    """The `weight` file key threads into the loss; zero-weight frames
+    cannot affect it (ref utils/loss.py:32)."""
+    from pyannote_audio_tpu.core.task import TrainingBatch
+
+    num_frames = 20
+    task = VoiceActivityDetection(protocol, duration=2.0,
+                                  weight="confidence")
+    model = _FrameLogitModel(num_frames)
+    y = np.zeros((1, num_frames, 1), np.float32)
+    y[:, ::2] = 1.0
+    w = np.ones((1, num_frames, 1), np.float32)
+    w[:, :10] = 0.0
+    params = jnp.linspace(-1.0, 1.0, num_frames)
+    base = float(task.loss(
+        model, params, TrainingBatch(X=np.zeros((1, 1, 100), np.float32),
+                                     y=y, weight=w)))
+    y2 = y.copy()
+    y2[:, :10] = 1.0 - y2[:, :10]   # only zero-weight frames change
+    changed = float(task.loss(
+        model, params, TrainingBatch(X=np.zeros((1, 1, 100), np.float32),
+                                     y=y2, weight=w)))
+    assert base == changed
+
+    y3 = y.copy()
+    y3[:, 10:] = 1.0 - y3[:, 10:]   # weighted frames change
+    moved = float(task.loss(
+        model, params, TrainingBatch(X=np.zeros((1, 1, 100), np.float32),
+                                     y=y3, weight=w)))
+    assert moved != base
+
+
+def test_chunk_weight_cropped_from_file(protocol):
+    """prepare_chunk picks up the per-frame weight key from the file."""
+    from pyannote_audio_tpu.core.segment import (Segment, SlidingWindow,
+                                                 SlidingWindowFeature)
+
+    task = VoiceActivityDetection(protocol, duration=2.0,
+                                  weight="confidence")
+    task.setup()
+    file = dict(next(iter(protocol.train())))
+    # 10 fps confidence track over the whole file
+    dur = 15.0
+    conf = SlidingWindowFeature(
+        np.linspace(0, 1, int(dur * 10), dtype=np.float32)[:, None],
+        SlidingWindow(duration=0.1, step=0.1))
+    file["confidence"] = conf
+    out = task.prepare_chunk(file, Segment(1.0, 3.0),
+                             np.random.default_rng(0))
+    assert "weight" in out
+    assert out["weight"].shape[1] == 1
+    assert (out["weight"] >= 0).all()
+
+
+def test_nan_loss_batch_skip():
+    """A NaN batch leaves params and optimizer state untouched."""
+    import optax
+    from pyannote_audio_tpu.train.trainer import make_train_step
+
+    class MeanTask:
+        def loss(self, model, params, batch):
+            return jnp.mean(batch.X) * jnp.sum(params["w"] ** 2)
+
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    optimizer = optax.adam(1e-1)
+    opt_state = optimizer.init(params)
+    step = make_train_step(MeanTask(), model=None, optimizer=optimizer)
+
+    X_good = jnp.ones((2, 4))
+    y = jnp.zeros((2, 1))
+    p1, o1, loss1 = step(params, opt_state, X_good, y, None)
+    assert np.isfinite(float(loss1))
+    assert not np.allclose(np.asarray(p1["w"]), np.asarray(params["w"]))
+
+    X_nan = X_good.at[0, 0].set(jnp.nan)
+    p2, o2, loss2 = step(p1, o1, X_nan, y, None)
+    assert not np.isfinite(float(loss2))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    # optimizer state (including step count) is also untouched
+    c1 = jax.tree_util.tree_leaves(o1)
+    c2 = jax.tree_util.tree_leaves(o2)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
