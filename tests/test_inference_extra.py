@@ -184,3 +184,22 @@ def test_device_waveform_cache_shared_across_stages(seg_model, tmp_path):
     assert uploads_with_cache == 1  # single shared upload for both stages
     assert out_cached.speaker_diarization.labels() == \
         out_plain.speaker_diarization.labels()
+
+
+def test_device_waveform_cache_detects_mutation():
+    """A mutated waveform in a reused file dict must not hit the stale
+    device buffer (the old 4-point probe missed off-probe mutations)."""
+    from pyannote_audio_tpu.core.inference import (_dequantize,
+                                                   _upload_waveform_cached)
+    wav = np.zeros((1, 20000), np.float32)
+    cache = {}
+    buf1 = _upload_waveform_cached(wav, cache)
+    wav2 = wav.copy()
+    wav2[0, 5] = 0.25  # single sample, away from any probe point
+    buf2 = _upload_waveform_cached(wav2, cache)
+    assert not np.array_equal(np.asarray(_dequantize(buf2)),
+                              np.asarray(_dequantize(buf1)))
+    np.testing.assert_array_equal(np.asarray(_dequantize(buf2)), wav2)
+    # unchanged waveform still hits the cache
+    buf3 = _upload_waveform_cached(wav2, cache)
+    assert buf3 is buf2
