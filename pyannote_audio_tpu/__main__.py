@@ -154,14 +154,16 @@ def cmd_benchmark(args) -> int:
 
 
 def cmd_optimize(args) -> int:
-    """Random-search hyperparameter optimization with a journal file.
+    """TPE hyperparameter optimization with a resumable journal.
 
-    Parity role: the Optuna loop of the reference (__main__.py:115-282).
-    Random search with a resumable JSONL journal; the search space is the
-    pipeline's declared (unfrozen) Parameters.
+    Parity: the Optuna TPE loop of the reference (__main__.py:115-282):
+    TPE sampler, journal-file resume, warm start from the pipeline's
+    current parameters. Per-file segmentations/embeddings are cached
+    across trials (pipeline.training=True on ONE file-dict instance per
+    file, so trial N+1 reuses trial N's model forwards whenever the
+    changed hyperparameters do not invalidate them).
     """
-    import random as pyrandom
-
+    from .core.optimizer import Optimizer, TPESampler
     from .metrics.der import DiarizationErrorRate
     from .utils.database import get_protocol, register_database
 
@@ -169,46 +171,51 @@ def cmd_optimize(args) -> int:
         register_database(args.registry)
     pipeline = _load_pipeline(args.pipeline)
     protocol = get_protocol(args.protocol)
-    files = list(getattr(protocol, args.subset)())
+    # ONE dict per file, reused across every trial: the training caches
+    # (training_cache/segmentation, training_cache/embeddings) live in
+    # these dicts — fresh copies per trial would defeat them
+    files = [dict(file) for file in getattr(protocol, args.subset)()]
     journal = Path(args.into) / "journal.jsonl"
-    journal.parent.mkdir(parents=True, exist_ok=True)
 
-    best = (None, float("inf"))
-    if journal.exists():
-        for line in journal.read_text().splitlines():
-            trial = json.loads(line)
-            if trial["objective"] < best[1]:
-                best = (trial["params"], trial["objective"])
+    warm_start = None
+    try:
+        warm_start = {name: value for name, value
+                      in pipeline.parameters(instantiated=True).items()}
+    except Exception:
+        pass
 
-    rng = pyrandom.Random(args.seed)
-    space = pipeline.parameters()
+    optimizer = Optimizer(pipeline.parameters(), journal=journal,
+                          sampler=TPESampler(seed=args.seed),
+                          warm_start=warm_start)
+
+    was_training = getattr(pipeline, "training", False)
     pipeline.training = True
-    for trial_idx in range(args.trials):
-        params = {}
-        for name, parameter in space.items():
-            value = parameter.sample(rng)
-            parts = name.split(".")
-            node = params
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = value
-        pipeline.instantiate(params)
-        metric = DiarizationErrorRate()
-        for file in files:
-            output = pipeline(dict(file))
-            hypothesis = getattr(output, "speaker_diarization", output)
-            metric(file["annotation"], hypothesis,
-                   uem=file.get("annotated"))
-        objective = abs(metric)
-        with open(journal, "a") as f:
-            f.write(json.dumps({"trial": trial_idx, "params": params,
-                                "objective": objective}) + "\n")
-        if objective < best[1]:
-            best = (params, objective)
-        print(f"trial {trial_idx}: {objective:.4f} "
-              f"(best {best[1]:.4f})")
-    print(json.dumps({"best_params": best[0], "best_objective": best[1]},
-                     indent=2))
+    try:
+        def objective_fn(params) -> float:
+            pipeline.instantiate(params)
+            metric = DiarizationErrorRate()
+            for file in files:
+                output = pipeline(file)
+                hypothesis = getattr(output, "speaker_diarization",
+                                     output)
+                metric(file["annotation"], hypothesis,
+                       uem=file.get("annotated"))
+            return abs(metric)
+
+        for trial_idx, params in zip(
+                range(len(optimizer.history),
+                      len(optimizer.history) + args.trials),
+                optimizer.suggestions(args.trials)):
+            objective = objective_fn(params)
+            optimizer.tell(params, objective)
+            print(f"trial {trial_idx}: {objective:.4f} "
+                  f"(best {optimizer.best[1]:.4f})")
+    finally:
+        pipeline.training = was_training
+
+    best_params, best_objective = optimizer.best
+    print(json.dumps({"best_params": best_params,
+                      "best_objective": best_objective}, indent=2))
     return 0
 
 

@@ -103,7 +103,18 @@ class Pipeline:
     # -- hyperparameters ---------------------------------------------------
 
     def parameters(self, instantiated: bool = False) -> Dict[str, Any]:
-        """Flat view of (possibly nested) declared parameters."""
+        """Flat view of (possibly nested) parameters.
+
+        With ``instantiated=True``, returns the current concrete values
+        (parity: pyannote.pipeline Pipeline.parameters) — used e.g. as
+        the optimizer's warm start.
+        """
+        if instantiated:
+            params = dict(self.__dict__["_instantiated"])
+            for name, sub in self.__dict__["_pipelines"].items():
+                for k, v in sub.parameters(instantiated=True).items():
+                    params[f"{name}.{k}"] = v
+            return params
         params = dict(self.__dict__["_parameters"])
         for name, sub in self.__dict__["_pipelines"].items():
             for k, v in sub.parameters().items():
