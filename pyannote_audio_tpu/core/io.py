@@ -130,6 +130,18 @@ def _read_bytes(file: Union[str, Path, IO]) -> bytes:
     return file.read()
 
 
+def _codec_decode_or_raise(path: str) -> Tuple[np.ndarray, int]:
+    """FFmpeg-backed decode of a non-WAV file, or an actionable error."""
+    from ..native import codec_decode
+    decoded = codec_decode(path)
+    if decoded is None:
+        raise ValueError(
+            f"cannot decode {path}: not a RIFF/WAVE file and the native "
+            f"codec library (libpat_codec.so, built against FFmpeg) is "
+            f"unavailable or does not support this format")
+    return decoded
+
+
 def get_audio_metadata(file: AudioFile) -> AudioMetadata:
     """Metadata without decoding samples.
 
@@ -145,8 +157,20 @@ def get_audio_metadata(file: AudioFile) -> AudioMetadata:
     if isinstance(source, (str, Path)):
         with open(source, "rb") as f:
             header = f.read(65536)
-        meta, _, _ = _parse_wav_header(header)
-        return meta
+        try:
+            meta, _, _ = _parse_wav_header(header)
+            return meta
+        except ValueError:
+            from ..native import codec_info
+            info = codec_info(str(source))
+            if info is None:
+                raise
+            sample_rate, channels, num_frames = info
+            return AudioMetadata(sample_rate=sample_rate,
+                                 num_channels=channels,
+                                 num_samples=num_frames,
+                                 bits_per_sample=0,
+                                 encoding="compressed")
     meta, _, _ = _parse_wav_header(_read_bytes(source))
     return meta
 
@@ -266,14 +290,20 @@ class Audio:
             waveform = np.asarray(file["waveform"], dtype=np.float32)
             sample_rate = int(file["sample_rate"])
         elif isinstance(file["audio"], (str, Path)):
+            path = str(file["audio"])
             from ..native import wav_decode, wav_info
-            info = wav_info(str(file["audio"]))
+            info = wav_info(path)
             if info is not None:
                 sample_rate = info[0]
-                waveform = wav_decode(str(file["audio"]))
+                waveform = wav_decode(path)
             else:
-                waveform, sample_rate = _decode_wav_bytes(
-                    _read_bytes(file["audio"]))
+                try:
+                    waveform, sample_rate = _decode_wav_bytes(
+                        _read_bytes(path))
+                except ValueError:
+                    # non-RIFF container: FFmpeg-backed decode
+                    # (FLAC/MP3/OGG/..., parity: reference io.py:42-56)
+                    waveform, sample_rate = _codec_decode_or_raise(path)
         else:
             waveform, sample_rate = _decode_wav_bytes(
                 _read_bytes(file["audio"]))
@@ -298,13 +328,29 @@ class Audio:
             waveform = np.asarray(file["waveform"])
             sample_rate = int(file["sample_rate"])
             total = waveform.shape[1]
+        elif "_codec_waveform" in file:
+            waveform, sample_rate = file["_codec_waveform"]
+            total = waveform.shape[1]
         else:
             raw = file.get("_bytes")
             if raw is None:
                 raw = _read_bytes(file["audio"])
-            meta, _, _ = _parse_wav_header(raw)
-            sample_rate, total = meta.sample_rate, meta.num_samples
-            waveform = None
+            try:
+                meta, _, _ = _parse_wav_header(raw)
+                sample_rate, total = meta.sample_rate, meta.num_samples
+                waveform = None
+            except ValueError:
+                if not isinstance(file["audio"], (str, Path)):
+                    raise
+                # non-WAV: compressed formats have no cheap random access
+                # -> decode once, cache in the file dict, slice from memory
+                waveform, sample_rate = _codec_decode_or_raise(
+                    str(file["audio"]))
+                total = waveform.shape[1]
+                try:
+                    file["_codec_waveform"] = (waveform, sample_rate)
+                except TypeError:
+                    pass
 
         start_frame = int(round(segment.start * sample_rate))
         if duration is None:

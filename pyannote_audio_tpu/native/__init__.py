@@ -18,6 +18,100 @@ import numpy as np
 _LIB_PATH = Path(__file__).parent / "libpat_audio.so"
 _lib = None
 
+_CODEC_PATH = Path(__file__).parent / "libpat_codec.so"
+_codec = None
+_codec_failed = False
+
+
+def _load_codec():
+    """FFmpeg-backed any-format decoder (native/pat_codec.cc), optional."""
+    global _codec, _codec_failed
+    if _codec is not None or _codec_failed:
+        return _codec
+    if not _CODEC_PATH.exists():
+        _codec_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_CODEC_PATH))
+    except OSError:            # FFmpeg runtime libraries missing
+        _codec_failed = True
+        return None
+    lib.pat_codec_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong)]
+    lib.pat_codec_info.restype = ctypes.c_int
+    lib.pat_codec_decode_alloc.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.pat_codec_decode_alloc.restype = ctypes.c_longlong
+    lib.pat_codec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.pat_codec_free.restype = None
+    lib.pat_codec_encode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
+    lib.pat_codec_encode.restype = ctypes.c_int
+    _codec = lib
+    return lib
+
+
+def codec_available() -> bool:
+    return _load_codec() is not None
+
+
+def codec_info(path: str) -> Optional[Tuple[int, int, int]]:
+    """(sample_rate, channels, num_frames) for any FFmpeg-readable file.
+
+    num_frames is exact for lossless codecs, duration-estimated for lossy
+    ones (same contract as the reference's torchcodec metadata).
+    """
+    lib = _load_codec()
+    if lib is None:
+        return None
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = ctypes.c_longlong()
+    rc = lib.pat_codec_info(path.encode(), ctypes.byref(sr),
+                            ctypes.byref(ch), ctypes.byref(n))
+    if rc != 0:
+        return None
+    return sr.value, ch.value, n.value
+
+
+def codec_encode(path: str, waveform: np.ndarray, sample_rate: int) -> bool:
+    """Encode a (channels, frames) float32 waveform into any container
+    FFmpeg can guess from the extension (.flac/.mp3/.ogg/...)."""
+    lib = _load_codec()
+    if lib is None:
+        return False
+    waveform = np.ascontiguousarray(waveform, dtype=np.float32)
+    if waveform.ndim == 1:
+        waveform = waveform[None]
+    rc = lib.pat_codec_encode(
+        str(path).encode(),
+        waveform.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        waveform.shape[1], waveform.shape[0], int(sample_rate))
+    return rc == 0
+
+
+def codec_decode(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode any FFmpeg-readable file -> ((channels, frames) f32, rate)."""
+    lib = _load_codec()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    frames = lib.pat_codec_decode_alloc(path.encode(), ctypes.byref(buf),
+                                        ctypes.byref(ch), ctypes.byref(sr))
+    if frames < 0:
+        return None
+    try:
+        out = np.ctypeslib.as_array(
+            buf, shape=(ch.value, int(frames))).copy()
+    finally:
+        lib.pat_codec_free(buf)
+    return out, sr.value
+
 
 def _load():
     global _lib

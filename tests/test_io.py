@@ -120,3 +120,83 @@ def test_audio_from_file_like(tmp_path):
     assert cropped.shape == (1, sr // 2)
     # write_wav stores PCM16: 1/32768 quantization
     np.testing.assert_allclose(cropped[0], wav[0, sr // 2:sr], atol=1e-4)
+
+
+# ------------------------------------------------------------ non-WAV decode
+
+def _codec_or_skip():
+    from pyannote_audio_tpu.native import codec_available
+    if not codec_available():
+        pytest.skip("libpat_codec.so (FFmpeg) not available")
+
+
+@pytest.mark.parametrize("ext", ["flac", "mp3", "ogg"])
+def test_non_wav_roundtrip(tmp_path, ext):
+    """FLAC/MP3/OGG decode through Audio (parity: reference io.py:42-56
+    decodes any format via torchcodec/FFmpeg)."""
+    _codec_or_skip()
+    from pyannote_audio_tpu.native import codec_encode
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    path = tmp_path / f"tone.{ext}"
+    assert codec_encode(path, wav, sr)
+
+    audio = Audio(sample_rate=sr, mono="downmix")
+    out, rate = audio(str(path))
+    assert rate == sr
+    assert out.shape[0] == 1
+    # lossy codecs may shift a little; FLAC is sample-exact vs 16-bit
+    if ext == "flac":
+        q = np.round(wav * 32768) / 32768
+        n = min(out.shape[1], wav.shape[1])
+        np.testing.assert_allclose(out[0, :n], q[0, :n], atol=1e-6)
+    else:
+        assert abs(out.shape[1] - wav.shape[1]) < sr // 10
+
+
+def test_non_wav_metadata_and_duration(tmp_path):
+    _codec_or_skip()
+    from pyannote_audio_tpu.core.io import get_audio_metadata
+    from pyannote_audio_tpu.native import codec_encode
+
+    sr = 16000
+    wav = np.zeros((1, sr * 2), np.float32)
+    path = tmp_path / "silence.flac"
+    assert codec_encode(path, wav, sr)
+    meta = get_audio_metadata(str(path))
+    assert meta.sample_rate == sr
+    assert meta.num_channels == 1
+    assert abs(meta.duration - 2.0) < 0.1
+    assert meta.encoding == "compressed"
+
+
+def test_non_wav_crop_caches_decode(tmp_path):
+    """crop() on compressed audio decodes once, caches, slices exactly."""
+    _codec_or_skip()
+    from pyannote_audio_tpu.core.segment import Segment
+    from pyannote_audio_tpu.native import codec_encode
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = np.round(0.2 * rng.standard_normal((1, sr * 4)) * 32768) / 32768
+    wav = wav.astype(np.float32)
+    path = tmp_path / "noise.flac"
+    assert codec_encode(path, wav, sr)
+
+    audio = Audio(sample_rate=sr, mono="downmix")
+    file = {"audio": str(path), "uri": "noise"}
+    crop1, rate = audio.crop(file, Segment(1.0, 2.0))
+    assert "_codec_waveform" in file       # cached for later crops
+    np.testing.assert_allclose(crop1[0], wav[0, sr:2 * sr], atol=1e-6)
+    crop2, _ = audio.crop(file, Segment(2.0, 3.0))
+    np.testing.assert_allclose(crop2[0], wav[0, 2 * sr:3 * sr], atol=1e-6)
+
+
+def test_unreadable_format_raises_actionable_error(tmp_path):
+    path = tmp_path / "not_audio.xyz"
+    path.write_bytes(b"this is definitely not audio content")
+    audio = Audio(sample_rate=16000)
+    with pytest.raises(ValueError):
+        audio(str(path))
