@@ -54,6 +54,15 @@ def main():
                        * (0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 3 * tt)))
                        ).astype(np.float32)
 
+    # real files are PCM16 on disk: write one and benchmark the full path
+    # (C++ WAV decode -> int16 device upload -> pipeline). The in-memory
+    # float path is available via BENCH_IN_MEMORY=1.
+    from pyannote_audio_tpu.core.io import write_wav
+    wav = np.round(wav * 32768.0).clip(-32768, 32767) / np.float32(32768.0)
+    wav = wav.astype(np.float32)
+    wav_path = "/tmp/pyannote_tpu_bench.wav"
+    write_wav(wav_path, wav[None], sr)
+
     seg_model = PyanNet()
     seg_model.specifications = Specifications(
         problem=Problem.MONO_LABEL_CLASSIFICATION,
@@ -77,7 +86,10 @@ def main():
                        "min_cluster_size": 1},
     })
 
-    file = {"waveform": wav[None], "sample_rate": sr, "uri": "bench"}
+    if os.environ.get("BENCH_IN_MEMORY", "0") == "1":
+        file = {"waveform": wav[None], "sample_rate": sr, "uri": "bench"}
+    else:
+        file = {"audio": wav_path, "uri": "bench"}
 
     # warmup (compile); steady-state throughput is what production sees —
     # executables persist within the process after the first file

@@ -110,6 +110,31 @@ def main():
             "seconds_per_audio_hour": round(
                 total_wall / (total_audio / 3600.0), 1),
         }
+
+    # batch streaming: path-backed files through pipeline([...]) — the
+    # default _apply_batch decodes file N+1 on a worker thread while the
+    # device runs file N (the reference never parallelized apply_batch,
+    # pipeline.py:489-508)
+    import tempfile
+    from pyannote_audio_tpu.core.io import write_wav
+    tmp = tempfile.mkdtemp(prefix="pat_multifile_")
+    batch, total_audio = [], 0.0
+    for i, file in enumerate(buckets["dihard_like"]):
+        path = Path(tmp) / f"stream{i}.wav"
+        write_wav(path, file["waveform"], 16000)
+        total_audio += file["waveform"].shape[1] / 16000.0
+        batch.append({"audio": str(path), "uri": f"stream{i}"})
+    t0 = time.perf_counter()
+    outputs = pipeline(batch, max_speakers=4)
+    total_wall = time.perf_counter() - t0
+    assert len(outputs) == len(batch)
+    report["batch_streaming"] = {
+        "files": len(batch),
+        "audio_minutes": round(total_audio / 60.0, 1),
+        "wall_seconds": round(total_wall, 2),
+        "seconds_per_audio_hour": round(
+            total_wall / (total_audio / 3600.0), 1),
+    }
     print(json.dumps(report, indent=2))
 
 

@@ -298,18 +298,53 @@ class Pipeline:
         """Batch apply (reference pipeline.py:489-508 is sequential).
 
         The NN executables are shared across files automatically (static
-        shapes + buckets); the host decode is parallelized across the
-        batch via the native C++ thread pool when available.
+        shapes + buckets), and host decode overlaps device compute: a
+        worker thread decodes file N+1 while the device runs file N
+        (ctypes releases the GIL inside the C++ decoder, so the overlap
+        is real). Subclasses may still define ``apply_batch`` for custom
+        batching; they get the parallel C++ pre-decode instead.
         """
         apply_batch = getattr(self, "apply_batch", None)
         files = [self.prepare_one(f) for f in files]
         uris = [f.get("uri") for f in files]
         if len(set(uris)) != len(uris):
             raise ValueError("duplicate URIs in batch")
-        self._predecode_batch(files)
         if apply_batch is not None:
+            self._predecode_batch(files)
             return apply_batch(files, hook=hook, **kwargs)
-        return [self.apply(f, hook=hook, **kwargs) for f in files]
+
+        import threading
+
+        from .io import Audio
+        audio = getattr(self, "_audio", None) or \
+            Audio(sample_rate=16000, mono="downmix")
+
+        def decode(f):
+            if "waveform" in f or not isinstance(f.get("audio"),
+                                                 (str, Path)):
+                return
+            try:
+                waveform, sample_rate = audio(f)
+            except (ValueError, OSError):
+                return             # apply() will surface the real error
+            f["waveform"] = waveform
+            f["sample_rate"] = sample_rate
+
+        prefetch: Dict[int, threading.Thread] = {}
+        results = []
+        for i in range(len(files)):
+            t = prefetch.pop(i, None)
+            if t is not None:
+                t.join()
+            else:
+                decode(files[i])
+            if i + 1 < len(files):
+                t = threading.Thread(target=decode, args=(files[i + 1],),
+                                     daemon=True)
+                t.start()
+                prefetch[i + 1] = t
+            results.append(self.apply(files[i], hook=hook, **kwargs))
+        return results
 
     def _predecode_batch(self, files: List[Dict]) -> None:
         """Decode+downmix+resample path-backed files in parallel (C++)."""

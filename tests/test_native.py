@@ -108,3 +108,41 @@ def test_pipeline_batch_predecode(tmp_path):
     # single-file output identical to batch output
     single = pipeline({"audio": f1["audio"], "uri": "p0"})
     assert outputs[0] == single
+
+
+def test_pipeline_batch_streaming_overlap(tmp_path):
+    """The default _apply_batch decodes file N+1 on a worker thread while
+    file N runs; decoded waveforms land in the prepared file dicts and
+    results match single-file runs."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+        VoiceActivityDetection
+
+    paths = [default_two_speaker_file(tmp_path / f"s{i}.wav")["audio"]
+             for i in range(3)]
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    pipeline = VoiceActivityDetection(segmentation=model, batch_size=8)
+    pipeline.instantiate({"onset": 0.5, "offset": 0.5,
+                          "min_duration_on": 0.0, "min_duration_off": 0.0})
+
+    files = [{"audio": p, "uri": f"s{i}"} for i, p in enumerate(paths)]
+    outputs = pipeline(files)
+    assert len(outputs) == 3
+    # the prefetcher decoded into the dicts the pipeline worked on
+    assert all("waveform" in f for f in files)
+    singles = [pipeline({"audio": p, "uri": f"x{i}"})
+               for i, p in enumerate(paths)]
+    for batch_out, single in zip(outputs, singles):
+        assert [s for s, _, _ in batch_out.itertracks(yield_label=True)] \
+            == [s for s, _, _ in single.itertracks(yield_label=True)]
