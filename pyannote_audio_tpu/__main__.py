@@ -101,23 +101,35 @@ def cmd_benchmark(args) -> int:
         print(f"{file['uri']}: DER="
               f"{der['diarization error rate']:.2%} ({wall:.1f}s)")
 
-    # post-hoc min_duration_off optimization over stored hypotheses
-    # (parity: MinDurationOffOptimizer, reference __main__.py:430-510)
+    # post-hoc min_duration_off optimization over stored hypotheses.
+    # Parity: MinDurationOffOptimizer (reference __main__.py:430-510):
+    # hypothesis.support(collar) fills within-speaker gaps, bounded
+    # scalar minimization over [0, 1], forced no-collar baseline.
     if getattr(args, "optimize_min_duration_off", False):
-        best = (0.0, abs(metric))
-        for collar in np.linspace(0.0, 1.0, 21)[1:]:
+        from scipy.optimize import minimize_scalar
+
+        from .utils.rttm import load_rttm
+        hyps = []
+        for file in getattr(protocol, args.subset)():
+            hyp = load_rttm(into / f"{file['uri']}.rttm").get(file["uri"])
+            if hyp is not None:
+                hyps.append((file, hyp))
+
+        def objective(collar: float) -> float:
             trial = DiarizationErrorRate(collar=args.collar,
                                          skip_overlap=args.skip_overlap)
-            for row, file in zip(rows, getattr(protocol, args.subset)()):
-                from .utils.rttm import load_rttm
-                hyp = load_rttm(into / f"{file['uri']}.rttm").get(
-                    file["uri"])
-                if hyp is None:
-                    continue
+            for file, hyp in hyps:
                 trial(file["annotation"], hyp.support(collar=collar),
                       uem=file.get("annotated"))
-            if abs(trial) < best[1]:
-                best = (float(collar), abs(trial))
+            return abs(trial)
+
+        no_collar = objective(0.0)
+        res = minimize_scalar(objective, bounds=(0.0, 1.0),
+                              method="Bounded")
+        if no_collar <= res.fun:
+            best = (0.0, no_collar)
+        else:
+            best = (float(res.x), float(res.fun))
         print(f"optimal min_duration_off = {best[0]:.2f} "
               f"(DER {best[1]:.2%})")
         with open(into / "min_duration_off.yml", "w") as f:

@@ -30,14 +30,15 @@ from .parameter import Categorical, Integer, Uniform
 
 
 def _device_ahc_enabled() -> bool:
-    """Opt-in on-device centroid linkage (ops/ahc.py).
+    """On-device centroid linkage (ops/ahc.py) gate.
 
-    Off by default: host scipy keeps bit-exact tie-breaking parity with
-    the reference; the device path avoids the last host-compute stage for
-    fully on-device deployments (set PYANNOTE_TPU_DEVICE_AHC=1).
+    Defaults to on for accelerator (TPU) backends and off on CPU, where
+    host scipy keeps bit-exact tie-breaking parity with the reference;
+    PYANNOTE_TPU_DEVICE_AHC=1/0 forces either way. DER A/B: identical
+    (benchmarks/clustering_ab.py, docs/PARITY.md).
     """
-    import os
-    return os.environ.get("PYANNOTE_TPU_DEVICE_AHC", "0") == "1"
+    from ..utils.runtime import device_flag
+    return device_flag("PYANNOTE_TPU_DEVICE_AHC")
 
 
 class BaseClustering(Pipeline):
@@ -280,8 +281,8 @@ class KMeansClustering(BaseClustering):
             with np.errstate(divide="ignore", invalid="ignore"):
                 embeddings = embeddings / np.linalg.norm(
                     embeddings, axis=-1, keepdims=True)
-        import os
-        if os.environ.get("PYANNOTE_TPU_DEVICE_KMEANS", "0") == "1":
+        from ..utils.runtime import device_flag
+        if device_flag("PYANNOTE_TPU_DEVICE_KMEANS"):
             from ..ops.kmeans import kmeans_jax
             return kmeans_jax(embeddings, num_clusters)
         return KMeans(n_clusters=num_clusters, n_init=3,

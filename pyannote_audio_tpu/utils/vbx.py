@@ -139,8 +139,8 @@ def cluster_vbx(
     one_hot[np.arange(len(init_clusters)), init_clusters.astype(int)] = 1.0
     gamma0 = one_hot if init_smoothing < 0 else \
         softmax(one_hot * init_smoothing, axis=1)
-    import os
-    if os.environ.get("PYANNOTE_TPU_DEVICE_VBX", "0") == "1":
+    from .runtime import device_flag
+    if device_flag("PYANNOTE_TPU_DEVICE_VBX"):
         gamma, pi, _ = vbx_em_jax(features, phi, fa=fa, fb=fb,
                                   gamma=gamma0, max_iters=max_iters)
         return np.asarray(gamma), np.asarray(pi)
