@@ -210,6 +210,158 @@ class EmbeddingHotPathMixin:
 
         return whole_fbank, batch_fn
 
+    # shared-trunk panel geometry (trunk-frame units): halo * stride input
+    # frames of real context on each side >= the trunk's half receptive
+    # field, so interior panel outputs equal the whole-file trunk exactly
+    TRUNK_PANEL_CORE = 512
+    TRUNK_PANEL_HALO = 64
+    TRUNK_PANEL_BATCH = 8
+
+    def _make_shared_trunk_fns(self, window_samples: int,
+                               device_masks: bool):
+        """Shared whole-file ResNet trunk: compute once, pool per chunk.
+
+        Sliding chunks overlap ~90%, so the per-chunk trunk (reference
+        semantics, wespeaker/__init__.py:288-343) recomputes every trunk
+        frame up to 10x. Here the trunk runs ONCE over the whole file in
+        fixed-size panels (static shapes; halo discarded), and each
+        (chunk, speaker) embedding is a masked stats-pool over a slice of
+        the shared trunk frames — ~10x less MXU work at 1 s steps.
+
+        Two deliberate approximations vs the per-chunk path (gate:
+        PYANNOTE_TPU_SHARED_TRUNK, default on for accelerator backends):
+          * cepstral mean subtraction is a chunk-length sliding window
+            per frame (kaldi apply-cmvn-sliding) instead of one constant
+            mean per chunk;
+          * chunks see real audio context at their boundaries instead of
+            the zero padding a standalone chunk gets, and trunk frames
+            align to the file's stride-8 grid (<= 7 fbank frames offset).
+        tests/test_shared_trunk.py bounds the embedding deviation (the
+        bound is loose because random untrained weights exaggerate CMN
+        sensitivity; re-A/B DER on real checkpoints before relying on it
+        for accuracy-critical work — PYANNOTE_TPU_SHARED_TRUNK=0 restores
+        exact per-chunk semantics).
+        """
+        module = self._embedding.module
+        mel = self._embedding.num_mel_bins
+        batch_size = self.embedding_batch_size
+        from ..ops.fbank import fbank, fbank_num_frames
+        frames_per_chunk = fbank_num_frames(
+            window_samples, self._embedding.sample_rate,
+            self._embedding.frame_length, self._embedding.frame_shift)
+
+        def trunk_shape(T):
+            return jax.eval_shape(
+                lambda p, f: module.apply(
+                    p, f, True, method=type(module).frames_from_fbank),
+                self._embedding.params,
+                jax.ShapeDtypeStruct((1, T, mel), jnp.float32))
+
+        probe = trunk_shape(frames_per_chunk)
+        trunk_frames_per_chunk, dim = probe.shape[1], probe.shape[2]
+        stride = 80 // max(1, trunk_shape(frames_per_chunk + 80).shape[1]
+                           - trunk_frames_per_chunk)
+        core = self.TRUNK_PANEL_CORE
+        halo = self.TRUNK_PANEL_HALO
+        pbatch = self.TRUNK_PANEL_BATCH
+        panel_in = (core + 2 * halo) * stride
+
+        @jax.jit
+        def whole_fbank(waveform):
+            x = waveform[0]
+            x = x.astype(jnp.float32) if x.dtype == jnp.int16 \
+                else x * 32768.0
+            return fbank(x,
+                         sample_rate=self._embedding.sample_rate,
+                         num_mel_bins=mel,
+                         frame_length=self._embedding.frame_length,
+                         frame_shift=self._embedding.frame_shift,
+                         window_type=self._embedding.window_type)
+
+        def num_panel_batches(num_fbank_frames: int) -> int:
+            trunk_total = -(-num_fbank_frames // stride)
+            num_panels = -(-trunk_total // core)
+            return -(-num_panels // pbatch)
+
+        @jax.jit
+        def prepare(feats, num_real):
+            """Sliding-window CMN + halo/tail padding.
+
+            Each frame is centered by the mean over a chunk-length window
+            around it, clipped to real frames (kaldi apply-cmvn-sliding
+            semantics, center=true) — the closest shared-trunk analogue
+            of the reference's per-chunk mean subtraction
+            (wespeaker/__init__.py:128-139).
+            """
+            T = feats.shape[0]
+            idx = jnp.arange(T)
+            mask = (idx < num_real)[:, None]
+            masked = jnp.where(mask, feats, 0.0)
+            csum = jnp.pad(jnp.cumsum(masked, axis=0), ((1, 0), (0, 0)))
+            half = frames_per_chunk // 2
+            lo = jnp.clip(idx - half, 0, None)
+            hi = jnp.clip(idx + half, None,
+                          jnp.maximum(num_real, 1))
+            hi = jnp.maximum(hi, lo + 1)
+            mean = (csum[hi] - csum[lo]) \
+                / (hi - lo).astype(feats.dtype)[:, None]
+            centered = (feats - mean) * mask
+            total = (num_panel_batches(T) * pbatch * core
+                     + 2 * halo) * stride
+            return jnp.pad(centered,
+                           ((halo * stride, total - halo * stride - T),
+                            (0, 0)))
+
+        def panel_trunk(params, padded, base):
+            def get(i):
+                return jax.lax.dynamic_slice(
+                    padded, ((base + i) * (core * stride), 0),
+                    (panel_in, mel))
+            panels = jax.vmap(get)(jnp.arange(pbatch, dtype=jnp.int32))
+            out = module.apply(params, panels, True,
+                               method=type(module).frames_from_fbank)
+            return out[:, halo:halo + core, :]       # (pbatch, core, D)
+
+        panel_trunk_fn = jax.jit(panel_trunk)
+
+        if device_masks:
+            def gather_pool(params, trunk_frames, starts, all_masks,
+                            batch_start):
+                masks = jax.lax.dynamic_slice_in_dim(
+                    all_masks, batch_start, batch_size, axis=0)
+                def get(s):
+                    return jax.lax.dynamic_slice(
+                        trunk_frames, (s, 0), (trunk_frames_per_chunk, dim))
+                frames = jax.vmap(get)(starts)
+                return module.apply(params, frames, masks,
+                                    method=type(module).embed)
+        else:
+            def gather_pool(params, trunk_frames, starts, masks,
+                            batch_start):
+                def get(s):
+                    return jax.lax.dynamic_slice(
+                        trunk_frames, (s, 0), (trunk_frames_per_chunk, dim))
+                frames = jax.vmap(get)(starts)
+                return module.apply(params, frames, masks,
+                                    method=type(module).embed)
+
+        gather_pool_fn = jax.jit(gather_pool)
+
+        def compute_trunk(device_waveform, num_real_frames):
+            feats = whole_fbank(device_waveform)
+            padded = prepare(feats, jnp.int32(num_real_frames))
+            n_pb = num_panel_batches(feats.shape[0])
+            parts = [panel_trunk_fn(self._embedding.params, padded,
+                                    jnp.int32(b * pbatch))
+                     for b in range(n_pb)]
+            trunk = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+            return trunk.reshape(-1, dim)            # (>=T', D)
+
+        geometry = {"stride": stride,
+                    "trunk_frames_per_chunk": trunk_frames_per_chunk}
+        return compute_trunk, gather_pool_fn, geometry
+
     def get_embeddings(
         self,
         file,
@@ -264,6 +416,7 @@ class EmbeddingHotPathMixin:
             masks = np.transpose(masks, (0, 2, 1))  # (C, S, F)
 
         waveform, sample_rate = self._audio(file)
+        real_samples = waveform.shape[1]
         window_samples = round(duration * sample_rate)
         step_samples = round(
             binary_segmentations.sliding_window.step * sample_rate)
@@ -294,7 +447,27 @@ class EmbeddingHotPathMixin:
             hasattr(type(self._embedding.module), "frames_from_fbank")
             and frame_shift_samples > 0
             and step_samples % frame_shift_samples == 0)
-        if shared_fbank:
+        from ..utils.runtime import device_flag
+        shared_trunk = shared_fbank and \
+            device_flag("PYANNOTE_TPU_SHARED_TRUNK")
+        if shared_trunk:
+            cache_attr = "_jitted_shared_trunk_dev" if device_masks \
+                else "_jitted_shared_trunk"
+            if getattr(self, cache_attr, None) is None:
+                setattr(self, cache_attr,
+                        self._make_shared_trunk_fns(
+                            window_samples, device_masks=device_masks))
+            compute_trunk, batch_fn, geometry = getattr(self, cache_attr)
+            from ..ops.fbank import fbank_num_frames
+            num_real_frames = fbank_num_frames(
+                min(real_samples, padded_len),
+                self._embedding.sample_rate,
+                self._embedding.frame_length, self._embedding.frame_shift)
+            device_input = compute_trunk(device_waveform, num_real_frames)
+            starts_for_batch = (
+                (starts // frame_shift_samples)
+                // geometry["stride"]).astype(np.int32)
+        elif shared_fbank:
             cache_attr = "_jitted_fbank_embedding_dev" if device_masks \
                 else "_jitted_fbank_embedding"
             if getattr(self, cache_attr, None) is None:
