@@ -30,15 +30,17 @@ from .parameter import Categorical, Integer, Uniform
 
 
 def _device_ahc_enabled() -> bool:
-    """On-device centroid linkage (ops/ahc.py) gate.
+    """On-device centroid linkage (ops/ahc.py) gate; opt-in.
 
-    Defaults to on for accelerator (TPU) backends and off on CPU, where
-    host scipy keeps bit-exact tie-breaking parity with the reference;
-    PYANNOTE_TPU_DEVICE_AHC=1/0 forces either way. DER A/B: identical
-    (benchmarks/clustering_ab.py, docs/PARITY.md).
+    DER is identical to host scipy (benchmarks/clustering_ab.py,
+    docs/PARITY.md), but the embedding matrices are tiny and on a
+    relay-attached single chip the extra device dispatches measurably
+    LOSE to host scipy (round-2 sweep: ~0.4 s/file) — so host stays the
+    default; set PYANNOTE_TPU_DEVICE_AHC=1 for fully on-device serving.
     """
     from ..utils.runtime import device_flag
-    return device_flag("PYANNOTE_TPU_DEVICE_AHC")
+    return device_flag("PYANNOTE_TPU_DEVICE_AHC",
+                       accelerator_default=False)
 
 
 class BaseClustering(Pipeline):
@@ -282,7 +284,8 @@ class KMeansClustering(BaseClustering):
                 embeddings = embeddings / np.linalg.norm(
                     embeddings, axis=-1, keepdims=True)
         from ..utils.runtime import device_flag
-        if device_flag("PYANNOTE_TPU_DEVICE_KMEANS"):
+        if device_flag("PYANNOTE_TPU_DEVICE_KMEANS",
+                       accelerator_default=False):
             from ..ops.kmeans import kmeans_jax
             return kmeans_jax(embeddings, num_clusters)
         return KMeans(n_clusters=num_clusters, n_init=3,

@@ -715,9 +715,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         count_dev, speaker_frames_dev, clean_frames_dev = \
             fused_count_stats(dev, jnp.asarray(offsets_padded),
                               jnp.asarray(chunk_mask), F_bucket)
-        count = np.asarray(count_dev)[:num_output_frames]
-        speaker_frames = np.asarray(speaker_frames_dev)[:num_chunks]
-        clean_frames = np.asarray(clean_frames_dev)[:num_chunks]
+        # one host sync for all three small arrays
+        count, speaker_frames, clean_frames = jax.device_get(
+            (count_dev, speaker_frames_dev, clean_frames_dev))
+        count = count[:num_output_frames]
+        speaker_frames = speaker_frames[:num_chunks]
+        clean_frames = clean_frames[:num_chunks]
 
         count_swf = SlidingWindowFeature(count.astype(np.uint8), window)
         return (count_swf, speaker_frames, clean_frames, offsets,
@@ -763,12 +766,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         num_clusters = max(int(hard.max()) + 1,
                            int(cnt.max()) if len(cnt) else 0, 1)
 
-        binary, exclusive = fused_reconstruct(
+        binary, exclusive = jax.device_get(fused_reconstruct(
             dev, jnp.asarray(hard_padded), jnp.asarray(offsets_padded),
             jnp.asarray(chunk_mask), jnp.asarray(cnt_padded),
-            num_clusters, F_bucket)
-        binary = np.asarray(binary)[:n]
-        exclusive = np.asarray(exclusive)[:n]
+            num_clusters, F_bucket))
+        binary = binary[:n]
+        exclusive = exclusive[:n]
         window = count.sliding_window
         return (SlidingWindowFeature(binary, window),
                 SlidingWindowFeature(exclusive, window))

@@ -5,19 +5,18 @@ from __future__ import annotations
 import os
 
 
-def device_flag(name: str) -> bool:
-    """Resolve a PYANNOTE_TPU_DEVICE_* gate.
+def device_flag(name: str, accelerator_default: bool = True) -> bool:
+    """Resolve a PYANNOTE_TPU_* feature gate.
 
-    Explicit "1"/"0" wins; unset defaults to on-device when jax's default
-    backend is an accelerator (TPU) and to the bit-exact host
-    implementation on CPU. Decided by the round-2 DER A/B
-    (benchmarks/clustering_ab.py, recorded in docs/PARITY.md): device
-    and host clustering produce identical DER, so accelerator
-    deployments default to the host-free post-NN path.
+    Explicit "1"/"0" wins. When unset and ``accelerator_default``, the
+    gate is on iff jax's default backend is an accelerator (TPU), off on
+    CPU; otherwise it is off everywhere (pure opt-in).
     """
     value = os.environ.get(name)
     if value is not None:
         return value == "1"
+    if not accelerator_default:
+        return False
     try:
         import jax
         return jax.default_backend() != "cpu"

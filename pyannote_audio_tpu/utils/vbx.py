@@ -140,7 +140,7 @@ def cluster_vbx(
     gamma0 = one_hot if init_smoothing < 0 else \
         softmax(one_hot * init_smoothing, axis=1)
     from .runtime import device_flag
-    if device_flag("PYANNOTE_TPU_DEVICE_VBX"):
+    if device_flag("PYANNOTE_TPU_DEVICE_VBX", accelerator_default=False):
         gamma, pi, _ = vbx_em_jax(features, phi, fa=fa, fb=fb,
                                   gamma=gamma0, max_iters=max_iters)
         return np.asarray(gamma), np.asarray(pi)
