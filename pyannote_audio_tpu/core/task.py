@@ -6,9 +6,11 @@ TPU-native rebuild of the reference's ``Task(lightning.LightningDataModule)``
   * No lightning: a Task is a pure data pipeline (numpy batch iterators with
     deterministic per-(seed, epoch) RNG, parity with utils/random.py) plus a
     jittable ``loss`` closure consumed by ``train.Trainer``.
-  * ``prepare_data``'s protocol -> compact-arrays caching (task.py:308-597)
-    becomes an in-memory metadata table (list of files with durations); the
-    npz cache is written/read the same way when a cache path is given.
+  * ``prepare_data`` builds the reference's compact-array ``prepared_data``
+    (task.py:308-597): audio paths, structured metadata/region/segment
+    arrays, label tables per scope, npz-compressed cache. A cache hit
+    reconstructs the training/validation file table without touching the
+    protocol (no audio-header reads, no RTTM re-parse).
   * Chunks are sampled file ∝ annotated duration, uniform start
     (parity: tasks/segmentation/mixins.py:68-136).
 
@@ -29,6 +31,15 @@ from ..utils.database import Protocol
 from .io import Audio
 from .model import Problem, Resolution, Specifications  # noqa: F401 re-export
 from .segment import Segment
+
+
+#: subset / scope vocabularies (parity: reference core/task.py:56-66)
+Subsets = ("train", "development", "test")
+Scopes = ("file", "database", "global")
+
+#: file-dict keys that are handled structurally, not as free metadata
+_RESERVED_KEYS = {"uri", "database", "subset", "audio", "scope", "classes",
+                  "annotation", "annotated"}
 
 
 def create_rng_for_worker(seed: int, epoch: int = 0, worker_id: int = 0,
@@ -80,58 +91,179 @@ class Task:
         self._specifications: Optional[Specifications] = None
         self._prepared = False
         self._train_files: List[Dict] = []
+        self._val_files: Optional[List[Dict]] = None
+        self.prepared_data: Dict = {}
         self.model = None
+
+    @property
+    def has_validation(self) -> bool:
+        return hasattr(self.protocol, "development")
 
     # -- metadata ----------------------------------------------------------
 
     def prepare_data(self) -> None:
-        """Scan the protocol and collect per-file metadata.
+        """Scan the protocol into compact ``prepared_data`` arrays.
 
-        With ``cache`` set (parity: Task(cache=...) and the prepared-data
-        npz of the reference, core/task.py prepare_data), the per-file
-        usable regions are stored in an npz; subsequent runs skip the
-        protocol scan's audio-header reads entirely.
+        Parity: reference core/task.py:308-597. One pass over the train
+        (+ development) subsets produces numpy structured arrays — audio
+        paths, per-file metadata (subset/scope/database + any extra str/int
+        protocol keys), usable annotated regions, annotation segments with
+        file/database/global-scope label indices — cached with
+        ``np.savez_compressed`` when ``cache`` is set. A warm cache rebuilds
+        the file tables with zero protocol access (no audio-header reads,
+        no annotation re-parse).
         """
         if self._prepared:
             return
-        cached_regions = None
         if self.cache is not None:
             from pathlib import Path
             cache_path = Path(self.cache)
-            if cache_path.exists():
-                with np.load(cache_path) as z:
-                    cached_regions = {name[len("uri:"):]: z[name]
-                                      for name in z.files
-                                      if name.startswith("uri:")}
-        self._train_files = []
-        for file in self.protocol.train():
-            uri = file.get("uri")
-            if cached_regions is not None and uri in cached_regions:
-                regions = [Segment(float(s), float(e))
-                           for s, e in cached_regions[uri]]
+            if cache_path.exists() and cache_path.stat().st_size > 0:
+                prepared = _load_prepared_data(cache_path)
+                if prepared is not None:  # None = stale/foreign format
+                    self.prepared_data = prepared
+                    self._train_files = _files_from_prepared(
+                        prepared, "train")
+                    self._val_files = _files_from_prepared(
+                        prepared, "development") if self.has_validation \
+                        else None
+                    self._prepared = True
+                    return
+
+        subsets = [("train", self.protocol.train())]
+        if self.has_validation:
+            subsets.append(("development", self.protocol.development()))
+
+        audios: List[str] = []
+        uris: List[str] = []
+        metadata_rows: List[Dict] = []
+        metadata_values: Dict[str, List] = {
+            "subset": list(Subsets), "scope": list(Scopes), "database": []}
+        annotated_duration: List[float] = []
+        regions: List[Tuple] = []          # (file_id, duration, start)
+        regions_ids: List[Tuple[int, int]] = []
+        segments: List[Tuple] = []         # reference 6-tuple rows
+        segments_ids: List[Tuple[int, int]] = []
+        file_labels: List[str] = []        # per-file label names, flat
+        file_labels_ids: List[Tuple[int, int]] = []
+        database_labels: Dict[str, List[str]] = {}
+        global_labels: List[str] = []
+        live_files: List[Tuple[str, Dict]] = []
+
+        for file_id, (subset, file) in enumerate(
+                (s, f) for s, it in subsets for f in it):
+            database = file.get("database", "")
+            if database not in metadata_values["database"]:
+                metadata_values["database"].append(database)
+            scope = file.get("scope", "file")
+            row = {"subset": Subsets.index(subset),
+                   "scope": Scopes.index(scope),
+                   "database": metadata_values["database"].index(database)}
+            for key in set(file) - _RESERVED_KEYS:
+                value = file[key]
+                if isinstance(value, str):
+                    values = metadata_values.setdefault(key, [])
+                    if value not in values:
+                        values.append(value)
+                    row[key] = values.index(value)
+                elif isinstance(value, (int, np.integer)):
+                    values = metadata_values.setdefault(key, [])
+                    if value not in values:
+                        values.append(int(value))
+                    row[key] = int(value)
+                # other types (waveform arrays, callables...) are kept on
+                # the live dict but not cached (parity: reference warns and
+                # skips non-str/int metadata, core/task.py:415-422)
+            metadata_rows.append(row)
+            audios.append(str(file.get("audio", "")))
+            uris.append(str(file.get("uri", "")))
+
+            annotated = file.get("annotated")
+            if annotated is None:
+                file_regions = [Segment(0, self.audio.get_duration(file))]
             else:
-                annotated = file.get("annotated")
-                if annotated is None:
-                    duration = self.audio.get_duration(file)
-                    regions = [Segment(0, duration)]
-                else:
-                    regions = [s for s in annotated
-                               if s.duration > self.min_duration]
-            total = sum(s.duration for s in regions)
-            if total <= 0:
-                continue
+                file_regions = [s for s in annotated
+                                if s.duration >= self.min_duration]
+            r0 = len(regions)
+            for seg in file_regions:
+                regions.append((file_id, seg.duration, seg.start))
+            regions_ids.append((r0, len(regions)))
+            annotated_duration.append(
+                sum(s.duration for s in file_regions))
+
+            s0 = len(segments)
+            l0 = len(file_labels)
+            annotation = file.get("annotation")
+            local: List[str] = []
+            if annotation is not None:
+                for seg, _, label in annotation.itertracks(
+                        yield_label=True):
+                    label = str(label)
+                    if label not in local:
+                        local.append(label)
+                    db_idx = g_idx = -1
+                    if scope in ("database", "global"):
+                        db_list = database_labels.setdefault(database, [])
+                        if label not in db_list:
+                            db_list.append(label)
+                        db_idx = db_list.index(label)
+                    if scope == "global":
+                        if label not in global_labels:
+                            global_labels.append(label)
+                        g_idx = global_labels.index(label)
+                    segments.append((file_id, seg.start, seg.end,
+                                     local.index(label), db_idx, g_idx))
+            file_labels.extend(local)
+            file_labels_ids.append((l0, len(file_labels)))
+            segments_ids.append((s0, len(segments)))
+
             file = dict(file)
-            file["_regions"] = regions
-            file["_annotated_duration"] = total
-            self._train_files.append(file)
-        if self.cache is not None and cached_regions is None:
+            file["_regions"] = [Segment(s, s + d)
+                                for _, d, s in regions[r0:len(regions)]]
+            file["_annotated_duration"] = annotated_duration[-1]
+            live_files.append((subset, file))
+
+        self.prepared_data = {
+            "protocol": getattr(self.protocol, "name", ""),
+            "audio-path": np.array(audios, dtype=np.str_),
+            "audio-uri": np.array(uris, dtype=np.str_),
+            "audio-metadata": _structured(
+                metadata_rows, list(metadata_values)),
+            "audio-annotated": np.array(annotated_duration, np.float64),
+            "annotations-regions": np.array(
+                regions, dtype=[("file_id", "i4"), ("duration", "f8"),
+                                ("start", "f8")]),
+            "audio-regions-ids": np.array(
+                regions_ids, dtype=[("start", "i4"), ("end", "i4")]),
+            "annotations-segments": np.array(
+                segments, dtype=[("file_id", "i4"), ("start", "f8"),
+                                 ("end", "f8"), ("file_label_idx", "i4"),
+                                 ("database_label_idx", "i4"),
+                                 ("global_label_idx", "i4")]),
+            "audio-segments-ids": np.array(
+                segments_ids, dtype=[("start", "i4"), ("end", "i4")]),
+            "metadata-values": metadata_values,
+            "metadata-labels": np.array(global_labels, dtype=np.str_),
+            "metadata-file-labels": np.array(file_labels, dtype=np.str_),
+            "audio-file-labels-ids": np.array(
+                file_labels_ids, dtype=[("start", "i4"), ("end", "i4")]),
+        }
+        for database, labels in database_labels.items():
+            self.prepared_data[f"metadata-{database}-labels"] = \
+                np.array(labels, dtype=np.str_)
+
+        self._train_files = [f for s, f in live_files if s == "train"
+                             and f["_annotated_duration"] > 0]
+        self._val_files = [f for s, f in live_files
+                           if s == "development"] \
+            if self.has_validation else None
+
+        if self.cache is not None:
             from pathlib import Path
             cache_path = Path(self.cache)
             cache_path.parent.mkdir(parents=True, exist_ok=True)
-            np.savez(cache_path, **{
-                f"uri:{f['uri']}": np.array(
-                    [[s.start, s.end] for s in f["_regions"]], np.float64)
-                for f in self._train_files if f.get("uri")})
+            if all(audios):  # in-memory waveforms can't persist
+                _save_prepared_data(cache_path, self.prepared_data)
         self._prepared = True
 
     def setup(self, model=None) -> None:
@@ -219,13 +351,20 @@ class Task:
 
     def prepare_validation(self) -> List[Tuple[Dict, Segment]]:
         """Fixed grid of validation chunks (parity: mixins.py:254-289)."""
-        chunks = []
-        if not hasattr(self.protocol, "development"):
+        chunks: List[Tuple[Dict, Segment]] = []
+        if not self.has_validation:
             return chunks          # protocol without a development subset
-        for file in self.protocol.development():
-            annotated = file.get("annotated")
-            regions = list(annotated) if annotated is not None else \
-                [Segment(0, self.audio.get_duration(file))]
+        if self._val_files is not None:
+            val_files = self._val_files
+        else:
+            val_files = list(self.protocol.development())
+        for file in val_files:
+            if "_regions" in file:
+                regions = file["_regions"]
+            else:
+                annotated = file.get("annotated")
+                regions = list(annotated) if annotated is not None else \
+                    [Segment(0, self.audio.get_duration(file))]
             for region in regions:
                 if region.duration < self.duration:
                     continue
@@ -249,3 +388,89 @@ class Task:
     @property
     def val_monitor(self) -> Tuple[str, str]:
         return "loss/val", "min"
+
+
+# -- prepared_data helpers (parity: reference core/task.py:308-597) --------
+
+def _structured(rows: List[Dict], keys: List[str]) -> np.ndarray:
+    """Rows of {key: int} -> structured int array; missing keys -> -1."""
+    dtype = [(key, "i4") for key in keys]
+    data = [tuple(row.get(key, -1) for key in keys) for row in rows]
+    return np.array(data, dtype=dtype)
+
+
+def _save_prepared_data(path, prepared: Dict) -> None:
+    import json
+    payload = dict(prepared)
+    payload["metadata-values"] = np.array(
+        json.dumps(payload["metadata-values"]), dtype=np.str_)
+    payload["protocol"] = np.array(payload["protocol"], dtype=np.str_)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
+
+
+def _load_prepared_data(path) -> Optional[Dict]:
+    """Load a prepared-data npz; None if it isn't one (stale format)."""
+    import json
+    with np.load(path, allow_pickle=False) as z:
+        if "audio-path" not in z.files or "metadata-values" not in z.files:
+            return None
+        prepared = {name: z[name] for name in z.files}
+    prepared["metadata-values"] = json.loads(
+        str(prepared["metadata-values"]))
+    prepared["protocol"] = str(prepared["protocol"])
+    return prepared
+
+
+def _files_from_prepared(prepared: Dict, subset: str) -> List[Dict]:
+    """Rebuild live file dicts (annotation, annotated, regions) from the
+    compact arrays — zero protocol/audio access on a warm cache."""
+    from ..core.annotation import Annotation, Timeline
+    values = prepared["metadata-values"]
+    subset_idx = Subsets.index(subset)
+    meta = prepared["audio-metadata"]
+    extra_keys = [k for k in meta.dtype.names
+                  if k not in ("subset", "scope", "database")]
+    files: List[Dict] = []
+    for file_id in range(len(prepared["audio-path"])):
+        row = meta[file_id]
+        if int(row["subset"]) != subset_idx:
+            continue
+        uri = str(prepared["audio-uri"][file_id]) or None
+        r0, r1 = prepared["audio-regions-ids"][file_id]
+        regions = [Segment(float(r["start"]),
+                           float(r["start"]) + float(r["duration"]))
+                   for r in prepared["annotations-regions"][r0:r1]]
+        s0, s1 = prepared["audio-segments-ids"][file_id]
+        l0, l1 = prepared["audio-file-labels-ids"][file_id]
+        labels = [str(x) for x in prepared["metadata-file-labels"][l0:l1]]
+        annotation = Annotation(uri=uri)
+        for track, row_s in enumerate(
+                prepared["annotations-segments"][s0:s1]):
+            annotation[Segment(float(row_s["start"]), float(row_s["end"])),
+                       track] = labels[int(row_s["file_label_idx"])]
+        file: Dict = {
+            "uri": uri,
+            "audio": str(prepared["audio-path"][file_id]),
+            "database": values["database"][int(row["database"])]
+            if len(values["database"]) else "",
+            "scope": Scopes[int(row["scope"])],
+            "subset": subset,
+            "annotation": annotation,
+            "annotated": Timeline(regions, uri=uri),
+            "_regions": regions,
+            "_annotated_duration": float(
+                prepared["audio-annotated"][file_id]),
+        }
+        for key in extra_keys:
+            idx = int(row[key])
+            if idx < 0:
+                continue
+            table = values.get(key, [])
+            # str metadata was index-encoded; int metadata stored verbatim
+            file[key] = table[idx] if table and \
+                isinstance(table[0], str) and idx < len(table) else idx
+        if subset == "train" and file["_annotated_duration"] <= 0:
+            continue
+        files.append(file)
+    return files

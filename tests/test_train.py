@@ -252,6 +252,83 @@ def test_task_prepared_data_cache(protocol, tmp_path):
         [f["_annotated_duration"] for f in task2._train_files]
 
 
+def test_task_prepared_data_cache_is_protocol_free(protocol, tmp_path):
+    """A warm cache rebuilds everything (annotations included) with ZERO
+    protocol access — parity with the reference's compact-array
+    prepared_data (core/task.py:308-597)."""
+    cache = tmp_path / "meta.npz"
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              seed=7, cache=str(cache))
+    task.setup(SimpleSegmentationModel(task=task))
+    b1 = next(iter(task.train_batches(epoch=0)))
+    # reference key layout present
+    for key in ("protocol", "audio-path", "audio-metadata",
+                "audio-annotated", "annotations-regions",
+                "audio-regions-ids", "annotations-segments",
+                "audio-segments-ids", "metadata-values",
+                "metadata-labels"):
+        assert key in task.prepared_data, key
+
+    class PoisonProtocol:
+        name = "poison"
+
+        def train(self):
+            raise RuntimeError("protocol scanned despite warm cache")
+
+        def development(self):
+            raise RuntimeError("protocol scanned despite warm cache")
+
+    task2 = SpeakerDiarization(PoisonProtocol(), duration=2.0,
+                               batch_size=2, seed=7, cache=str(cache))
+    task2.setup(SimpleSegmentationModel(task=task2))
+    b2 = next(iter(task2.train_batches(epoch=0)))
+    np.testing.assert_array_equal(b1.X, b2.X)
+    np.testing.assert_array_equal(b1.y, b2.y)
+    # annotations were rebuilt from the segment arrays
+    f1, f2 = task._train_files[0], task2._train_files[0]
+    assert f1["annotation"].labels() == f2["annotation"].labels()
+    assert f1["uri"] == f2["uri"]
+
+
+def test_prepared_data_label_scopes(tmp_path):
+    """database/global-scope label indices survive the cache round-trip
+    (parity: metadata-{db}-labels / metadata-labels tables)."""
+    from pyannote_audio_tpu.core.task import Task
+    from pyannote_audio_tpu.utils.database import Protocol
+    from tests.corpus import make_file
+
+    files = []
+    for i, uri in enumerate(("f1", "f2")):
+        f = make_file(tmp_path / f"{uri}.wav",
+                      [("alice", 0.5, 3.0), ("bob", 3.5, 7.0)], 8.0,
+                      seed=i)
+        f["scope"] = "global"
+        f["database"] = "TestDB"
+        f["domain"] = f"dom{i}"          # extra str metadata
+        files.append(f)
+    protocol = Protocol(name="scopes", subsets={"train": files})
+
+    cache = tmp_path / "cache.npz"
+    task = Task(protocol, duration=2.0, cache=str(cache))
+    task.prepare_data()
+    seg = task.prepared_data["annotations-segments"]
+    assert set(seg["database_label_idx"]) <= {0, 1}
+    assert (seg["global_label_idx"] >= 0).all()
+    assert list(task.prepared_data["metadata-TestDB-labels"]) == \
+        list(task.prepared_data["metadata-labels"])
+
+    task2 = Task(protocol, duration=2.0, cache=str(cache))
+    task2.prepare_data()
+    assert list(task2.prepared_data["metadata-labels"]) == \
+        list(task.prepared_data["metadata-labels"])
+    np.testing.assert_array_equal(
+        task2.prepared_data["annotations-segments"], seg)
+    # extra metadata reconstructed onto the live dicts
+    assert [f["domain"] for f in task2._train_files] == ["dom0", "dom1"]
+    assert [f["database"] for f in task2._train_files] == ["TestDB"] * 2
+    assert [f["scope"] for f in task2._train_files] == ["global"] * 2
+
+
 def test_powerset_cardinality_and_weighted_loss():
     """Powerset.cardinality parity (build_cardinality, reference
     utils/powerset.py:111) and class-weighted PIT loss behavior."""
