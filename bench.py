@@ -35,33 +35,41 @@ def main():
     from pyannote_audio_tpu.pipelines.speaker_diarization import \
         SpeakerDiarization
 
-    audio_minutes = float(__import__("os").environ.get(
-        "BENCH_AUDIO_MINUTES", "10"))
+    audio_minutes = float(os.environ.get("BENCH_AUDIO_MINUTES", "10"))
+    num_files = int(os.environ.get("BENCH_NUM_FILES", "3"))
     sr = 16000
 
-    # synthetic "conversation": harmonic speakers + silences
-    rng = np.random.default_rng(0)
-    n = int(audio_minutes * 60 * sr)
-    t = np.arange(n) / sr
-    wav = 0.003 * rng.standard_normal(n).astype(np.float32)
-    segment = 5.0
-    for i, start in enumerate(np.arange(0.0, audio_minutes * 60 - segment,
-                                        7.0)):
-        f0 = [140.0, 210.0, 320.0][i % 3]
-        i0, i1 = int(start * sr), int((start + segment) * sr)
-        tt = t[i0:i1]
-        wav[i0:i1] += (0.2 * np.sin(2 * np.pi * f0 * tt)
-                       * (0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 3 * tt)))
-                       ).astype(np.float32)
+    def synth(minutes: float, seed: int) -> np.ndarray:
+        """Synthetic "conversation": harmonic speakers + silences."""
+        rng = np.random.default_rng(seed)
+        n = int(minutes * 60 * sr)
+        t = np.arange(n) / sr
+        wav = 0.003 * rng.standard_normal(n).astype(np.float32)
+        segment = 5.0
+        for i, start in enumerate(np.arange(0.0, minutes * 60 - segment,
+                                            7.0)):
+            f0 = [140.0, 210.0, 320.0][(i + seed) % 3]
+            i0, i1 = int(start * sr), int((start + segment) * sr)
+            tt = t[i0:i1]
+            wav[i0:i1] += (0.2 * np.sin(2 * np.pi * f0 * tt)
+                           * (0.5 + 0.5 * np.abs(
+                               np.sin(2 * np.pi * 3 * tt)))
+                           ).astype(np.float32)
+        return np.round(wav * 32768.0).clip(-32768, 32767).astype(
+            np.float32) / np.float32(32768.0)
 
-    # real files are PCM16 on disk: write one and benchmark the full path
-    # (C++ WAV decode -> int16 device upload -> pipeline). The in-memory
-    # float path is available via BENCH_IN_MEMORY=1.
+    # real files are PCM16 on disk: write them and benchmark the full path
+    # (C++ WAV decode -> int16 device upload -> pipeline). Multi-file =
+    # production serving shape: the streaming _apply_batch decodes file
+    # N+1 while the device runs file N, amortizing the per-file leading
+    # span. The in-memory float path is available via BENCH_IN_MEMORY=1.
     from pyannote_audio_tpu.core.io import write_wav
-    wav = np.round(wav * 32768.0).clip(-32768, 32767) / np.float32(32768.0)
-    wav = wav.astype(np.float32)
-    wav_path = "/tmp/pyannote_tpu_bench.wav"
-    write_wav(wav_path, wav[None], sr)
+    paths = []
+    for k in range(num_files):
+        wav = synth(audio_minutes, seed=k)
+        path = f"/tmp/pyannote_tpu_bench_{k}.wav"
+        write_wav(path, wav[None], sr)
+        paths.append(path)
 
     seg_model = PyanNet()
     seg_model.specifications = Specifications(
@@ -86,14 +94,17 @@ def main():
                        "min_cluster_size": 1},
     })
 
-    if os.environ.get("BENCH_IN_MEMORY", "0") == "1":
-        file = {"waveform": wav[None], "sample_rate": sr, "uri": "bench"}
-    else:
-        file = {"audio": wav_path, "uri": "bench"}
+    def batch():
+        if os.environ.get("BENCH_IN_MEMORY", "0") == "1":
+            return [{"waveform": synth(audio_minutes, seed=k)[None],
+                     "sample_rate": sr, "uri": f"bench{k}"}
+                    for k in range(num_files)]
+        return [{"audio": p, "uri": f"bench{k}"}
+                for k, p in enumerate(paths)]
 
     # warmup (compile); steady-state throughput is what production sees —
     # executables persist within the process after the first file
-    pipeline(dict(file), max_speakers=4)
+    pipeline({"audio": paths[0], "uri": "warmup"}, max_speakers=4)
 
     # best of 3: the TPU sits behind a shared pool/relay whose load varies
     # minute to minute (observed 13 -> 57 s/audio-hour on identical code);
@@ -101,11 +112,11 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        pipeline(dict(file), max_speakers=4)
+        pipeline(batch(), max_speakers=4)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
-    audio_hours = audio_minutes / 60.0
+    audio_hours = num_files * audio_minutes / 60.0
     hours_per_minute = audio_hours / (elapsed / 60.0)
     # reference community-1 on H100: 31 s per audio-hour
     baseline_hours_per_minute = 60.0 / 31.0
@@ -117,6 +128,7 @@ def main():
                              3),
         "detail": {
             "audio_minutes": audio_minutes,
+            "num_files": num_files,
             "wall_seconds": round(elapsed, 3),
             "seconds_per_audio_hour": round(elapsed / audio_hours, 2),
         },

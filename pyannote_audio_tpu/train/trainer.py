@@ -105,12 +105,16 @@ class Trainer:
         gradient_clip_val: Optional[float] = None,
         callbacks: Optional[List] = None,
         seed: int = 42,
+        log_dir: Optional[Union[str, Path]] = None,
     ):
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
         self.mesh = mesh
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir \
             else None
+        #: metrics.jsonl + samples_epoch{N}.png land here (parity role:
+        #: the reference's TensorBoard/MLflow loggers, mixins.py:302-437)
+        self.log_dir = Path(log_dir) if log_dir else None
         self.callbacks = callbacks or []
         tx = optimizer or optax.adam(learning_rate)
         if gradient_clip_val:
@@ -183,8 +187,16 @@ class Trainer:
                         f"non-finite loss {loss}")
             record = {"epoch": epoch,
                       "loss": float(np.mean(losses)) if losses else np.nan}
-            record.update(self.validate(model, task, params))
+            record.update(self.validate(model, task, params, epoch=epoch))
             self.history.append(record)
+            if self.log_dir is not None:
+                import json
+                self.log_dir.mkdir(parents=True, exist_ok=True)
+                with open(self.log_dir / "metrics.jsonl", "a") as f:
+                    f.write(json.dumps(
+                        {k: (None if isinstance(v, float)
+                             and math.isnan(v) else v)
+                         for k, v in record.items()}) + "\n")
             if self.checkpoint_dir is not None:
                 model.params = {k: v for k, v in params.items()
                                 if k in model_keys}
@@ -196,7 +208,7 @@ class Trainer:
 
 
     def validate(self, model: Model, task: Task, params,
-                 max_chunks: int = 32) -> Dict:
+                 max_chunks: int = 32, epoch: int = 0) -> Dict:
         """Validation pass: DER component family (diarization) or AUROC.
 
         Parity role: the reference's validation_step family
@@ -241,8 +253,11 @@ class Trainer:
             self._val_apply_key = model.module
         preds = self._val_apply(model_params, X)
         out: Dict = {}
+        plot_pred = np.asarray(preds) if np.asarray(preds).ndim == 3 \
+            else None
         if powerset is not None and batch_y[0] is not None:
             multilabel = powerset.to_multilabel(preds)
+            plot_pred = np.asarray(multilabel)
             y = np.stack(batch_y)
             n = min(multilabel.shape[1], y.shape[1])
             p = np.asarray(multilabel)[:, :n]
@@ -269,7 +284,69 @@ class Trainer:
             out["loss/val"] = float(task.loss(
                 model, params,
                 TrainingBatch(X=np.stack(batch_X), y=np.stack(batch_y))))
+        if self.log_dir is not None and plot_pred is not None and \
+                batch_y[0] is not None and _is_power_of_two_or_zero(epoch):
+            self._log_validation_figure(
+                epoch, plot_pred, np.stack(batch_y),
+                warm_up=getattr(task, "warm_up", (0.0, 0.0)),
+                duration=task.duration)
         return out
+
+    def _log_validation_figure(self, epoch: int, y_pred: np.ndarray,
+                               y: np.ndarray, warm_up=(0.0, 0.0),
+                               duration: float = 1.0) -> None:
+        """3x3 target/prediction grid PNG for the first validation batch.
+
+        Parity: the reference logs the same figure to TensorBoard/MLflow
+        every 2^n epochs (tasks/segmentation/mixins.py:374-437) — here it
+        lands in ``log_dir/samples_epoch{N}.png``.
+        """
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        num_frames = y_pred.shape[1]
+        warm_up_left = round(warm_up[0] / duration * num_frames)
+        warm_up_right = round(warm_up[1] / duration * num_frames)
+        num_samples = min(len(y_pred), 9)
+        nrows = math.ceil(math.sqrt(num_samples))
+        ncols = math.ceil(num_samples / nrows)
+        fig, axes = plt.subplots(nrows=2 * nrows, ncols=ncols,
+                                 figsize=(8, 5), squeeze=False)
+        y = y.astype(np.float32).copy()
+        y[y == 0] = np.nan
+        if y.ndim == 2:
+            y = y[:, :, None]
+        y = y * np.arange(y.shape[2])
+        for sample_idx in range(num_samples):
+            row_idx, col_idx = sample_idx // nrows, sample_idx % ncols
+            ax_ref = axes[row_idx * 2 + 0, col_idx]
+            ax_ref.plot(y[sample_idx])
+            ax_ref.set_xlim(0, y.shape[1])
+            ax_ref.set_ylim(-1, y.shape[2])
+            ax_ref.get_xaxis().set_visible(False)
+            ax_ref.get_yaxis().set_visible(False)
+            ax_hyp = axes[row_idx * 2 + 1, col_idx]
+            if warm_up_left:
+                ax_hyp.axvspan(0, warm_up_left, color="k", alpha=0.5,
+                               lw=0)
+            if warm_up_right:
+                ax_hyp.axvspan(num_frames - warm_up_right, num_frames,
+                               color="k", alpha=0.5, lw=0)
+            ax_hyp.plot(y_pred[sample_idx])
+            ax_hyp.set_ylim(-0.1, 1.1)
+            ax_hyp.set_xlim(0, y.shape[1])
+            ax_hyp.get_xaxis().set_visible(False)
+        plt.tight_layout()
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        fig.savefig(self.log_dir / f"samples_epoch{epoch}.png", dpi=72)
+        plt.close(fig)
+
+
+def _is_power_of_two_or_zero(epoch: int) -> bool:
+    """Figure-logging cadence parity (mixins.py:374-377): epochs 0, 1, 2,
+    4, 8, ... get a sample figure."""
+    return epoch == 0 or (epoch & (epoch - 1)) == 0
 
 
 def _reconcile(old_params, new_params):

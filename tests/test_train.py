@@ -252,6 +252,26 @@ def test_task_prepared_data_cache(protocol, tmp_path):
         [f["_annotated_duration"] for f in task2._train_files]
 
 
+def test_trainer_logs_metrics_and_validation_figures(protocol, tmp_path):
+    """log_dir= writes per-epoch metrics.jsonl (DER component family) and
+    power-of-two-epoch sample figures (parity: mixins.py:302-437)."""
+    import json
+    log_dir = tmp_path / "logs"
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2, seed=1)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=3, limit_train_batches=2,
+                      learning_rate=1e-3, log_dir=str(log_dir))
+    trainer.fit(model, task)
+    lines = [json.loads(l) for l in
+             (log_dir / "metrics.jsonl").read_text().splitlines()]
+    assert [l["epoch"] for l in lines] == [0, 1, 2]
+    assert all("der/val" in l and "der/val/false_alarm" in l
+               for l in lines)
+    # epochs 0, 1, 2 are all power-of-two (or zero) -> all get figures
+    for epoch in (0, 1, 2):
+        assert (log_dir / f"samples_epoch{epoch}.png").exists()
+
+
 def test_task_prepared_data_cache_is_protocol_free(protocol, tmp_path):
     """A warm cache rebuilds everything (annotations included) with ZERO
     protocol access — parity with the reference's compact-array
