@@ -64,6 +64,40 @@ def _dequantize(chunks: jnp.ndarray) -> jnp.ndarray:
 
 
 
+def _is_oom_error(exception: BaseException) -> bool:
+    """XLA out-of-HBM detection (parity role: reference
+    inference.py:201-206 / lightning's is_oom_error). XLA surfaces OOM as
+    RESOURCE_EXHAUSTED XlaRuntimeError with an 'Out of memory' or
+    'Attempting to allocate' message."""
+    text = f"{type(exception).__name__}: {exception}"
+    return "RESOURCE_EXHAUSTED" in text or "Out of memory" in text \
+        or "out of memory" in text or "Attempting to allocate" in text
+
+
+def _chunk_grid(num_samples: int, window_size: int, step_size: int,
+                sample_rate: int):
+    """Sliding-window chunk starts + padded waveform length.
+
+    The padded length is rounded up to a 30 s bucket so the in-jit gather
+    executable is reused across file lengths (parity role: reference
+    inference.py:273-278 computes the same grid chunk by chunk).
+    """
+    if num_samples >= window_size:
+        num_full = 1 + (num_samples - window_size) // step_size
+    else:
+        num_full = 0
+    has_last = (num_samples < window_size) or \
+        ((num_samples - window_size) % step_size > 0)
+    starts = [i * step_size for i in range(num_full)]
+    if has_last:
+        starts.append(num_full * step_size)
+    starts = np.asarray(starts, dtype=np.int32)
+    needed = int(starts[-1]) + window_size
+    bucket = 30 * sample_rate
+    padded_len = max(needed, -(-needed // bucket) * bucket)
+    return starts, padded_len
+
+
 def _upload_waveform_cached(waveform: np.ndarray, cache) -> jnp.ndarray:
     """Per-file device-buffer reuse across pipeline stages.
 
@@ -243,24 +277,9 @@ class Inference:
             num_frames_per_chunk = None
 
         # chunk start positions (last chunk zero-padded, inference.py:273-278)
-        if num_samples >= window_size:
-            num_full = 1 + (num_samples - window_size) // step_size
-        else:
-            num_full = 0
-        has_last = (num_samples < window_size) or \
-            ((num_samples - window_size) % step_size > 0)
-        starts = [i * step_size for i in range(num_full)]
-        if has_last:
-            starts.append(num_full * step_size)
+        starts, padded_len = _chunk_grid(num_samples, window_size,
+                                         step_size, sample_rate)
         num_chunks = len(starts)
-        starts = np.asarray(starts, dtype=np.int32)
-
-        # pad waveform so every dynamic_slice is in range; round the padded
-        # length up to a 30 s bucket so the gather executable is reused
-        # across file lengths
-        needed = int(starts[-1]) + window_size
-        bucket = 30 * sample_rate
-        padded_len = max(needed, -(-needed // bucket) * bucket)
         if padded_len > num_samples:
             waveform = np.pad(
                 waveform, ((0, 0), (0, padded_len - num_samples)))
@@ -278,8 +297,17 @@ class Inference:
             n_real = len(batch_starts)
             if n_real < B:
                 batch_starts = np.pad(batch_starts, (0, B - n_real))
-            out = self._jitted_batch(self.model.params, device_waveform,
-                                     jnp.asarray(batch_starts))
+            try:
+                out = self._jitted_batch(self.model.params,
+                                         device_waveform,
+                                         jnp.asarray(batch_starts))
+            except Exception as exception:
+                if _is_oom_error(exception):
+                    raise MemoryError(
+                        f"batch_size ({self.batch_size: d}) is probably "
+                        f"too large. Try with a smaller value until "
+                        f"memory error disappears.") from exception
+                raise
             outputs.append(jax.tree_util.tree_map(
                 lambda o: o[:n_real], out))
             if hook is not None:
@@ -343,6 +371,31 @@ class Inference:
         return SlidingWindowFeature(data, frames)
 
     # -- public API --------------------------------------------------------
+
+    def preload(self, file: AudioFile) -> None:
+        """Start the device upload of a file's (padded) waveform early.
+
+        Called from the streaming batch-apply decode worker so the
+        host->device transfer of file N+1 overlaps device compute of
+        file N. Pads exactly like ``slide`` so the cached buffer key
+        matches and ``slide`` skips its own upload. No-op for whole-window
+        inference or immutable file objects.
+        """
+        if self.window != "sliding":
+            return
+        from collections.abc import MutableMapping
+        if not isinstance(file, MutableMapping):
+            return
+        waveform, sample_rate = self.audio(file)
+        window_size = round(self.duration * sample_rate)
+        step_size = round(self.step * sample_rate)
+        _, padded_len = _chunk_grid(waveform.shape[-1], window_size,
+                                    step_size, sample_rate)
+        if padded_len > waveform.shape[-1]:
+            waveform = np.pad(
+                waveform,
+                ((0, 0), (0, padded_len - waveform.shape[-1])))
+        _upload_waveform_cached(waveform, file)
 
     def __call__(self, file: AudioFile, hook: Optional[Callable] = None):
         """Run inference on a whole file (reference inference.py:375-415)."""

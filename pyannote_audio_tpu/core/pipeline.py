@@ -320,15 +320,20 @@ class Pipeline:
             Audio(sample_rate=16000, mono="downmix")
 
         def decode(f):
-            if "waveform" in f or not isinstance(f.get("audio"),
-                                                 (str, Path)):
-                return
+            if "waveform" not in f and isinstance(f.get("audio"),
+                                                  (str, Path)):
+                try:
+                    waveform, sample_rate = audio(f)
+                except (ValueError, OSError):
+                    return         # apply() will surface the real error
+                f["waveform"] = waveform
+                f["sample_rate"] = sample_rate
             try:
-                waveform, sample_rate = audio(f)
-            except (ValueError, OSError):
-                return             # apply() will surface the real error
-            f["waveform"] = waveform
-            f["sample_rate"] = sample_rate
+                # overlap the host->device transfer with the device
+                # compute of the previous file (no-op by default)
+                self.preload(f)
+            except Exception:
+                pass               # apply() re-uploads if needed
 
         prefetch: Dict[int, threading.Thread] = {}
         results = []
@@ -372,6 +377,11 @@ class Pipeline:
                 f["sample_rate"] = target_rate
         except (ValueError, OSError):
             return
+
+    def preload(self, file: Dict) -> None:
+        """Optional early device upload hook for streaming batch apply;
+        subclasses with a device hot path override this (e.g. diarization
+        delegates to its segmentation ``Inference.preload``)."""
 
     def apply(self, file: Dict, hook: Optional[Callable] = None, **kwargs):
         raise NotImplementedError

@@ -652,6 +652,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
 
     CACHED_SEGMENTATION = "training_cache/segmentation"
 
+    def preload(self, file) -> None:
+        """Streaming batch apply: upload file N+1's waveform while the
+        device still runs file N (the segmentation and embedding stages
+        share one device buffer, so one preload covers both)."""
+        self._segmentation.preload(file)
+
     def get_segmentations(self, file, hook=None) -> SlidingWindowFeature:
         if hook is not None:
             hook = functools.partial(hook, "segmentation", None)

@@ -186,6 +186,76 @@ def test_device_waveform_cache_shared_across_stages(seg_model, tmp_path):
         out_plain.speaker_diarization.labels()
 
 
+def test_inference_preload_overlaps_upload(seg_model, tmp_path):
+    """Inference.preload pads exactly like slide(): the decode-worker
+    upload is the ONLY upload, and outputs are unchanged."""
+    import pyannote_audio_tpu.core.inference as I
+    file = default_two_speaker_file(tmp_path / "p.wav")
+    inference = pat.Inference(seg_model, duration=5.0, step=2.5,
+                              batch_size=8)
+    baseline = inference(dict(file))
+
+    calls = []
+    real = I._upload_waveform
+    I._upload_waveform = lambda w: calls.append(w.shape) or real(w)
+    try:
+        f = dict(file)
+        inference.preload(f)
+        assert len(calls) == 1 and "_device_waveform" in f
+        out = inference(f)
+        assert len(calls) == 1      # slide() hit the preloaded buffer
+    finally:
+        I._upload_waveform = real
+    np.testing.assert_array_equal(out.data, baseline.data)
+
+
+def test_pipeline_batch_apply_preloads(seg_model, tmp_path):
+    """Streaming batch apply calls preload from the decode worker; results
+    match the sequential path."""
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+    files = [default_two_speaker_file(tmp_path / f"b{i}.wav")
+             for i in range(2)]
+    for i, f in enumerate(files):
+        f["uri"] = f"b{i}"
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    preloaded = []
+    orig = pipeline.preload
+    pipeline.preload = lambda f: preloaded.append(f.get("uri")) or orig(f)
+    batch_out = pipeline([dict(f) for f in files])
+    assert preloaded == ["b0", "b1"]
+    seq_out = [pipeline(dict(f)) for f in files]
+    for b, s in zip(batch_out, seq_out):
+        assert b.speaker_diarization.labels() == \
+            s.speaker_diarization.labels()
+
+
+def test_oom_maps_to_actionable_memory_error(seg_model, tmp_path):
+    """Device OOM surfaces as MemoryError naming batch_size (parity:
+    reference inference.py:201-206)."""
+    import pytest
+    file = default_two_speaker_file(tmp_path / "o.wav")
+    inference = pat.Inference(seg_model, duration=5.0, step=2.5,
+                              batch_size=8)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+            "1234567890 bytes.")
+    inference._jitted_batch = boom
+    with pytest.raises(MemoryError, match="batch_size"):
+        inference(dict(file))
+
+
 def test_device_waveform_cache_detects_mutation():
     """A mutated waveform in a reused file dict must not hit the stale
     device buffer (the old 4-point probe missed off-probe mutations)."""
