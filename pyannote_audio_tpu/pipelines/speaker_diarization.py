@@ -362,6 +362,68 @@ class EmbeddingHotPathMixin:
                     "trunk_frames_per_chunk": trunk_frames_per_chunk}
         return compute_trunk, gather_pool_fn, geometry
 
+    def _start_shared_trunk(self, file, device_masks: bool) -> None:
+        """Dispatch the whole-file embedding trunk EARLY (before the first
+        host sync on the segmentation output).
+
+        The shared trunk depends only on the waveform — not on the
+        segmentation scores — so its panels can queue behind the
+        segmentation forwards and execute while the host waits on the
+        fused count/stats round-trip. ``get_embeddings`` picks the result
+        up from the file dict; on any mismatch it recomputes (correctness
+        never depends on the stash).
+        """
+        from collections.abc import MutableMapping
+        if self._embedding is None or self.training or \
+                not isinstance(file, MutableMapping):
+            return
+        duration = self._segmentation.duration
+        step = self._segmentation.step
+        sample_rate = self._embedding.sample_rate
+        window_samples = round(duration * sample_rate)
+        step_samples = round(step * sample_rate)
+        frame_shift_samples = int(
+            sample_rate * getattr(self._embedding, "frame_shift", 10.0)
+            * 0.001)
+        if self._embedding.module is None:
+            self._embedding.build()
+        shared_fbank = (
+            hasattr(type(self._embedding.module), "frames_from_fbank")
+            and frame_shift_samples > 0
+            and step_samples % frame_shift_samples == 0)
+        from ..utils.runtime import device_flag
+        if not (shared_fbank and device_flag("PYANNOTE_TPU_SHARED_TRUNK")):
+            return
+        from ..core.inference import _chunk_grid, _upload_waveform_cached
+        waveform, _ = self._audio(file)
+        real_samples = waveform.shape[1]
+        grid_starts, _ = _chunk_grid(real_samples, window_samples,
+                                     step_samples, sample_rate)
+        num_chunks = len(grid_starts)
+        # same padded-length bucketing as get_embeddings / slide
+        needed = (num_chunks - 1) * step_samples + window_samples
+        bucket = 30 * sample_rate
+        padded_len = max(needed, -(-needed // bucket) * bucket)
+        if padded_len > waveform.shape[1]:
+            waveform = np.pad(
+                waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
+        device_waveform = _upload_waveform_cached(waveform, file)
+
+        cache_attr = "_jitted_shared_trunk_dev" if device_masks \
+            else "_jitted_shared_trunk"
+        if getattr(self, cache_attr, None) is None:
+            setattr(self, cache_attr,
+                    self._make_shared_trunk_fns(
+                        window_samples, device_masks=device_masks))
+        compute_trunk, _, _ = getattr(self, cache_attr)
+        from ..ops.fbank import fbank_num_frames
+        num_real_frames = fbank_num_frames(
+            min(real_samples, padded_len), sample_rate,
+            self._embedding.frame_length, self._embedding.frame_shift)
+        trunk = compute_trunk(device_waveform, num_real_frames)
+        file["_device_trunk"] = (
+            (window_samples, bool(device_masks), padded_len), trunk)
+
     def get_embeddings(
         self,
         file,
@@ -458,12 +520,20 @@ class EmbeddingHotPathMixin:
                         self._make_shared_trunk_fns(
                             window_samples, device_masks=device_masks))
             compute_trunk, batch_fn, geometry = getattr(self, cache_attr)
-            from ..ops.fbank import fbank_num_frames
-            num_real_frames = fbank_num_frames(
-                min(real_samples, padded_len),
-                self._embedding.sample_rate,
-                self._embedding.frame_length, self._embedding.frame_shift)
-            device_input = compute_trunk(device_waveform, num_real_frames)
+            stash = file.pop("_device_trunk", None) \
+                if isinstance(file, MutableMapping) else None
+            if stash is not None and stash[0] == (
+                    window_samples, bool(device_masks), padded_len):
+                device_input = stash[1]  # dispatched early in apply()
+            else:
+                from ..ops.fbank import fbank_num_frames
+                num_real_frames = fbank_num_frames(
+                    min(real_samples, padded_len),
+                    self._embedding.sample_rate,
+                    self._embedding.frame_length,
+                    self._embedding.frame_shift)
+                device_input = compute_trunk(device_waveform,
+                                             num_real_frames)
             starts_for_batch = (
                 (starts // frame_shift_samples)
                 // geometry["stride"]).astype(np.int32)
@@ -852,6 +922,11 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         from ..core.segment import DeviceSlidingWindowFeature
         device_fast = isinstance(binarized_segmentations,
                                  DeviceSlidingWindowFeature)
+        # queue the (segmentation-independent) embedding trunk behind the
+        # segmentation forwards so it executes during the count host sync
+        if not (self.klustering == "OracleClustering"
+                and self._embedding is None):
+            self._start_shared_trunk(file, device_masks=device_fast)
         if device_fast:
             (count, speaker_frames, _clean_frames, agg_offsets,
              agg_num_frames) = self._device_count_stats(

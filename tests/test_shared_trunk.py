@@ -155,3 +155,46 @@ def test_pipeline_end_to_end_with_shared_trunk(tmp_path, monkeypatch):
     out = pipeline(dict(file), max_speakers=3)
     assert out.speaker_diarization is not None
     assert len(out.speaker_diarization.labels()) <= 3
+
+
+def test_early_trunk_dispatch_is_used_and_equivalent(tmp_path,
+                                                     monkeypatch):
+    """apply() queues the shared trunk before the count host sync; the
+    stashed result must be consumed by get_embeddings and must not change
+    the output vs the late-dispatch path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    monkeypatch.setenv("PYANNOTE_TPU_SHARED_TRUNK", "1")
+    emb = TinyWeSpeaker()
+    emb.build()
+    pipeline = _pipeline(emb)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    file = default_two_speaker_file(tmp_path / "z.wav")
+
+    stashed = []
+    orig = type(pipeline)._start_shared_trunk
+
+    def spy(self, f, device_masks):
+        orig(self, f, device_masks=device_masks)
+        stashed.append("_device_trunk" in f)
+    monkeypatch.setattr(type(pipeline), "_start_shared_trunk", spy)
+    f_early = pipeline.prepare_one(dict(file))
+    out_early = pipeline.apply(f_early, max_speakers=3)
+    assert stashed and stashed[0]             # trunk dispatched early
+    assert "_device_trunk" not in f_early     # ...and consumed
+
+    monkeypatch.setattr(type(pipeline), "_start_shared_trunk",
+                        lambda self, f, device_masks: None)
+    out_late = pipeline.apply(pipeline.prepare_one(dict(file)),
+                              max_speakers=3)
+    assert out_early.speaker_diarization.labels() == \
+        out_late.speaker_diarization.labels()
+    for (s1, _, l1), (s2, _, l2) in zip(
+            out_early.speaker_diarization.itertracks(yield_label=True),
+            out_late.speaker_diarization.itertracks(yield_label=True)):
+        assert s1 == s2 and l1 == l2

@@ -191,6 +191,64 @@ def test_transfer_learning_head_swap(protocol):
     assert model.dimension == task2.powerset.num_powerset_classes
 
 
+def test_finetune_freeze_with_cache(protocol, tmp_path):
+    """Combined reference matrix case (test_train.py:213-254): load a
+    trained checkpoint, freeze the trunk, fine-tune on a cached-data task;
+    frozen weights must not move while the head trains."""
+    import pyannote_audio_tpu as pat
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2,
+                                  cache=str(tmp_path / "cache.npz"))
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=1,
+                      checkpoint_dir=tmp_path / "ckpt")
+    trainer.fit(model, task)
+
+    pretrained = pat.Model.from_pretrained(tmp_path / "ckpt" / "epoch_0")
+    task2 = VoiceActivityDetection(protocol, duration=2.0, batch_size=2,
+                                   cache=str(tmp_path / "cache.npz"))
+    trainer2 = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer2.frozen_prefixes = ()  # set after fit() resets it below
+
+    class FreezeTrunk:
+        def on_train_epoch_start(self, trainer, model, epoch):
+            trainer.frozen_prefixes = ("frontend",)
+    trainer2.callbacks.append(FreezeTrunk())
+    frontend_before = np.asarray(
+        pretrained.params["params"]["frontend"]["kernel"]).copy()
+    head_before = np.asarray(
+        pretrained.params["params"]["classifier"]["kernel"]).copy()
+    trainer2.fit(pretrained, task2)
+    frontend_after = np.asarray(
+        pretrained.params["params"]["frontend"]["kernel"])
+    head_after = np.asarray(
+        pretrained.params["params"]["classifier"]["kernel"])
+    np.testing.assert_array_equal(frontend_before, frontend_after)
+    assert not np.array_equal(head_before, head_after)
+
+
+def test_transfer_freeze_head_swap(protocol):
+    """Reference matrix: transfer to a new task with a frozen trunk
+    (test_train.py:257-282) — head swaps dimension, trunk is untouched."""
+    task1 = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task1)
+    Trainer(max_epochs=1, limit_train_batches=1).fit(model, task1)
+    frontend_before = np.asarray(
+        model.params["params"]["frontend"]["kernel"]).copy()
+
+    task2 = SpeakerDiarization(protocol, duration=2.0, batch_size=2)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2)
+
+    class FreezeTrunk:
+        def on_train_epoch_start(self, trainer, model, epoch):
+            trainer.frozen_prefixes = ("frontend",)
+    trainer.callbacks.append(FreezeTrunk())
+    trainer.fit(model, task2)
+    np.testing.assert_array_equal(
+        frontend_before,
+        np.asarray(model.params["params"]["frontend"]["kernel"]))
+    assert model.dimension == task2.powerset.num_powerset_classes
+
+
 def test_arcface_task_training(protocol):
     from pyannote_audio_tpu.models.embedding.debug import \
         SimpleEmbeddingModel
