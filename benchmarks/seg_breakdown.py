@@ -24,14 +24,16 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def timeit(fn, *args, iters=5):
-    # axon: block_until_ready is unreliable; sync via host fetch
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    # axon: block_until_ready is unreliable; sync via a TINY host fetch
+    # (fetching the full output would time the relay transfer instead)
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+    sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 

@@ -68,6 +68,23 @@ class DiarizeOutput:
         }
 
 
+class _DeferredEmbeddings:
+    """Per-batch device arrays from ``get_embeddings(defer_fetch=True)``.
+
+    Holding this instead of a numpy array lets batch apply queue several
+    files' embedding dispatches before the first host sync; ``fetch()``
+    performs the one device->host transfer.
+    """
+
+    def __init__(self, parts):
+        self._parts = parts
+
+    def fetch(self) -> np.ndarray:
+        parts = self._parts
+        return np.asarray(jnp.concatenate(parts, axis=0)
+                          if len(parts) > 1 else parts[0])
+
+
 class EmbeddingHotPathMixin:
     """Fused per-(chunk, speaker) embedding extraction.
 
@@ -430,10 +447,15 @@ class EmbeddingHotPathMixin:
         binary_segmentations: SlidingWindowFeature,
         exclude_overlap: bool = False,
         hook: Optional[Callable] = None,
-    ) -> np.ndarray:
+        defer_fetch: bool = False,
+    ) -> Union["np.ndarray", "_DeferredEmbeddings"]:
         """(num_chunks, num_speakers, dimension) embeddings.
 
         Trunk runs once per chunk; per-speaker masks only drive pooling.
+        With ``defer_fetch`` the per-batch device arrays are returned
+        wrapped in a ``_DeferredEmbeddings`` (no host sync) so batch apply
+        can queue several files' embeddings before the first round-trip;
+        ignored in training mode (the training cache stores host arrays).
         """
         if self.training:
             cache = file.get("training_cache/embeddings", dict())
@@ -595,6 +617,8 @@ class EmbeddingHotPathMixin:
             if hook is not None:
                 hook("embeddings", None, total=num_batches,
                      completed=b + 1)
+        if defer_fetch and not self.training:
+            return _DeferredEmbeddings(out)
         embeddings = np.asarray(jnp.concatenate(out, axis=0)
                                 if len(out) > 1 else out[0])  # (C, S, D)
 
@@ -761,13 +785,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             + 0.5 * frames.duration) + 1
         return offsets, num_output_frames, window
 
-    def _device_count_stats(self, binarized: SlidingWindowFeature):
-        """Fused on-device speaker count + activity stats, one host sync.
+    def _dispatch_count_stats(self, binarized: SlidingWindowFeature):
+        """Queue the fused on-device speaker count + activity stats.
 
-        Replaces the host trim->sum->aggregate->rint of speaker_count
-        (warm_up=(0,0), the product path) plus the host reductions that
-        feed clustering (filter_embeddings clean frames, inactive/silent
-        speaker masks) — the full score tensor never leaves HBM.
+        Returns device handles + grid metadata WITHOUT syncing, so batch
+        apply can queue every file's device work before the first host
+        round-trip; ``_fetch_count_stats`` completes the pair.
         """
         from ..ops.aggregate import _bucket
         from ..ops.diarize_fused import fused_count_stats
@@ -788,19 +811,35 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         offsets_padded = np.pad(offsets, (0, C_pad - num_chunks))
         F_bucket = _bucket(num_output_frames, 4096)
 
-        count_dev, speaker_frames_dev, clean_frames_dev = \
-            fused_count_stats(dev, jnp.asarray(offsets_padded),
-                              jnp.asarray(chunk_mask), F_bucket)
-        # one host sync for all three small arrays
+        device_handles = fused_count_stats(
+            dev, jnp.asarray(offsets_padded), jnp.asarray(chunk_mask),
+            F_bucket)
+        return (device_handles, offsets, num_output_frames, window,
+                num_chunks)
+
+    def _fetch_count_stats(self, dispatched):
+        """One host sync for the three small fused-count arrays."""
+        (device_handles, offsets, num_output_frames, window,
+         num_chunks) = dispatched
         count, speaker_frames, clean_frames = jax.device_get(
-            (count_dev, speaker_frames_dev, clean_frames_dev))
+            device_handles)
         count = count[:num_output_frames]
         speaker_frames = speaker_frames[:num_chunks]
         clean_frames = clean_frames[:num_chunks]
-
         count_swf = SlidingWindowFeature(count.astype(np.uint8), window)
         return (count_swf, speaker_frames, clean_frames, offsets,
                 num_output_frames)
+
+    def _device_count_stats(self, binarized: SlidingWindowFeature):
+        """Fused on-device speaker count + activity stats, one host sync.
+
+        Replaces the host trim->sum->aggregate->rint of speaker_count
+        (warm_up=(0,0), the product path) plus the host reductions that
+        feed clustering (filter_embeddings clean frames, inactive/silent
+        speaker masks) — the full score tensor never leaves HBM.
+        """
+        return self._fetch_count_stats(
+            self._dispatch_count_stats(binarized))
 
     def _device_reconstruct(
         self,
@@ -883,7 +922,7 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
 
     # -- apply -------------------------------------------------------------
 
-    def apply(
+    def _stage(
         self,
         file: AudioFile,
         num_speakers: Optional[int] = None,
@@ -891,7 +930,16 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         max_speakers: Optional[int] = None,
         hook: Optional[Callable] = None,
         **kwargs,
-    ) -> Union[DiarizeOutput, Annotation]:
+    ) -> Dict[str, Any]:
+        """Queue a file's full device program — segmentation forwards,
+        shared embedding trunk, fused count/stats, masked embeddings —
+        WITHOUT a single host sync.
+
+        ``_finalize`` completes the host half (sync, clustering,
+        reconstruction, annotation). ``apply`` = stage + finalize;
+        ``apply_batch`` stages ahead so the device pipeline never drains
+        while the host clusters/annotates the previous file.
+        """
         if kwargs:
             warnings.warn(
                 f"Ignoring unexpected keyword arguments: "
@@ -927,20 +975,102 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         if not (self.klustering == "OracleClustering"
                 and self._embedding is None):
             self._start_shared_trunk(file, device_masks=device_fast)
+
         if device_fast:
-            (count, speaker_frames, _clean_frames, agg_offsets,
-             agg_num_frames) = self._device_count_stats(
+            count_dispatch = self._dispatch_count_stats(
                 binarized_segmentations)
-            # clustering consumes these instead of re-reducing the full
-            # score tensor on host (see BaseClustering.filter_embeddings)
-            binarized_segmentations.precomputed_speaker_frames = \
-                speaker_frames
-            binarized_segmentations.precomputed_clean_frames = _clean_frames
+            count = None
         else:
+            count_dispatch = None
             count = self.speaker_count(
                 binarized_segmentations,
                 self._segmentation.model.receptive_field,
                 warm_up=(0.0, 0.0))
+
+        if self.klustering == "OracleClustering" and \
+                self._embedding is None:
+            embeddings = None
+        else:
+            embeddings = self.get_embeddings(
+                file, binarized_segmentations,
+                exclude_overlap=self.embedding_exclude_overlap,
+                hook=hook, defer_fetch=device_fast)
+
+        return {
+            "file": file, "hook": hook,
+            "num_speakers": num_speakers,
+            "min_speakers": min_speakers,
+            "max_speakers": max_speakers,
+            "segmentations": segmentations,
+            "binarized": binarized_segmentations,
+            "device_fast": device_fast,
+            "count_dispatch": count_dispatch,
+            "count": count,
+            "embeddings": embeddings,
+        }
+
+    def apply(
+        self,
+        file: AudioFile,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        hook: Optional[Callable] = None,
+        **kwargs,
+    ) -> Union[DiarizeOutput, Annotation]:
+        return self._finalize(self._stage(
+            file, num_speakers=num_speakers, min_speakers=min_speakers,
+            max_speakers=max_speakers, hook=hook, **kwargs))
+
+    def apply_batch(
+        self,
+        files: List[AudioFile],
+        hook: Optional[Callable] = None,
+        stage_ahead: int = 3,
+        **kwargs,
+    ) -> List[Union[DiarizeOutput, Annotation]]:
+        """Pipelined batch apply: the device program of up to
+        ``stage_ahead`` upcoming files is queued before the current file's
+        host half (sync + clustering + annotation) runs, so host work and
+        relay round-trips overlap device compute instead of draining the
+        pipeline between files. Replaces the sequential reference
+        ``apply_batch`` hook (core/pipeline.py:489-508).
+        """
+        from collections import deque
+        staged: deque = deque()
+        results: List = []
+        for file in files:
+            staged.append(self._stage(file, hook=hook, **kwargs))
+            if len(staged) > stage_ahead:
+                results.append(self._finalize(staged.popleft()))
+        while staged:
+            results.append(self._finalize(staged.popleft()))
+        return results
+
+    def _finalize(self, staged: Dict[str, Any]
+                  ) -> Union[DiarizeOutput, Annotation]:
+        """Host half of ``apply``: sync, cluster, reconstruct, annotate."""
+        file = staged["file"]
+        hook = staged["hook"]
+        num_speakers = staged["num_speakers"]
+        min_speakers = staged["min_speakers"]
+        max_speakers = staged["max_speakers"]
+        segmentations = staged["segmentations"]
+        binarized_segmentations = staged["binarized"]
+        device_fast = staged["device_fast"]
+
+        if device_fast:
+            (count, speaker_frames, _clean_frames, agg_offsets,
+             agg_num_frames) = self._fetch_count_stats(
+                staged["count_dispatch"])
+            # clustering consumes these instead of re-reducing the full
+            # score tensor on host (see BaseClustering.filter_embeddings)
+            binarized_segmentations.precomputed_speaker_frames = \
+                speaker_frames
+            binarized_segmentations.precomputed_clean_frames = \
+                _clean_frames
+        else:
+            count = staged["count"]
         hook("speaker_counting", count)
 
         # early exit on silent files
@@ -954,12 +1084,10 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                      if self._embedding else 0)))
             return output.speaker_diarization if self.legacy else output
 
-        if self.klustering == "OracleClustering" and self._embedding is None:
-            embeddings = None
-        else:
-            embeddings = self.get_embeddings(
-                file, binarized_segmentations,
-                exclude_overlap=self.embedding_exclude_overlap, hook=hook)
+        embeddings = staged["embeddings"]
+        if isinstance(embeddings, _DeferredEmbeddings):
+            embeddings = embeddings.fetch()
+        if embeddings is not None:
             hook("embeddings", embeddings)
 
         hard_clusters, _, centroids = self.clustering(

@@ -228,13 +228,22 @@ def test_pipeline_batch_apply_preloads(seg_model, tmp_path):
         "segmentation": {"min_duration_off": 0.0},
         "clustering": {"method": "centroid", "threshold": 0.6,
                        "min_cluster_size": 1}})
-    preloaded = []
-    orig = pipeline.preload
-    pipeline.preload = lambda f: preloaded.append(f.get("uri")) or orig(f)
+    # pipelined apply_batch (the diarization default) matches sequential
     batch_out = pipeline([dict(f) for f in files])
-    assert preloaded == ["b0", "b1"]
     seq_out = [pipeline(dict(f)) for f in files]
     for b, s in zip(batch_out, seq_out):
+        assert b.speaker_diarization.labels() == \
+            s.speaker_diarization.labels()
+
+    # pipelines WITHOUT a custom apply_batch use the streaming decode
+    # worker, which preloads each file's device upload
+    preloaded = []
+    orig = pipeline.preload
+    pipeline.apply_batch = None        # force the generic streaming path
+    pipeline.preload = lambda f: preloaded.append(f.get("uri")) or orig(f)
+    stream_out = pipeline([dict(f) for f in files])
+    assert preloaded == ["b0", "b1"]
+    for b, s in zip(stream_out, seq_out):
         assert b.speaker_diarization.labels() == \
             s.speaker_diarization.labels()
 

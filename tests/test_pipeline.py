@@ -198,6 +198,47 @@ def test_diarization_pipeline_end_to_end(seg_model, emb_model, corpus_file):
             assert (s1 & s2).duration < 1e-6
 
 
+def test_pipelined_apply_batch_matches_sequential(seg_model, emb_model,
+                                                  tmp_path):
+    """apply_batch stages device work ahead (stage_ahead files deep) and
+    must produce byte-identical annotations to one-at-a-time apply —
+    including a short quiet file mid-batch (pad + different grid)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file, make_file
+    from pyannote_audio_tpu.core.io import write_wav
+
+    files = [default_two_speaker_file(tmp_path / f"s{i}.wav")
+             for i in range(3)]
+    # short quiet file mid-batch (different chunk-grid + pad path)
+    quiet = 0.001 * np.random.default_rng(0).standard_normal(
+        (1, 16000 * 12)).astype(np.float32)
+    write_wav(tmp_path / "quiet.wav", quiet, 16000)
+    files.insert(1, {"uri": "quiet", "audio": str(tmp_path
+                                                  / "quiet.wav")})
+    for i, f in enumerate(files):
+        f["uri"] = f"u{i}"
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        embedding_batch_size=8, segmentation_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    batch_out = pipeline([dict(f) for f in files])
+    seq_out = [pipeline(dict(f)) for f in files]
+    assert len(batch_out) == 4
+    for b, s in zip(batch_out, seq_out):
+        assert list(b.speaker_diarization.itertracks(yield_label=True)) \
+            == list(s.speaker_diarization.itertracks(yield_label=True))
+        assert list(b.exclusive_speaker_diarization.itertracks(
+            yield_label=True)) == list(
+            s.exclusive_speaker_diarization.itertracks(yield_label=True))
+
+
 def test_diarization_pipeline_legacy_mode(seg_model, emb_model, corpus_file):
     pipeline = SpeakerDiarization(
         segmentation=seg_model, embedding=emb_model, legacy=True,
