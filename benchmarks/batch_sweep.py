@@ -1,0 +1,98 @@
+"""Sweep apply_batch stage_ahead depth on TPU in one process.
+
+Deeper staging overlaps more host work with device compute but makes the
+per-file reconstruct tail wait behind more queued files; this sweep finds
+the balance point on the real relay.
+
+    python benchmarks/batch_sweep.py [--minutes 10] [--files 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/pyannote_tpu_jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--files", type=int, default=3)
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyannote_audio_tpu.core.io import write_wav
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.embedding.wespeaker import \
+        WeSpeakerResNet34
+    from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+
+    sr = 16000
+    paths = []
+    for k in range(args.files):
+        rng = np.random.default_rng(k)
+        n = int(args.minutes * 60 * sr)
+        t = np.arange(n) / sr
+        wav = 0.003 * rng.standard_normal(n).astype(np.float32)
+        for i, start in enumerate(
+                np.arange(0.0, args.minutes * 60 - 5.0, 7.0)):
+            f0 = [140.0, 210.0, 320.0][(i + k) % 3]
+            i0, i1 = int(start * sr), int((start + 5.0) * sr)
+            wav[i0:i1] += (0.2 * np.sin(2 * np.pi * f0 * t[i0:i1])
+                           ).astype(np.float32)
+        wav = (np.round(wav * 32768.0).clip(-32768, 32767)
+               / np.float32(32768.0)).astype(np.float32)
+        p = f"/tmp/pat_sweep_{k}.wav"
+        write_wav(p, wav[None], sr)
+        paths.append(p)
+
+    seg = PyanNet()
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=10.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    seg.build()
+    emb = WeSpeakerResNet34()
+    emb.build()
+    pipeline = SpeakerDiarization(
+        segmentation=seg, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=256, embedding_batch_size=256)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    def batch():
+        return [{"audio": p, "uri": f"s{k}"}
+                for k, p in enumerate(paths)]
+
+    pipeline({"audio": paths[0], "uri": "warm"}, max_speakers=4)
+    audio_hours = args.files * args.minutes / 60.0
+    results = {}
+    for sa in (1, 2, 3, len(paths) + 1):
+        times = []
+        for _ in range(args.passes):
+            t0 = time.perf_counter()
+            pipeline(batch(), max_speakers=4, stage_ahead=sa)
+            times.append(time.perf_counter() - t0)
+        results[f"stage_ahead={sa}"] = round(
+            min(times) / audio_hours, 2)
+    print(json.dumps({"seconds_per_audio_hour": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,3 +55,31 @@ def test_sharded_diarization_pipeline(seg_model, tmp_path):
                        "min_cluster_size": 1}})
     output = pipeline(file, max_speakers=3)
     assert len(output.speaker_diarization.labels()) <= 3
+
+
+def test_sharded_pipelined_batch_apply(seg_model, tmp_path):
+    """The staged apply_batch composes with mesh-sharded forwards and
+    matches sequential apply on every file."""
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    files = []
+    for i in range(2):
+        f = default_two_speaker_file(tmp_path / f"b{i}.wav")
+        f["uri"] = f"b{i}"
+        files.append(f)
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8,
+        mesh=make_mesh())
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    batch_out = pipeline([dict(f) for f in files], max_speakers=3)
+    seq_out = [pipeline(dict(f), max_speakers=3) for f in files]
+    for b, s in zip(batch_out, seq_out):
+        assert list(b.speaker_diarization.itertracks(yield_label=True)) \
+            == list(s.speaker_diarization.itertracks(yield_label=True))
