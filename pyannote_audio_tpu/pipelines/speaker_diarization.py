@@ -1026,7 +1026,7 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         self,
         files: List[AudioFile],
         hook: Optional[Callable] = None,
-        stage_ahead: int = 3,
+        stage_ahead: int = 2,
         **kwargs,
     ) -> List[Union[DiarizeOutput, Annotation]]:
         """Pipelined batch apply: the device program of up to
@@ -1035,6 +1035,10 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         relay round-trips overlap device compute instead of draining the
         pipeline between files. Replaces the sequential reference
         ``apply_batch`` hook (core/pipeline.py:489-508).
+
+        Depth 2 balances keeping the device fed against the per-file
+        reconstruct dispatch queueing behind too many staged files
+        (benchmarks/batch_sweep.py: 1-2 ahead ≈ equal, 3+ slower).
         """
         from collections import deque
         staged: deque = deque()

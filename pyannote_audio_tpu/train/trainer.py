@@ -106,7 +106,15 @@ class Trainer:
         callbacks: Optional[List] = None,
         seed: int = 42,
         log_dir: Optional[Union[str, Path]] = None,
+        monitor: Optional[Tuple[str, str]] = None,
+        early_stopping_patience: Optional[int] = None,
     ):
+        #: (metric name, "min"|"max") tracked for best-checkpointing and
+        #: early stopping; None = the task's ``val_monitor`` (parity role:
+        #: lightning ModelCheckpoint(monitor=...) + EarlyStopping as used
+        #: by the reference training recipes)
+        self.monitor = monitor
+        self.early_stopping_patience = early_stopping_patience
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
         self.mesh = mesh
@@ -123,6 +131,7 @@ class Trainer:
         self.optimizer = tx
         self.seed = seed
         self.history: List[Dict] = []
+        self.best_epoch: Optional[int] = None
 
     def fit(self, model: Model, task: Optional[Task] = None) -> Model:
         task = task or model.task
@@ -159,6 +168,10 @@ class Trainer:
         for cb in self.callbacks:
             if hasattr(cb, "on_fit_start"):
                 cb.on_fit_start(self, model)
+        monitor_name, monitor_mode = self.monitor or task.val_monitor
+        sign = 1.0 if monitor_mode == "min" else -1.0
+        best_score = math.inf
+        epochs_since_best = 0
         for epoch in range(self.max_epochs):
             for cb in self.callbacks:
                 if hasattr(cb, "on_train_epoch_start"):
@@ -202,6 +215,25 @@ class Trainer:
                                 if k in model_keys}
                 model.save_checkpoint(
                     self.checkpoint_dir / f"epoch_{epoch}")
+            # best-checkpoint + early stopping on the monitored metric;
+            # fall back to train loss when the metric is absent
+            score = record.get(monitor_name, record.get("loss"))
+            if score is not None and not (
+                    isinstance(score, float) and math.isnan(score)):
+                if sign * float(score) < best_score:
+                    best_score = sign * float(score)
+                    epochs_since_best = 0
+                    self.best_epoch = epoch
+                    if self.checkpoint_dir is not None:
+                        model.params = {k: v for k, v in params.items()
+                                        if k in model_keys}
+                        model.save_checkpoint(self.checkpoint_dir
+                                              / "best")
+                else:
+                    epochs_since_best += 1
+            if self.early_stopping_patience is not None and \
+                    epochs_since_best >= self.early_stopping_patience:
+                break
         model.params = {k: v for k, v in params.items() if k in model_keys}
         model._jitted_apply = None
         return model

@@ -191,6 +191,29 @@ def test_transfer_learning_head_swap(protocol):
     assert model.dimension == task2.powerset.num_powerset_classes
 
 
+def test_early_stopping_and_best_checkpoint(protocol, tmp_path):
+    """monitor= tracks the metric; best/ checkpoint refreshes on
+    improvement; patience stops training early (parity role: lightning
+    ModelCheckpoint + EarlyStopping in the reference recipes)."""
+    import pyannote_audio_tpu as pat
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              seed=5)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=50, limit_train_batches=1,
+                      learning_rate=0.0,     # loss can never improve
+                      checkpoint_dir=tmp_path,
+                      monitor=("loss", "min"),
+                      early_stopping_patience=2)
+    trainer.fit(model, task)
+    # epoch 0 sets the best; epochs 1-2 don't improve -> stop at 3 epochs
+    assert len(trainer.history) <= 4
+    assert trainer.best_epoch == 0
+    assert (tmp_path / "best" / "config.yaml").exists()
+    loaded = pat.Model.from_pretrained(tmp_path / "best")
+    out = np.asarray(loaded(np.zeros((1, 1, 32000), np.float32)))
+    assert np.isfinite(out).all()
+
+
 def test_finetune_freeze_with_cache(protocol, tmp_path):
     """Combined reference matrix case (test_train.py:213-254): load a
     trained checkpoint, freeze the trunk, fine-tune on a cached-data task;
