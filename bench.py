@@ -103,8 +103,11 @@ def main():
                 for k, p in enumerate(paths)]
 
     # warmup (compile); steady-state throughput is what production sees —
-    # executables persist within the process after the first file
+    # executables persist within the process after the first file. One
+    # untimed batch pass also initializes the C++ pre-decode pool and the
+    # staged batch path before timing starts.
     pipeline({"audio": paths[0], "uri": "warmup"}, max_speakers=4)
+    pipeline(batch(), max_speakers=4)
 
     # best of 3: the TPU sits behind a shared pool/relay whose load varies
     # minute to minute (observed 13 -> 57 s/audio-hour on identical code);

@@ -37,16 +37,43 @@ from .segment import (DeviceSlidingWindowFeature, Segment, SlidingWindow,
 
 
 
+_MULAW_MU = 255.0
+
+
+def _mulaw_encode(waveform: np.ndarray) -> np.ndarray:
+    """G.711-style mu-law companding to uint8 (host side, numpy)."""
+    x = np.clip(waveform, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MULAW_MU * np.abs(x)) \
+        / np.log1p(_MULAW_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def _mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
+    """Inverse companding, on device (uint8 -> f32 in [-1, 1])."""
+    y = q.astype(jnp.float32) / jnp.float32(127.5) - 1.0
+    return jnp.sign(y) * jnp.expm1(
+        jnp.abs(y) * jnp.float32(np.log1p(_MULAW_MU))) \
+        / jnp.float32(_MULAW_MU)
+
+
 def _upload_waveform(waveform: np.ndarray) -> jnp.ndarray:
     """Host->device waveform transfer, int16 when exactly representable.
 
-    The axon relay moves ~100 MB/s, so the f32 upload of long files costs
-    ~2.2 s per audio-hour. PCM16-decoded waveforms are exactly i/32768, so
+    The axon relay moves ~40-100 MB/s and transfers do NOT overlap device
+    compute (benchmarks/overlap_probe.py), so upload bytes are a hard
+    per-file cost. PCM16-decoded waveforms are exactly i/32768, so
     shipping int16 (half the bytes) and rescaling on device is bit-exact;
-    anything else (resampled/float sources) falls back to f32.
-    Disable with PYANNOTE_TPU_INT16_UPLOAD=0.
+    anything else (resampled/float sources) falls back to f32. Disable
+    with PYANNOTE_TPU_INT16_UPLOAD=0.
+
+    Opt-in: PYANNOTE_TPU_UPLOAD_QUANT=mulaw ships 8-bit mu-law (quarter
+    of the f32 bytes, ~38 dB SNR) for bandwidth-constrained links —
+    NOT bit-exact; keep it off when exact reference parity matters.
     """
     import os
+    if os.environ.get("PYANNOTE_TPU_UPLOAD_QUANT", "") == "mulaw" and \
+            waveform.dtype == np.float32:
+        return jnp.asarray(_mulaw_encode(waveform))
     if os.environ.get("PYANNOTE_TPU_INT16_UPLOAD", "1") == "1" and \
             waveform.dtype == np.float32:
         scaled = waveform * np.float32(32768.0)
@@ -57,10 +84,22 @@ def _upload_waveform(waveform: np.ndarray) -> jnp.ndarray:
 
 
 def _dequantize(chunks: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of the int16 fast path (static branch per jit signature)."""
+    """Inverse of the upload fast paths (static branch per jit
+    signature): int16 -> /32768 (bit-exact), uint8 -> mu-law expand."""
     if chunks.dtype == jnp.int16:
         return chunks.astype(jnp.float32) / 32768.0
+    if chunks.dtype == jnp.uint8:
+        return _mulaw_decode(chunks)
     return chunks
+
+
+def _to_pcm16_scale(x: jnp.ndarray) -> jnp.ndarray:
+    """Device waveform -> kaldi fbank convention (int16-scale f32)."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32)
+    if x.dtype == jnp.uint8:
+        return _mulaw_decode(x) * 32768.0
+    return x * 32768.0
 
 
 

@@ -170,11 +170,10 @@ class EmbeddingHotPathMixin:
 
         @jax.jit
         def whole_fbank(waveform):
-            # (channels, T) -> (T_frames, mel), uncentered. int16 uploads
-            # are already the x32768 kaldi convention; f32 needs the scale.
-            x = waveform[0]
-            x = x.astype(jnp.float32) if x.dtype == jnp.int16 \
-                else x * 32768.0
+            # (channels, T) -> (T_frames, mel), uncentered; quantized
+            # uploads expand to the x32768 kaldi convention on device
+            from ..core.inference import _to_pcm16_scale
+            x = _to_pcm16_scale(waveform[0])
             return fbank(x,
                          sample_rate=self._embedding.sample_rate,
                          num_mel_bins=self._embedding.num_mel_bins,
@@ -285,9 +284,8 @@ class EmbeddingHotPathMixin:
 
         @jax.jit
         def whole_fbank(waveform):
-            x = waveform[0]
-            x = x.astype(jnp.float32) if x.dtype == jnp.int16 \
-                else x * 32768.0
+            from ..core.inference import _to_pcm16_scale
+            x = _to_pcm16_scale(waveform[0])
             return fbank(x,
                          sample_rate=self._embedding.sample_rate,
                          num_mel_bins=mel,

@@ -248,6 +248,52 @@ def test_pipeline_batch_apply_preloads(seg_model, tmp_path):
             s.speaker_diarization.labels()
 
 
+def test_mulaw_upload_quantization(seg_model, tmp_path, monkeypatch):
+    """Opt-in PYANNOTE_TPU_UPLOAD_QUANT=mulaw ships uint8 (quarter the
+    f32 bytes); decode round-trips at speech-grade SNR and the pipeline
+    still produces close scores."""
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.core.inference import (_dequantize,
+                                                   _mulaw_encode,
+                                                   _to_pcm16_scale,
+                                                   _upload_waveform)
+    rng = np.random.default_rng(0)
+    t = np.arange(32000) / 16000.0
+    speech = (0.3 * np.sin(2 * np.pi * 150 * t)
+              + 0.05 * rng.standard_normal(32000)).astype(np.float32)
+    wav = speech[None]
+
+    q = _mulaw_encode(wav)
+    assert q.dtype == np.uint8
+    back = np.asarray(_dequantize(jnp.asarray(q)))
+    err = np.sqrt(np.mean((back - wav) ** 2))
+    snr_db = 20 * np.log10(np.sqrt(np.mean(wav ** 2)) / (err + 1e-12))
+    assert snr_db > 30, snr_db
+    # kaldi-scale helper agrees with decode * 32768
+    np.testing.assert_allclose(
+        np.asarray(_to_pcm16_scale(jnp.asarray(q))), back * 32768.0,
+        rtol=1e-6)
+
+    # default path untouched; opt-in switches the upload dtype
+    assert _upload_waveform(wav).dtype != jnp.uint8
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
+    assert _upload_waveform(wav).dtype == jnp.uint8
+
+    # end-to-end: scores close to the exact path
+    inference = pat.Inference(seg_model, duration=5.0, step=2.5,
+                              batch_size=8)
+    file = default_two_speaker_file(tmp_path / "m.wav")
+    out_q = inference(dict(file))
+    monkeypatch.delenv("PYANNOTE_TPU_UPLOAD_QUANT")
+    inference2 = pat.Inference(seg_model, duration=5.0, step=2.5,
+                               batch_size=8)
+    out_exact = inference2(dict(file))
+    # outputs are powerset-decoded 0/1 labels: quantization may flip a
+    # few borderline frames but the decisions must agree almost always
+    flip_rate = np.mean(out_q.data != out_exact.data)
+    assert flip_rate < 0.02, flip_rate
+
+
 def test_oom_maps_to_actionable_memory_error(seg_model, tmp_path):
     """Device OOM surfaces as MemoryError naming batch_size (parity:
     reference inference.py:201-206)."""
