@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--files", type=int, default=3)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--seg-bs", type=int, default=256)
+    ap.add_argument("--emb-bs", type=int, default=256)
     args = ap.parse_args()
 
     from pyannote_audio_tpu.core.io import write_wav
@@ -79,7 +81,8 @@ def main():
     pipeline = SpeakerDiarization(
         segmentation=seg, embedding=emb,
         clustering="AgglomerativeClustering",
-        segmentation_batch_size=256, embedding_batch_size=256)
+        segmentation_batch_size=args.seg_bs,
+        embedding_batch_size=args.emb_bs)
     pipeline.instantiate({
         "segmentation": {"min_duration_off": 0.0},
         "clustering": {"method": "centroid", "threshold": 0.6,
@@ -98,6 +101,7 @@ def main():
         times.append(time.perf_counter() - t0)
     print(json.dumps({
         "core": args.core, "halo": args.halo, "pbatch": args.pbatch,
+        "seg_bs": args.seg_bs, "emb_bs": args.emb_bs,
         "seconds_per_audio_hour": round(min(times) / audio_hours, 2),
     }))
 
