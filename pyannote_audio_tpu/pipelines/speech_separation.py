@@ -124,41 +124,65 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         waveform, sample_rate = self._audio(file)
         num_samples = waveform.shape[1]
 
-        # sliding-window joint inference: model returns (diar, sources)
+        # sliding-window joint inference: model returns (diar, sources).
+        # TPU-native hot path: the (padded) waveform is uploaded ONCE and
+        # chunks are gathered in-jit with a vmapped dynamic_slice — the
+        # host never ships the ~10x-overlapping chunk tensor, and the
+        # separated sources stay in HBM until the final per-speaker
+        # overlap-add (the reference materializes every chunk on host,
+        # speech_separation.py:~520-560).
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.inference import (_chunk_grid, _dequantize,
+                                      _upload_waveform_cached)
+        from collections.abc import MutableMapping
+
         model = self._segmentation.model
         duration = self._segmentation.duration
         step = self._segmentation.step
         window_size = round(duration * sample_rate)
         step_size = round(step * sample_rate)
-        if num_samples >= window_size:
-            num_full = 1 + (num_samples - window_size) // step_size
-        else:
-            num_full = 0
-        has_last = (num_samples < window_size) or \
-            ((num_samples - window_size) % step_size > 0)
-        starts = [i * step_size for i in range(num_full)]
-        if has_last:
-            starts.append(num_full * step_size)
-        padded = np.pad(
-            waveform,
-            ((0, 0), (0, int(starts[-1]) + window_size - num_samples)))
+        starts_np, padded_len = _chunk_grid(num_samples, window_size,
+                                            step_size, sample_rate)
+        starts = [int(s) for s in starts_np]
+        padded = waveform
+        if padded_len > num_samples:
+            padded = np.pad(waveform,
+                            ((0, 0), (0, padded_len - num_samples)))
+        cache = file if isinstance(file, MutableMapping) else None
+        device_waveform = _upload_waveform_cached(padded, cache)
 
-        # batched forward with a fixed batch shape (one executable)
+        if getattr(self, "_jitted_sep_batch", None) is None:
+            module = model.module
+
+            def gather_forward(params, wav, batch_starts):
+                def get(s):
+                    return jax.lax.dynamic_slice(
+                        wav, (0, s), (wav.shape[0], window_size))
+                chunks = _dequantize(jax.vmap(get)(batch_starts))
+                return module.apply(params, chunks)
+            self._jitted_sep_batch = jax.jit(gather_forward)
+
+        # batched forward with a fixed batch shape (one executable);
+        # per-batch outputs stay on device — one diar download after the
+        # loop, sources not until the clustered overlap-add
         B = getattr(self._segmentation, "batch_size", 32)
         diar_parts, source_parts = [], []
         for b in range(0, len(starts), B):
-            batch_starts = starts[b:b + B]
-            chunks = np.stack([padded[:, s:s + window_size]
-                               for s in batch_starts])
+            batch_starts = np.asarray(starts[b:b + B], np.int32)
             n_real = len(batch_starts)
             if n_real < B:
-                chunks = np.pad(chunks,
-                                ((0, B - n_real), (0, 0), (0, 0)))
-            diar, sources = model(chunks)
-            diar_parts.append(np.asarray(diar[:n_real]))
-            source_parts.append(np.asarray(sources[:n_real]))
-        diar_chunks = np.concatenate(diar_parts, axis=0)
-        source_chunks = np.concatenate(source_parts, axis=0)
+                batch_starts = np.pad(batch_starts, (0, B - n_real))
+            diar, sources = self._jitted_sep_batch(
+                model.params, device_waveform, jnp.asarray(batch_starts))
+            diar_parts.append(diar[:n_real])
+            source_parts.append(sources[:n_real])
+        diar_chunks = np.asarray(
+            jnp.concatenate(diar_parts, axis=0)
+            if len(diar_parts) > 1 else diar_parts[0])
+        source_chunks_dev = jnp.concatenate(source_parts, axis=0) \
+            if len(source_parts) > 1 else source_parts[0]
         segmentations = SlidingWindowFeature(
             diar_chunks,
             SlidingWindow(start=0.0, duration=duration, step=step))
@@ -210,20 +234,49 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             min_duration_off=self.segmentation.min_duration_off)
         exclusive.uri = file["uri"]
 
-        # overlap-add clustered sources per global speaker
+        # overlap-add clustered sources per global speaker — ON DEVICE:
+        # each chunk's (win, local) sources project onto global clusters
+        # with a one-hot of its hard assignments (negative = dropped),
+        # then scatter-add at the chunk offset. Only the final
+        # (num_samples, num_clusters) matrix crosses to host, not the
+        # ~10x-overlapping chunk tensor.
         num_clusters = int(np.max(hard_clusters)) + 1
-        sources = np.zeros((num_samples, num_clusters), dtype=np.float32)
-        weight = np.zeros((num_samples, num_clusters), dtype=np.float32)
-        for c, start in enumerate(starts):
-            stop = min(start + window_size, num_samples)
-            n = stop - start
-            for s in range(local):
-                k = hard_clusters[c, s]
-                if k < 0:
-                    continue
-                sources[start:stop, k] += source_chunks[c][:n, s]
-                weight[start:stop, k] += 1.0
-        sources /= np.maximum(weight, 1.0)
+
+        if getattr(self, "_jitted_overlay", None) is None:
+            def overlay(src, onehot, starts_arr, total):
+                K = onehot.shape[2]
+                win = src.shape[1]
+
+                def body(carry, x):
+                    srcs, wts = carry
+                    chunk, oh, s = x
+                    contrib = chunk @ oh                      # (win, K)
+                    wrow = jnp.broadcast_to(oh.sum(axis=0)[None, :],
+                                            (win, K))
+                    cur = jax.lax.dynamic_slice(srcs, (s, 0), (win, K))
+                    srcs = jax.lax.dynamic_update_slice(
+                        srcs, cur + contrib, (s, 0))
+                    curw = jax.lax.dynamic_slice(wts, (s, 0), (win, K))
+                    wts = jax.lax.dynamic_update_slice(
+                        wts, curw + wrow, (s, 0))
+                    return (srcs, wts), None
+
+                init = (jnp.zeros((total, K), jnp.float32),
+                        jnp.zeros((total, K), jnp.float32))
+                (srcs, wts), _ = jax.lax.scan(
+                    body, init, (src, onehot, starts_arr))
+                return srcs, wts
+            self._jitted_overlay = jax.jit(
+                overlay, static_argnames=("total",))
+
+        onehot = jax.nn.one_hot(jnp.asarray(hard_clusters), num_clusters,
+                                dtype=jnp.float32)  # (C, local, K)
+        srcs_dev, wts_dev = self._jitted_overlay(
+            source_chunks_dev, onehot,
+            jnp.asarray(np.asarray(starts, np.int32)), total=padded_len)
+        sources, weight = jax.device_get((srcs_dev, wts_dev))
+        sources = sources[:num_samples] \
+            / np.maximum(weight[:num_samples], 1.0)
 
         # leakage removal: zero a speaker's source where inactive
         # (dilated activity mask, reference speech_separation.py:~630)

@@ -66,6 +66,49 @@ def test_separation_pipeline_end_to_end(tmp_path):
     assert np.isfinite(output.sources).all()
 
 
+def test_device_overlap_add_matches_host_loop(tmp_path):
+    """The on-device clustered overlap-add must reproduce the host
+    reference loop (incl. dropped -2 assignments and shared clusters)."""
+    import jax
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.pipelines.speech_separation import \
+        SpeechSeparation
+
+    rng = np.random.default_rng(0)
+    C, win, local, K = 5, 400, 3, 2
+    num_samples = 1500
+    padded_len = 1700
+    src = rng.standard_normal((C, win, local)).astype(np.float32)
+    starts = np.arange(C, dtype=np.int32) * 300
+    hard = rng.integers(-2, K, size=(C, local)).astype(np.int32)
+
+    # host reference (the pre-device implementation)
+    sources = np.zeros((num_samples, K), np.float32)
+    weight = np.zeros((num_samples, K), np.float32)
+    for c, start in enumerate(starts):
+        stop = min(start + win, num_samples)
+        n = stop - start
+        for s in range(local):
+            k = hard[c, s]
+            if k < 0:
+                continue
+            sources[start:stop, k] += src[c][:n, s]
+            weight[start:stop, k] += 1.0
+    expected = sources / np.maximum(weight, 1.0)
+
+    model = _tiny_totatonet()
+    pipeline = SpeechSeparation(segmentation=model)
+    pipeline.instantiate(pipeline.default_parameters())
+    file = default_two_speaker_file(tmp_path / "ov.wav")
+    pipeline(file, max_speakers=2)        # builds _jitted_overlay
+    onehot = jax.nn.one_hot(jnp.asarray(hard), K, dtype=jnp.float32)
+    srcs_dev, wts_dev = pipeline._jitted_overlay(
+        jnp.asarray(src), onehot, jnp.asarray(starts), total=padded_len)
+    got = np.asarray(srcs_dev)[:num_samples] \
+        / np.maximum(np.asarray(wts_dev)[:num_samples], 1.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
 def test_pixit_task_loss(tmp_path):
     protocol = Protocol(
         name="d",
