@@ -94,11 +94,18 @@ def main():
                        "min_cluster_size": 1},
     })
 
+    # pre-synthesize in-memory waveforms OUTSIDE the timed loop; timed
+    # passes only rebuild the (shallow) file dicts so per-pass state
+    # (device-buffer cache entries) never leaks between passes
+    mem_waves = [synth(audio_minutes, seed=k)[None]
+                 for k in range(num_files)] \
+        if os.environ.get("BENCH_IN_MEMORY", "0") == "1" else None
+
     def batch():
-        if os.environ.get("BENCH_IN_MEMORY", "0") == "1":
-            return [{"waveform": synth(audio_minutes, seed=k)[None],
-                     "sample_rate": sr, "uri": f"bench{k}"}
-                    for k in range(num_files)]
+        if mem_waves is not None:
+            return [{"waveform": w, "sample_rate": sr,
+                     "uri": f"bench{k}"}
+                    for k, w in enumerate(mem_waves)]
         return [{"audio": p, "uri": f"bench{k}"}
                 for k, p in enumerate(paths)]
 

@@ -121,6 +121,18 @@ class Task:
             if cache_path.exists() and cache_path.stat().st_size > 0:
                 prepared = _load_prepared_data(cache_path)
                 if prepared is not None:  # None = stale/foreign format
+                    # a cache built from another protocol must not be
+                    # silently served (parity: reference prepare_data
+                    # raises on a protocol-name mismatch)
+                    cached_name = prepared.get("protocol", "")
+                    own_name = getattr(self.protocol, "name", "")
+                    if cached_name and own_name and \
+                            cached_name != own_name:
+                        raise ValueError(
+                            f"prepared-data cache {cache_path} was built "
+                            f"from protocol {cached_name!r}, not "
+                            f"{own_name!r}; delete it or use a "
+                            f"different cache path")
                     self.prepared_data = prepared
                     self._train_files = _files_from_prepared(
                         prepared, "train")
@@ -161,16 +173,17 @@ class Task:
                    "database": metadata_values["database"].index(database)}
             for key in set(file) - _RESERVED_KEYS:
                 value = file[key]
-                if isinstance(value, str):
+                if isinstance(value, (str, int, np.integer)):
+                    # index-encode BOTH str and int values (deviation
+                    # from the reference, which stores ints verbatim:
+                    # a uniform value table makes the warm-cache
+                    # reconstruction exact for mixed/negative ints)
+                    if isinstance(value, (int, np.integer)):
+                        value = int(value)
                     values = metadata_values.setdefault(key, [])
                     if value not in values:
                         values.append(value)
                     row[key] = values.index(value)
-                elif isinstance(value, (int, np.integer)):
-                    values = metadata_values.setdefault(key, [])
-                    if value not in values:
-                        values.append(int(value))
-                    row[key] = int(value)
                 # other types (waveform arrays, callables...) are kept on
                 # the live dict but not cached (parity: reference warns and
                 # skips non-str/int metadata, core/task.py:415-422)
@@ -182,6 +195,9 @@ class Task:
             if annotated is None:
                 file_regions = [Segment(0, self.audio.get_duration(file))]
             else:
+                # >= keeps regions exactly one chunk long (parity: the
+                # reference skips only strictly-shorter regions,
+                # core/task.py:441-443 `segment.duration < self.duration`)
                 file_regions = [s for s in annotated
                                 if s.duration >= self.min_duration]
             r0 = len(regions)
@@ -465,11 +481,10 @@ def _files_from_prepared(prepared: Dict, subset: str) -> List[Dict]:
         for key in extra_keys:
             idx = int(row[key])
             if idx < 0:
-                continue
+                continue               # -1 = key absent for this file
             table = values.get(key, [])
-            # str metadata was index-encoded; int metadata stored verbatim
-            file[key] = table[idx] if table and \
-                isinstance(table[0], str) and idx < len(table) else idx
+            if idx < len(table):       # both str and int index-encoded
+                file[key] = table[idx]
         if subset == "train" and file["_annotated_duration"] <= 0:
             continue
         files.append(file)

@@ -412,13 +412,10 @@ class EmbeddingHotPathMixin:
         from ..core.inference import _chunk_grid, _upload_waveform_cached
         waveform, _ = self._audio(file)
         real_samples = waveform.shape[1]
-        grid_starts, _ = _chunk_grid(real_samples, window_samples,
-                                     step_samples, sample_rate)
-        num_chunks = len(grid_starts)
-        # same padded-length bucketing as get_embeddings / slide
-        needed = (num_chunks - 1) * step_samples + window_samples
-        bucket = 30 * sample_rate
-        padded_len = max(needed, -(-needed // bucket) * bucket)
+        # identical grid + padded-length bucketing as get_embeddings /
+        # slide — ONE source of truth so the stash key always matches
+        _, padded_len = _chunk_grid(real_samples, window_samples,
+                                    step_samples, sample_rate)
         if padded_len > waveform.shape[1]:
             waveform = np.pad(
                 waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
@@ -504,11 +501,13 @@ class EmbeddingHotPathMixin:
             binary_segmentations.sliding_window.step * sample_rate)
         starts = np.round(np.arange(num_chunks) * step_samples).astype(
             np.int32)
-        # bucket the padded length (see Inference.slide) so the chunk-gather
-        # executable caches across file lengths
-        needed = int(starts[-1]) + window_samples
-        bucket = 30 * sample_rate
-        padded_len = max(needed, -(-needed // bucket) * bucket)
+        # bucket the padded length exactly like Inference.slide /
+        # _start_shared_trunk so the chunk-gather executable and the
+        # early-trunk stash key cache across file lengths
+        from ..core.inference import _chunk_grid
+        _, padded_len = _chunk_grid(waveform.shape[1], window_samples,
+                                    step_samples, sample_rate)
+        padded_len = max(padded_len, int(starts[-1]) + window_samples)
         if padded_len > waveform.shape[1]:
             waveform = np.pad(
                 waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
@@ -745,9 +744,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
     CACHED_SEGMENTATION = "training_cache/segmentation"
 
     def preload(self, file) -> None:
-        """Streaming batch apply: upload file N+1's waveform while the
-        device still runs file N (the segmentation and embedding stages
-        share one device buffer, so one preload covers both)."""
+        """Early device upload (segmentation + embeddings share one
+        buffer). NOTE: diarization batches normally take the pipelined
+        ``apply_batch`` path, where staging itself orders the uploads;
+        this hook only runs on the generic streaming path (e.g. when
+        ``apply_batch`` is disabled) and for external callers that want
+        to warm a file's device buffer ahead of ``apply``."""
         self._segmentation.preload(file)
 
     def get_segmentations(self, file, hook=None) -> SlidingWindowFeature:
@@ -969,9 +971,12 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         device_fast = isinstance(binarized_segmentations,
                                  DeviceSlidingWindowFeature)
         # queue the (segmentation-independent) embedding trunk behind the
-        # segmentation forwards so it executes during the count host sync
-        if not (self.klustering == "OracleClustering"
-                and self._embedding is None):
+        # segmentation forwards so it executes during the count host
+        # sync; only worthwhile on the zero-sync device path (the host
+        # path knows the count synchronously and can still skip silent
+        # files before any embedding work)
+        if device_fast and not (self.klustering == "OracleClustering"
+                                and self._embedding is None):
             self._start_shared_trunk(file, device_masks=device_fast)
 
         if device_fast:
@@ -985,8 +990,13 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                 self._segmentation.model.receptive_field,
                 warm_up=(0.0, 0.0))
 
-        if self.klustering == "OracleClustering" and \
-                self._embedding is None:
+        if (self.klustering == "OracleClustering"
+                and self._embedding is None) or \
+                (count is not None and np.nanmax(count.data) == 0.0):
+            # host-path silent file: the count is already known, so skip
+            # the embedding program entirely (the device_fast path can't
+            # know without a sync — its wasted dispatch on rare silent
+            # files is the price of zero-sync staging)
             embeddings = None
         else:
             embeddings = self.get_embeddings(

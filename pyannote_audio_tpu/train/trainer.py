@@ -215,13 +215,22 @@ class Trainer:
                                 if k in model_keys}
                 model.save_checkpoint(
                     self.checkpoint_dir / f"epoch_{epoch}")
-            # best-checkpoint + early stopping on the monitored metric;
-            # fall back to train loss when the metric is absent
-            score = record.get(monitor_name, record.get("loss"))
+            # best-checkpoint + early stopping on the monitored metric.
+            # When the metric is absent (no validation subset), fall back
+            # to train loss — with MIN direction, regardless of the
+            # metric's direction, and never mix the two scales across
+            # epochs (the fallback decision is made once).
+            if not hasattr(self, "_monitor_key"):
+                self._monitor_key = monitor_name \
+                    if monitor_name in record else "loss"
+            use_fallback = self._monitor_key == "loss" \
+                and monitor_name != "loss"
+            score = record.get(self._monitor_key)
+            effective_sign = 1.0 if use_fallback else sign
             if score is not None and not (
                     isinstance(score, float) and math.isnan(score)):
-                if sign * float(score) < best_score:
-                    best_score = sign * float(score)
+                if effective_sign * float(score) < best_score:
+                    best_score = effective_sign * float(score)
                     epochs_since_best = 0
                     self.best_epoch = epoch
                     if self.checkpoint_dir is not None:
@@ -285,8 +294,8 @@ class Trainer:
             self._val_apply_key = model.module
         preds = self._val_apply(model_params, X)
         out: Dict = {}
-        plot_pred = np.asarray(preds) if np.asarray(preds).ndim == 3 \
-            else None
+        preds_np = np.asarray(preds)       # ONE device->host transfer
+        plot_pred = preds_np if preds_np.ndim == 3 else None
         if powerset is not None and batch_y[0] is not None:
             multilabel = powerset.to_multilabel(preds)
             plot_pred = np.asarray(multilabel)
@@ -302,12 +311,12 @@ class Trainer:
                     ("der/val/optimal", OptimalDiarizationErrorRate())):
                 metric.update(p, t)
                 out[name] = metric.compute()
-        elif batch_y[0] is not None and np.asarray(preds).ndim == 3:
+        elif batch_y[0] is not None and preds_np.ndim == 3:
             # VAD / multilabel: frame-level AUROC
             # (parity: mixins.py:302-437)
             from ..metrics.auroc import BinnedAUROC
             y = np.stack(batch_y)
-            p = np.asarray(preds)
+            p = preds_np
             n = min(p.shape[1], y.shape[1])
             auroc = BinnedAUROC()
             auroc.update(p[:, :n], y[:, :n])

@@ -371,7 +371,7 @@ def test_task_prepared_data_cache_is_protocol_free(protocol, tmp_path):
         assert key in task.prepared_data, key
 
     class PoisonProtocol:
-        name = "poison"
+        name = "Debug.SpeakerDiarization.Debug"  # must match the cache
 
         def train(self):
             raise RuntimeError("protocol scanned despite warm cache")
@@ -389,6 +389,44 @@ def test_task_prepared_data_cache_is_protocol_free(protocol, tmp_path):
     f1, f2 = task._train_files[0], task2._train_files[0]
     assert f1["annotation"].labels() == f2["annotation"].labels()
     assert f1["uri"] == f2["uri"]
+
+
+def test_prepared_data_cache_rejects_other_protocol(protocol, tmp_path):
+    """A cache built from one protocol must not be served for another
+    (parity: reference prepare_data protocol-name check)."""
+    import pytest
+    from pyannote_audio_tpu.utils.database import Protocol as _Protocol
+    cache = tmp_path / "meta.npz"
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              cache=str(cache))
+    task.prepare_data()
+    other = _Protocol(name="SomeOther.Protocol", subsets={"train": []})
+    task2 = SpeakerDiarization(other, duration=2.0, batch_size=2,
+                               cache=str(cache))
+    with pytest.raises(ValueError, match="protocol"):
+        task2.prepare_data()
+
+
+def test_monitor_fallback_uses_min_direction(protocol):
+    """With a max-direction monitor that never materializes (no dev
+    subset), best-epoch tracking falls back to train loss with MIN
+    direction — it must not invert and crown the first epoch."""
+    from pyannote_audio_tpu.utils.database import Protocol as _Protocol
+    train_only = _Protocol(
+        name="Debug.SpeakerDiarization.Debug",
+        subsets={"train": list(protocol.train())})
+    task = VoiceActivityDetection(train_only, duration=2.0, batch_size=2,
+                                  seed=3)
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=4, limit_train_batches=2,
+                      learning_rate=3e-3,
+                      monitor=("auroc/val", "max"),
+                      early_stopping_patience=3)
+    trainer.fit(model, task)
+    losses = [h["loss"] for h in trainer.history]
+    # loss decreases -> best epoch must be a later epoch, not epoch 0
+    assert trainer.best_epoch == int(np.argmin(losses))
+    assert trainer.best_epoch != 0
 
 
 def test_prepared_data_label_scopes(tmp_path):
