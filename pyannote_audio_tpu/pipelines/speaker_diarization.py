@@ -743,6 +743,26 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
 
     CACHED_SEGMENTATION = "training_cache/segmentation"
 
+    def warmup(self, duration: float = 600.0, **kwargs) -> None:
+        """Precompile the full apply program for files up to ``duration``
+        seconds (serving convenience; the reference has no equivalent —
+        its CUDA kernels JIT per shape too, it just never exposes a
+        warmup). Runs the pipeline once on silent audio of the bucketed
+        length so every executable (gather, forwards, trunk panels,
+        fused count/reconstruct) is cached before real traffic; with the
+        persistent compilation cache enabled this also primes cold
+        processes. Extra kwargs are forwarded to ``apply`` (e.g.
+        ``max_speakers``) so parameter-dependent shapes match serving.
+        """
+        sr = self._audio.sample_rate
+        n = int(duration * sr)
+        rng = np.random.default_rng(0)
+        # near-silent noise (all-zero audio would early-exit before the
+        # embedding/clustering executables compile)
+        waveform = (0.01 * rng.standard_normal((1, n))).astype(np.float32)
+        self.apply({"waveform": waveform, "sample_rate": sr,
+                    "uri": "__warmup__"}, **kwargs)
+
     def preload(self, file) -> None:
         """Early device upload (segmentation + embeddings share one
         buffer). NOTE: diarization batches normally take the pipelined

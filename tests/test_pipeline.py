@@ -239,6 +239,22 @@ def test_pipelined_apply_batch_matches_sequential(seg_model, emb_model,
             s.exclusive_speaker_diarization.itertracks(yield_label=True))
 
 
+def test_warmup_precompiles_and_leaves_results_unchanged(seg_model,
+                                                         emb_model,
+                                                         corpus_file):
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        embedding_batch_size=8, segmentation_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    pipeline.warmup(duration=30.0, max_speakers=3)
+    out = pipeline(dict(corpus_file), max_speakers=3)
+    assert len(out.speaker_diarization.labels()) <= 3
+
+
 def test_diarization_pipeline_legacy_mode(seg_model, emb_model, corpus_file):
     pipeline = SpeakerDiarization(
         segmentation=seg_model, embedding=emb_model, legacy=True,
