@@ -58,3 +58,48 @@ def test_progress_hook_smoke(capsys):
     with ProgressHook(transient=True) as hook:
         hook("step", None, total=2, completed=1)
         hook("step", None, total=2, completed=2)
+
+
+def test_timing_hook_through_pipelined_batch(tmp_path):
+    """Hooks keep per-file attribution when apply_batch stages device
+    work across files (hook is bound to its file via setup_hook)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.embedding.debug import \
+        SimpleEmbeddingModel
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+
+    seg = SimpleSegmentationModel()
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    seg.build()
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    pipeline = SpeakerDiarization(
+        segmentation=seg, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    files = []
+    for i in range(2):
+        f = default_two_speaker_file(tmp_path / f"h{i}.wav")
+        f["uri"] = f"h{i}"
+        files.append(f)
+    with TimingHook() as timing:
+        pipeline(files, max_speakers=3, hook=timing)
+    # each file dict carries its own per-step timing record
+    for f in files:
+        assert "timing" in f, f["uri"]
+        assert "segmentation" in f["timing"]
