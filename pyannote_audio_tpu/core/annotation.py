@@ -285,6 +285,28 @@ class Annotation:
     def label_duration(self, label: Label) -> float:
         return self.label_timeline(label).duration()
 
+    def get_overlap(self, labels: Optional[List[Label]] = None
+                    ) -> Timeline:
+        """Timeline of regions where two or more tracks overlap.
+
+        Parity: pyannote.core ``Annotation.get_overlap`` — the input to
+        overlapped-speech-detection training and exclusive-mode checks.
+        With ``labels``, only tracks carrying one of those labels count.
+        """
+        tracks = [(seg, track) for seg, track, label in
+                  self.itertracks(yield_label=True)
+                  if labels is None or label in labels]
+        segments = sorted(seg for seg, _ in tracks)
+        overlaps = Timeline(uri=self.uri)
+        for i, s1 in enumerate(segments):
+            for s2 in segments[i + 1:]:
+                if s2.start >= s1.end:
+                    break              # sorted: nothing later overlaps s1
+                inter = s1 & s2
+                if inter and inter.duration > 0:
+                    overlaps.add(inter)
+        return overlaps.support()
+
     def get_timeline(self, copy: bool = True) -> Timeline:
         return Timeline(list(self._tracks), uri=self.uri)
 

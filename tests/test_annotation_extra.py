@@ -142,3 +142,31 @@ def test_timeline_gaps_and_covers():
     assert list(gaps) == [Segment(2, 5), Segment(7, 10)]
     assert tl.covers(Timeline([Segment(0.5, 1.5)]))
     assert not tl.covers(Timeline([Segment(3, 4)]))
+
+
+def test_get_overlap():
+    """Annotation.get_overlap parity: union of pairwise intersections of
+    (optionally label-filtered) tracks, as a support()ed Timeline."""
+    from pyannote_audio_tpu import Annotation, Segment, Timeline
+    ann = Annotation(uri="x")
+    ann[Segment(0, 10), 0] = "alice"
+    ann[Segment(8, 15), 1] = "bob"
+    ann[Segment(14, 20), 2] = "carol"
+    ann[Segment(25, 30), 3] = "alice"
+    overlap = ann.get_overlap()
+    assert list(overlap) == [Segment(8, 10), Segment(14, 15)]
+
+    # label filter: only alice+bob tracks count
+    only_ab = ann.get_overlap(labels=["alice", "bob"])
+    assert list(only_ab) == [Segment(8, 10)]
+
+    # no overlap -> empty timeline
+    lone = Annotation(uri="y")
+    lone[Segment(0, 5), 0] = "a"
+    assert len(lone.get_overlap()) == 0
+
+    # overlapped-speech-detection derivation (tutorial 14)
+    derived = overlap.to_annotation()
+    derived = derived.rename_labels(
+        {label: "overlap" for label in derived.labels()})
+    assert derived.labels() == ["overlap"]
