@@ -173,6 +173,15 @@ class Timeline:
         gaps = self.gaps(support=other.support())
         return len(gaps.crop(other)) == 0
 
+    def co_iter(self, other: "Timeline"):
+        """Iterate pairs of intersecting segments (pyannote.core parity)."""
+        for s1 in self:
+            for s2 in other:
+                if s2.start >= s1.end:
+                    break
+                if (s1 & s2).duration > 0:
+                    yield s1, s2
+
     def to_annotation(self, generator: str = "string") -> "Annotation":
         ann = Annotation(uri=self.uri)
         names = string_generator() if generator == "string" else None
@@ -284,6 +293,21 @@ class Annotation:
 
     def label_duration(self, label: Label) -> float:
         return self.label_timeline(label).duration()
+
+    def empty(self) -> "Annotation":
+        """Empty copy with the same uri/modality (pyannote.core parity)."""
+        return Annotation(uri=self.uri, modality=self.modality)
+
+    def co_iter(self, other: "Annotation"):
+        """Iterate pairs of intersecting tracks
+        ((segment, track), (other_segment, other_track)) — pyannote.core
+        parity; the building block of pairwise metric components."""
+        for seg, track in self.itertracks():
+            for oseg, otrack in other.itertracks():
+                if oseg.start >= seg.end:
+                    break
+                if (seg & oseg).duration > 0:
+                    yield (seg, track), (oseg, otrack)
 
     def get_overlap(self, labels: Optional[List[Label]] = None
                     ) -> Timeline:

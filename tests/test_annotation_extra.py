@@ -170,3 +170,25 @@ def test_get_overlap():
     derived = derived.rename_labels(
         {label: "overlap" for label in derived.labels()})
     assert derived.labels() == ["overlap"]
+
+
+def test_empty_and_co_iter():
+    from pyannote_audio_tpu import Annotation, Segment, Timeline
+    ann = Annotation(uri="u", modality="speaker")
+    ann[Segment(0, 5), 0] = "a"
+    e = ann.empty()
+    assert e.uri == "u" and e.modality == "speaker" and not e
+
+    t1 = Timeline([Segment(0, 4), Segment(10, 12)])
+    t2 = Timeline([Segment(3, 6), Segment(11, 15), Segment(20, 21)])
+    pairs = list(t1.co_iter(t2))
+    assert pairs == [(Segment(0, 4), Segment(3, 6)),
+                     (Segment(10, 12), Segment(11, 15))]
+
+    ref = Annotation(uri="u")
+    ref[Segment(0, 4), 0] = "a"
+    hyp = Annotation(uri="u")
+    hyp[Segment(3, 6), 0] = "x"
+    hyp[Segment(7, 9), 0] = "y"
+    got = list(ref.co_iter(hyp))
+    assert got == [((Segment(0, 4), 0), (Segment(3, 6), 0))]
