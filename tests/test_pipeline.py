@@ -255,6 +255,46 @@ def test_warmup_precompiles_and_leaves_results_unchanged(seg_model,
     assert len(out.speaker_diarization.labels()) <= 3
 
 
+def test_diarization_pipeline_with_ssl_and_xvector(tmp_path):
+    """Full pipeline with an SSL (SSeRiouSS) segmentation model and an
+    x-vector MFCC embedder — exercises the staged apply with a
+    transformer trunk and the plain (non-shared-trunk) embedding gather
+    path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.embedding.xvector import XVectorMFCC
+    from pyannote_audio_tpu.models.segmentation.sseriouss import SSeRiouSS
+
+    seg = SSeRiouSS(wav2vec={"hidden": 32, "layers": 1, "heads": 4,
+                             "ffn": 64, "rel_pos_bias": False},
+                    lstm={"hidden_size": 16, "num_layers": 1},
+                    linear={"hidden_size": 16, "num_layers": 1})
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    seg.build()
+    emb = XVectorMFCC(dimension=32)
+    emb.build()
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=4, embedding_batch_size=4)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    file = default_two_speaker_file(tmp_path / "ssl.wav")
+    out = pipeline(dict(file), max_speakers=3)
+    assert isinstance(out, DiarizeOutput)
+    assert 1 <= len(out.speaker_diarization.labels()) <= 3
+    assert out.speaker_embeddings is not None
+
+
 def test_diarization_pipeline_legacy_mode(seg_model, emb_model, corpus_file):
     pipeline = SpeakerDiarization(
         segmentation=seg_model, embedding=emb_model, legacy=True,
