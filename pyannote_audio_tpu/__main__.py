@@ -35,13 +35,21 @@ def _audio_files(path: Path):
 
 
 def cmd_apply(args) -> int:
-    """Apply a pipeline to audio file(s); write RTTM + JSON."""
+    """Apply a pipeline to audio file(s); write RTTM + JSON.
+
+    Multiple inputs go through the pipelined batch apply (parallel
+    pre-decode + device-work staging) instead of one file at a time.
+    """
     pipeline = _load_pipeline(args.pipeline, device=args.device)
     into = Path(args.into) if args.into else None
     if into:
         into.mkdir(parents=True, exist_ok=True)
-    for audio in _audio_files(Path(args.audio)):
-        output = pipeline(str(audio))
+    audios = list(_audio_files(Path(args.audio)))
+    if len(audios) > 1:
+        outputs = pipeline([str(a) for a in audios])
+    else:
+        outputs = [pipeline(str(a)) for a in audios]
+    for audio, output in zip(audios, outputs):
         annotation = getattr(output, "speaker_diarization", output)
         if into:
             with open(into / f"{audio.stem}.rttm", "w") as f:

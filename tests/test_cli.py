@@ -93,6 +93,21 @@ def test_cli_apply(pipeline_dir, corpus_dir, tmp_path):
     assert "diarization" in data
 
 
+def test_cli_apply_directory_uses_batch(pipeline_dir, corpus_dir,
+                                        tmp_path):
+    """Multiple inputs route through the pipelined batch apply and every
+    file gets its RTTM + JSON."""
+    out = tmp_path / "outdir"
+    assert main(["apply", str(pipeline_dir), str(corpus_dir),
+                 "--into", str(out)]) == 0
+    rttms = sorted(p.name for p in out.glob("*.rttm"))
+    assert len(rttms) >= 2, rttms
+    for rttm in out.glob("*.rttm"):
+        data = json.loads(
+            (out / f"{rttm.stem}.json").read_text())
+        assert "diarization" in data
+
+
 def test_cli_benchmark(pipeline_dir, corpus_dir, tmp_path):
     out = tmp_path / "bench"
     rc = main(["benchmark", str(pipeline_dir),
