@@ -291,6 +291,12 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                 active, structure=np.ones(int(0.1 * sample_rate)))
             sources[~active, k] = 0.0
 
+        # separated sources may be scaled arbitrarily (SI-SDR training is
+        # scale-invariant) — peak-normalize per speaker (parity:
+        # reference speech_separation.py:656-660)
+        sources = sources / (
+            np.max(np.abs(sources), axis=0, keepdims=True) + 1e-8)
+
         mapping = {label: expected for label, expected in
                    zip(diarization.labels(), self.classes())}
         diarization = diarization.rename_labels(mapping=mapping)

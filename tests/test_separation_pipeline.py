@@ -126,3 +126,22 @@ def test_pixit_task_loss(tmp_path):
     assert batch.meta is not None and "mix1" in batch.meta
     loss = float(task.loss(model, model.params, batch))
     assert np.isfinite(loss)
+
+
+def test_sources_are_peak_normalized(tmp_path):
+    """Parity: reference peak-normalizes each speaker's source
+    (speech_separation.py:656-660) — SI-SDR training is scale-free."""
+    from pyannote_audio_tpu.pipelines.speech_separation import \
+        SpeechSeparation
+    model = _tiny_totatonet()
+    file = default_two_speaker_file(tmp_path / "norm.wav")
+    pipeline = SpeechSeparation(segmentation=model,
+                                segmentation_batch_size=4)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0, "threshold": 0.4},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    out = pipeline(file, max_speakers=3)
+    peaks = np.max(np.abs(out.sources), axis=0)
+    active = peaks > 1e-6
+    np.testing.assert_allclose(peaks[active], 1.0, rtol=1e-4)
