@@ -79,6 +79,12 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         self.segmentation = ParamDict(
             min_duration_off=Uniform(0.0, 1.0),
             threshold=Uniform(0.1, 0.9))
+        # leakage-removal hyperparameters (parity: reference
+        # speech_separation.py:193-196)
+        from .parameter import Categorical
+        self.separation = ParamDict(
+            leakage_removal=Categorical([True, False]),
+            asr_collar=Uniform(0.0, 1.0))
         self._embedding = get_model(embedding) if embedding is not None \
             else None
         self._audio = Audio(sample_rate=model.sample_rate, mono="downmix")
@@ -93,6 +99,8 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
     def default_parameters(self):
         return {"segmentation": {"min_duration_off": 0.0,
                                  "threshold": 0.5},
+                "separation": {"leakage_removal": True,
+                               "asr_collar": 0.1},
                 "clustering": {"method": "centroid", "threshold": 0.6,
                                "min_cluster_size": 1}}
 
@@ -278,18 +286,23 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         sources = sources[:num_samples] \
             / np.maximum(weight[:num_samples], 1.0)
 
-        # leakage removal: zero a speaker's source where inactive
-        # (dilated activity mask, reference speech_separation.py:~630)
-        for k in range(num_clusters):
-            active = np.zeros(num_samples, dtype=bool)
-            for seg, _, lbl in diarization.itertracks(yield_label=True):
-                if lbl == k:
-                    i0 = int(seg.start * sample_rate)
-                    i1 = int(seg.end * sample_rate)
-                    active[max(0, i0):min(num_samples, i1)] = True
-            active = binary_dilation(
-                active, structure=np.ones(int(0.1 * sample_rate)))
-            sources[~active, k] = 0.0
+        # leakage removal: zero a speaker's source where inactive,
+        # dilated by the tunable asr_collar (parity: reference
+        # speech_separation.py:631-654; hyperparameters
+        # separation.leakage_removal / separation.asr_collar)
+        from ..core.parameter import Parameter
+        sep_params = self.separation   # _DotDict after instantiate,
+        leakage_removal = sep_params.get("leakage_removal")  # ParamDict before
+        asr_collar = sep_params.get("asr_collar")
+        if isinstance(leakage_removal, Parameter) or \
+                leakage_removal is None:
+            leakage_removal = True     # defaults when un-instantiated
+        if isinstance(asr_collar, Parameter) or asr_collar is None:
+            asr_collar = 0.1
+        sources = _apply_leakage_mask(
+            sources, diarization, sample_rate,
+            leakage_removal=bool(leakage_removal),
+            asr_collar=float(asr_collar))
 
         # separated sources may be scaled arbitrarily (SI-SDR training is
         # scale-invariant) — peak-normalize per speaker (parity:
@@ -308,3 +321,31 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         """Optimization metric (parity: speech_separation.py:732-733)."""
         from ..metrics.der import GreedyDiarizationErrorRate
         return GreedyDiarizationErrorRate(**self.der_variant)
+
+
+def _apply_leakage_mask(sources: np.ndarray, diarization,
+                        sample_rate: int, leakage_removal: bool = True,
+                        asr_collar: float = 0.1) -> np.ndarray:
+    """Zero each speaker's source where that speaker is inactive.
+
+    Activity comes from the (renamed-label-free, integer-labelled)
+    diarization; inactivity is dilated by ``asr_collar`` seconds on each
+    side before zeroing (parity: reference speech_separation.py:631-654,
+    hyperparameters separation.leakage_removal / separation.asr_collar).
+    """
+    if not leakage_removal:
+        return sources
+    num_samples, num_clusters = sources.shape
+    collar = int(round(asr_collar * sample_rate))
+    out = sources.copy()
+    for k in range(num_clusters):
+        active = np.zeros(num_samples, dtype=bool)
+        for seg, _, lbl in diarization.itertracks(yield_label=True):
+            if lbl == k:
+                i0 = int(seg.start * sample_rate)
+                i1 = int(seg.end * sample_rate)
+                active[max(0, i0):min(num_samples, i1)] = True
+        if collar > 0:
+            active = binary_dilation(active, structure=np.ones(2 * collar))
+        out[~active, k] = 0.0
+    return out

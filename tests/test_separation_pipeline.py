@@ -145,3 +145,49 @@ def test_sources_are_peak_normalized(tmp_path):
     peaks = np.max(np.abs(out.sources), axis=0)
     active = peaks > 1e-6
     np.testing.assert_allclose(peaks[active], 1.0, rtol=1e-4)
+
+
+def test_leakage_removal_hyperparameters(tmp_path):
+    """separation.leakage_removal / asr_collar semantics (parity:
+    reference speech_separation.py:193-196, 631-654): masking is gated,
+    collar-dilated, and per-speaker."""
+    from pyannote_audio_tpu.core.annotation import Annotation
+    from pyannote_audio_tpu.core.segment import Segment
+    from pyannote_audio_tpu.pipelines.speech_separation import (
+        SpeechSeparation, _apply_leakage_mask)
+
+    sr = 1000
+    sources = np.ones((10 * sr, 2), np.float32)
+    diar = Annotation(uri="x")
+    diar[Segment(1.0, 3.0), 0] = 0      # speaker 0 active 1-3 s
+    diar[Segment(6.0, 8.0), 1] = 1      # speaker 1 active 6-8 s
+
+    off = _apply_leakage_mask(sources, diar, sr, leakage_removal=False)
+    np.testing.assert_array_equal(off, sources)   # gate respected
+
+    on = _apply_leakage_mask(sources, diar, sr, leakage_removal=True,
+                             asr_collar=0.5)
+    # active (+0.5 s collar) spans survive; outside is zeroed
+    assert on[int(2.0 * sr), 0] == 1.0
+    assert on[int(3.4 * sr), 0] == 1.0      # inside collar
+    assert on[int(4.5 * sr), 0] == 0.0      # outside collar
+    assert on[int(7.0 * sr), 1] == 1.0
+    assert on[int(2.0 * sr), 1] == 0.0      # other speaker's span
+    # wider collar zeroes strictly less
+    wide = _apply_leakage_mask(sources, diar, sr, leakage_removal=True,
+                               asr_collar=1.0)
+    assert (wide == 0).sum() < (on == 0).sum()
+
+    # hyperparameters flow from instantiate() to apply()
+    model = _tiny_totatonet()
+    pipeline = SpeechSeparation(segmentation=model,
+                                segmentation_batch_size=4)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0, "threshold": 0.4},
+        "separation": {"leakage_removal": False, "asr_collar": 0.05},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    assert pipeline.separation["leakage_removal"] is False
+    out = pipeline(default_two_speaker_file(tmp_path / "lk.wav"),
+                   max_speakers=3)
+    assert np.isfinite(out.sources).all()
