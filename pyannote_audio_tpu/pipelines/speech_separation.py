@@ -310,6 +310,17 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         sources = sources / (
             np.max(np.abs(sources), axis=0, keepdims=True) + 1e-8)
 
+        # drop source columns of clusters absent from the final
+        # diarization so column i corresponds to the i-th (renamed)
+        # speaker label (parity: reference removes file-wise inactive
+        # speakers' sources, speech_separation.py:626-627)
+        active_labels = diarization.labels()    # sorted cluster ints
+        keep = [int(label) for label in active_labels
+                if isinstance(label, (int, np.integer))
+                and 0 <= int(label) < sources.shape[1]]
+        if len(keep) != sources.shape[1] and keep:
+            sources = sources[:, keep]
+
         mapping = {label: expected for label, expected in
                    zip(diarization.labels(), self.classes())}
         diarization = diarization.rename_labels(mapping=mapping)
