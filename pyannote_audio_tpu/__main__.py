@@ -45,9 +45,12 @@ def cmd_apply(args) -> int:
     if into:
         into.mkdir(parents=True, exist_ok=True)
     audios = list(_audio_files(Path(args.audio)))
-    if len(audios) > 1:
+    stems = [a.stem for a in audios]
+    if len(audios) > 1 and len(set(stems)) == len(stems):
         outputs = pipeline([str(a) for a in audios])
     else:
+        # duplicate stems (same name in different subdirs) would trip
+        # the batch's unique-URI check; process those sequentially
         outputs = [pipeline(str(a)) for a in audios]
     for audio, output in zip(audios, outputs):
         annotation = getattr(output, "speaker_diarization", output)

@@ -302,8 +302,9 @@ class Annotation:
         """Iterate pairs of intersecting tracks
         ((segment, track), (other_segment, other_track)) — pyannote.core
         parity; the building block of pairwise metric components."""
+        others = list(other.itertracks())   # sort once, not per track
         for seg, track in self.itertracks():
-            for oseg, otrack in other.itertracks():
+            for oseg, otrack in others:
                 if oseg.start >= seg.end:
                     break
                 if (seg & oseg).duration > 0:

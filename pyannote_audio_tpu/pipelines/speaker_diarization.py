@@ -744,12 +744,18 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
     CACHED_SEGMENTATION = "training_cache/segmentation"
 
     def warmup(self, duration: float = 600.0, **kwargs) -> None:
-        """Precompile the full apply program for files up to ``duration``
-        seconds (serving convenience; the reference has no equivalent —
-        its CUDA kernels JIT per shape too, it just never exposes a
-        warmup). Runs the pipeline once on silent audio of the bucketed
-        length so every executable (gather, forwards, trunk panels,
-        fused count/reconstruct) is cached before real traffic; with the
+        """Precompile the apply program for ``duration``-second files
+        (serving convenience; the reference has no equivalent — its CUDA
+        kernels JIT per shape too, it just never exposes a warmup).
+
+        Executables are keyed by length BUCKET (waveform length rounds up
+        to 30 s multiples, chunk count to 256, output frames to 4096), so
+        one warmup covers one bucket combination; call once per expected
+        file-length bucket for full coverage. Runs through the normal
+        ``__call__`` entry (auto-instantiation, reproducibility guard) on
+        synthetic harmonic "speech" loud enough that trained models
+        detect speakers — so the embedding, clustering and reconstruction
+        executables compile too, not just segmentation. With the
         persistent compilation cache enabled this also primes cold
         processes. Extra kwargs are forwarded to ``apply`` (e.g.
         ``max_speakers``) so parameter-dependent shapes match serving.
@@ -757,11 +763,20 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         sr = self._audio.sample_rate
         n = int(duration * sr)
         rng = np.random.default_rng(0)
-        # near-silent noise (all-zero audio would early-exit before the
-        # embedding/clustering executables compile)
-        waveform = (0.01 * rng.standard_normal((1, n))).astype(np.float32)
-        self.apply({"waveform": waveform, "sample_rate": sr,
-                    "uri": "__warmup__"}, **kwargs)
+        t = np.arange(n) / sr
+        waveform = 0.003 * rng.standard_normal(n).astype(np.float32)
+        seg_len = 5.0
+        for i, start in enumerate(
+                np.arange(0.0, max(duration - seg_len, 0.0), 7.0)):
+            f0 = [140.0, 210.0, 320.0][i % 3]
+            i0, i1 = int(start * sr), int((start + seg_len) * sr)
+            tt = t[i0:i1]
+            waveform[i0:i1] += (
+                0.2 * np.sin(2 * np.pi * f0 * tt)
+                * (0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 3 * tt)))
+            ).astype(np.float32)
+        self({"waveform": waveform[None], "sample_rate": sr,
+              "uri": "__warmup__"}, **kwargs)
 
     def preload(self, file) -> None:
         """Early device upload (segmentation + embeddings share one

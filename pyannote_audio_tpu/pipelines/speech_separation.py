@@ -27,7 +27,7 @@ from ..core.segment import SlidingWindow, SlidingWindowFeature
 from ..core.pipeline import Pipeline
 from ..utils.signal import binarize_swf
 from .clustering import Clustering
-from .parameter import ParamDict, Uniform
+from .parameter import Categorical, ParamDict, Parameter, Uniform
 from .speaker_diarization import DiarizeOutput, EmbeddingHotPathMixin
 from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
 from .utils.getter import PipelineModel, get_model
@@ -81,7 +81,6 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             threshold=Uniform(0.1, 0.9))
         # leakage-removal hyperparameters (parity: reference
         # speech_separation.py:193-196)
-        from .parameter import Categorical
         self.separation = ParamDict(
             leakage_removal=Categorical([True, False]),
             asr_collar=Uniform(0.0, 1.0))
@@ -290,7 +289,6 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         # dilated by the tunable asr_collar (parity: reference
         # speech_separation.py:631-654; hyperparameters
         # separation.leakage_removal / separation.asr_collar)
-        from ..core.parameter import Parameter
         sep_params = self.separation   # _DotDict after instantiate,
         leakage_removal = sep_params.get("leakage_removal")  # ParamDict before
         asr_collar = sep_params.get("asr_collar")
@@ -311,18 +309,21 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             np.max(np.abs(sources), axis=0, keepdims=True) + 1e-8)
 
         # drop source columns of clusters absent from the final
-        # diarization so column i corresponds to the i-th (renamed)
-        # speaker label (parity: reference removes file-wise inactive
-        # speakers' sources, speech_separation.py:626-627)
-        active_labels = diarization.labels()    # sorted cluster ints
-        keep = [int(label) for label in active_labels
-                if isinstance(label, (int, np.integer))
-                and 0 <= int(label) < sources.shape[1]]
-        if len(keep) != sources.shape[1] and keep:
+        # diarization and rename labels in NUMERIC cluster order so that
+        # column i always corresponds to SPEAKER_{i:02d} — labels() sorts
+        # by str ('10' < '2'), so both the column filter and the rename
+        # mapping must use the numeric order (parity: reference removes
+        # file-wise inactive speakers' sources, speech_separation.py:
+        # 626-627, with a numeric boolean mask)
+        numeric_labels = sorted(
+            int(label) for label in diarization.labels()
+            if isinstance(label, (int, np.integer)))
+        keep = [k for k in numeric_labels if 0 <= k < sources.shape[1]]
+        if keep and keep != list(range(sources.shape[1])):
             sources = sources[:, keep]
 
-        mapping = {label: expected for label, expected in
-                   zip(diarization.labels(), self.classes())}
+        names = self.classes()
+        mapping = {label: next(names) for label in numeric_labels}
         diarization = diarization.rename_labels(mapping=mapping)
         exclusive = exclusive.rename_labels(mapping=mapping)
 
