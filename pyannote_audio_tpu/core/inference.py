@@ -20,6 +20,7 @@ Design (SURVEY.md §7.0/§7.1):
 from __future__ import annotations
 
 import math
+import os
 import warnings
 from pathlib import Path
 from typing import Callable, Optional, Text, Tuple, Union
@@ -56,22 +57,40 @@ def _mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
         / jnp.float32(_MULAW_MU)
 
 
+def _upload_quant_mode() -> str:
+    """Resolve the waveform transport quantization mode.
+
+    PYANNOTE_TPU_UPLOAD_QUANT wins when set ("mulaw" | "int16" | "").
+    Unset: "mulaw" on accelerator backends — the TPU sits behind a
+    host->device link whose transfers do not overlap compute, so upload
+    bytes are a hard serial per-file cost and 8-bit companded transport
+    (~38 dB SNR, DER delta +0.0003 on the A/B corpus — docs/PARITY.md)
+    is the serving default; "" on CPU (bit-exact int16/f32 paths).
+    """
+    mode = os.environ.get("PYANNOTE_TPU_UPLOAD_QUANT")
+    if mode is not None:
+        return mode
+    try:
+        import jax
+        return "mulaw" if jax.default_backend() != "cpu" else ""
+    except Exception:
+        return ""
+
+
 def _upload_waveform(waveform: np.ndarray) -> jnp.ndarray:
-    """Host->device waveform transfer, int16 when exactly representable.
+    """Host->device waveform transfer, quantized to cut link bytes.
 
     The axon relay moves ~40-100 MB/s and transfers do NOT overlap device
     compute (benchmarks/overlap_probe.py), so upload bytes are a hard
-    per-file cost. PCM16-decoded waveforms are exactly i/32768, so
-    shipping int16 (half the bytes) and rescaling on device is bit-exact;
-    anything else (resampled/float sources) falls back to f32. Disable
-    with PYANNOTE_TPU_INT16_UPLOAD=0.
-
-    Opt-in: PYANNOTE_TPU_UPLOAD_QUANT=mulaw ships 8-bit mu-law (quarter
-    of the f32 bytes, ~38 dB SNR) for bandwidth-constrained links —
-    NOT bit-exact; keep it off when exact reference parity matters.
+    per-file cost. Default on accelerators: 8-bit mu-law (quarter of the
+    f32 bytes, ~38 dB SNR; DER-neutral on the A/B corpus). Set
+    PYANNOTE_TPU_UPLOAD_QUANT=int16 (or "") for bit-exact transport:
+    PCM16-decoded waveforms are exactly i/32768, so shipping int16 and
+    rescaling on device is bit-exact; anything else (resampled/float
+    sources) falls back to f32. Disable the int16 path too with
+    PYANNOTE_TPU_INT16_UPLOAD=0.
     """
-    import os
-    if os.environ.get("PYANNOTE_TPU_UPLOAD_QUANT", "") == "mulaw" and \
+    if _upload_quant_mode() == "mulaw" and \
             waveform.dtype == np.float32:
         return jnp.asarray(_mulaw_encode(waveform))
     if os.environ.get("PYANNOTE_TPU_INT16_UPLOAD", "1") == "1" and \
@@ -156,7 +175,8 @@ def _upload_waveform_cached(waveform: np.ndarray, cache) -> jnp.ndarray:
     probe = (float(waveform.sum(dtype=np.float64)),
              float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
              float(waveform[0, 0]), float(waveform[0, n - 1]))
-    key = (waveform.shape, str(waveform.dtype), probe)
+    key = (waveform.shape, str(waveform.dtype), probe,
+           _upload_quant_mode())
     hit = cache.get("_device_waveform")
     if hit is not None and hit[0] == key:
         return hit[1]

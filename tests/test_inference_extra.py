@@ -274,7 +274,7 @@ def test_mulaw_upload_quantization(seg_model, tmp_path, monkeypatch):
         np.asarray(_to_pcm16_scale(jnp.asarray(q))), back * 32768.0,
         rtol=1e-6)
 
-    # default path untouched; opt-in switches the upload dtype
+    # CPU default stays bit-exact; env opt-in switches the upload dtype
     assert _upload_waveform(wav).dtype != jnp.uint8
     monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
     assert _upload_waveform(wav).dtype == jnp.uint8
@@ -292,6 +292,28 @@ def test_mulaw_upload_quantization(seg_model, tmp_path, monkeypatch):
     # few borderline frames but the decisions must agree almost always
     flip_rate = np.mean(out_q.data != out_exact.data)
     assert flip_rate < 0.02, flip_rate
+
+
+def test_upload_quant_mode_resolution(monkeypatch):
+    """mu-law transport is the accelerator serving default; env wins;
+    CPU stays bit-exact (docs/PARITY.md A/B: DER delta +0.0003)."""
+    import jax
+
+    from pyannote_audio_tpu.core import inference as inf
+
+    monkeypatch.delenv("PYANNOTE_TPU_UPLOAD_QUANT", raising=False)
+    # this suite runs on the CPU backend: default is exact transport
+    assert jax.default_backend() == "cpu"
+    assert inf._upload_quant_mode() == ""
+    # accelerator backend (simulated) defaults to mu-law
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert inf._upload_quant_mode() == "mulaw"
+    # explicit env always wins, both directions
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "int16")
+    assert inf._upload_quant_mode() == "int16"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
+    assert inf._upload_quant_mode() == "mulaw"
 
 
 def test_oom_maps_to_actionable_memory_error(seg_model, tmp_path):
