@@ -95,7 +95,15 @@ def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray,
 
 
 class SincConv(nn.Module):
-    """Learnable sinc filterbank as a strided conv. Input (B, T, 1)."""
+    """Learnable sinc filterbank as a strided conv. Input (B, T, 1).
+
+    ``compute_dtype=bfloat16`` runs the big strided contraction on the
+    MXU in bf16 with f32 accumulation (the sinc parameters and kernel
+    materialization stay f32; only the conv operands are cast). The
+    input is instance-normalized (unit variance) so bf16's 8-bit
+    mantissa costs ~1e-2 relative error — gated off by default, see
+    SincNet.
+    """
 
     n_filters: int = 80
     kernel_size: int = 251
@@ -103,6 +111,7 @@ class SincConv(nn.Module):
     sample_rate: int = 16000
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
+    compute_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -115,34 +124,49 @@ class SincConv(nn.Module):
                                self.sample_rate, self.min_low_hz,
                                self.min_band_hz)
         return jax.lax.conv_general_dilated(
-            x, kernels[:, None, :],
+            x.astype(self.compute_dtype),
+            kernels[:, None, :].astype(self.compute_dtype),
             window_strides=(self.stride,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
         )
 
 
 class SincNet(nn.Module):
-    """Full SincNet block. Input (B, channel, samples) -> (B, frames, 60)."""
+    """Full SincNet block. Input (B, channel, samples) -> (B, frames, 60).
+
+    PYANNOTE_TPU_SEG_BF16=1 (opt-in; resolved once at trace time) runs
+    the three convolutions in bf16 with f32 accumulation — instance
+    norms, abs, and pooling stay f32. The sinc conv is the block's FLOPs
+    peak (251-tap stride-10 over raw audio), so this roughly halves
+    SincNet MXU time; A/B DER before relying on it (docs/PARITY.md).
+    """
 
     stride: int = 10
     sample_rate: int = 16000
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        from ...utils.runtime import device_flag
+        dtype = jnp.bfloat16 if device_flag(
+            "PYANNOTE_TPU_SEG_BF16", accelerator_default=False) \
+            else jnp.float32
         x = jnp.swapaxes(waveforms, 1, 2)  # (B, T, C)
         x = InstanceNorm1d(1, name="wav_norm1d")(x)
         x = SincConv(stride=self.stride, sample_rate=self.sample_rate,
-                     name="sinc_conv")(x)
+                     compute_dtype=dtype, name="sinc_conv")(x)
         x = jnp.abs(x)
         x = _max_pool3(x)
         x = InstanceNorm1d(80, name="norm1d_0")(x)
         x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(60, (5,), padding="VALID", name="conv1d_1")(x)
+        x = nn.Conv(60, (5,), padding="VALID", dtype=dtype,
+                    name="conv1d_1")(x).astype(jnp.float32)
         x = _max_pool3(x)
         x = InstanceNorm1d(60, name="norm1d_1")(x)
         x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(60, (5,), padding="VALID", name="conv1d_2")(x)
+        x = nn.Conv(60, (5,), padding="VALID", dtype=dtype,
+                    name="conv1d_2")(x).astype(jnp.float32)
         x = _max_pool3(x)
         x = InstanceNorm1d(60, name="norm1d_2")(x)
         x = nn.leaky_relu(x, 0.01)

@@ -221,3 +221,37 @@ def test_wespeaker_trunk_matches_torch_replica():
     ours = np.asarray(jnp.swapaxes(h, 2, 3).reshape(B, T, C * Fr))
     assert ours.shape == expected.shape
     np.testing.assert_allclose(ours, expected, atol=2e-3)
+
+
+def test_pyannet_seg_bf16_gate(monkeypatch):
+    """PYANNOTE_TPU_SEG_BF16 halves SincNet MXU precision but not its
+    decisions: outputs stay close to the f32 path (log-softmax scores),
+    params are bit-identical (only operands are cast)."""
+    import jax
+    import numpy as np
+
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
+
+    model = PyanNet()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0,
+        classes=["a", "b"], powerset_max_classes=2)
+    model.build()
+    wav = (0.1 * np.random.default_rng(0)
+           .standard_normal((2, 1, 32000))).astype(np.float32)
+    ref = np.asarray(model(wav))
+
+    monkeypatch.setenv("PYANNOTE_TPU_SEG_BF16", "1")
+    # fresh trace: the gate is resolved at trace time
+    out = np.asarray(
+        jax.jit(lambda p, x: model.module.apply(p, x))(model.params, wav))
+    monkeypatch.delenv("PYANNOTE_TPU_SEG_BF16")
+    assert out.shape == ref.shape
+    # log-softmax scores: bf16 conv error stays small after the LSTM/head
+    assert np.max(np.abs(out - ref)) < 0.35, np.max(np.abs(out - ref))
+    # decisions agree nearly everywhere
+    agree = np.mean(out.argmax(-1) == ref.argmax(-1))
+    assert agree > 0.99, agree
