@@ -78,8 +78,9 @@ def main():
 
     window_samples = round(duration * sr)
     step_samples = round(step * sr)
-    num_chunks, padded_len = _chunk_grid(n, window_samples, step_samples,
-                                         sr)
+    grid_starts, padded_len = _chunk_grid(n, window_samples, step_samples,
+                                          sr)
+    num_chunks = len(grid_starts)
     if padded_len > wav.shape[1]:
         wav = np.pad(wav, ((0, 0), (0, padded_len - wav.shape[1])))
 

@@ -136,11 +136,13 @@ class SincConv(nn.Module):
 class SincNet(nn.Module):
     """Full SincNet block. Input (B, channel, samples) -> (B, frames, 60).
 
-    PYANNOTE_TPU_SEG_BF16=1 (opt-in; resolved once at trace time) runs
-    the three convolutions in bf16 with f32 accumulation — instance
-    norms, abs, and pooling stay f32. The sinc conv is the block's FLOPs
-    peak (251-tap stride-10 over raw audio), so this roughly halves
-    SincNet MXU time; A/B DER before relying on it (docs/PARITY.md).
+    PYANNOTE_TPU_SEG_BF16 (resolved once at trace time; default ON for
+    accelerator backends, off on CPU) runs the three convolutions in
+    bf16 with f32 accumulation — instance norms, abs, and pooling stay
+    f32. The sinc conv is the block's FLOPs peak (251-tap stride-10 over
+    raw audio), so this roughly halves SincNet MXU time; the A/B DER
+    delta is 0.0 on the synthetic corpus (benchmarks/seg_bf16_ab.py,
+    docs/PARITY.md). PYANNOTE_TPU_SEG_BF16=0 restores f32 everywhere.
     """
 
     stride: int = 10
@@ -149,8 +151,7 @@ class SincNet(nn.Module):
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
         from ...utils.runtime import device_flag
-        dtype = jnp.bfloat16 if device_flag(
-            "PYANNOTE_TPU_SEG_BF16", accelerator_default=False) \
+        dtype = jnp.bfloat16 if device_flag("PYANNOTE_TPU_SEG_BF16") \
             else jnp.float32
         x = jnp.swapaxes(waveforms, 1, 2)  # (B, T, C)
         x = InstanceNorm1d(1, name="wav_norm1d")(x)
