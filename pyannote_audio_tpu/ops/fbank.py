@@ -83,9 +83,55 @@ def _use_dft_matmul() -> bool:
 
     Measured slower than XLA's rfft end-to-end on v5e at f32 precision
     (39.6 vs 13.0 s/audio-hour in bench.py), so rfft stays the default.
+    Superseded by the composed-conv path below (PYANNOTE_TPU_CONV_FBANK),
+    which skips the framing gather entirely; kept for A/B reference.
     """
     import os
     return os.environ.get("PYANNOTE_TPU_DFT_FBANK", "0") == "1"
+
+
+def _use_conv_dft() -> bool:
+    """Composed-conv fbank (PYANNOTE_TPU_CONV_FBANK, accelerator default).
+
+    DC-offset removal, preemphasis, and windowing are all linear maps of
+    the frame vector, so they compose with the DFT basis into one
+    (window, 2*(padded/2+1)) matrix; the whole power-spectrum front-end
+    is then a single stride-`shift` convolution that rides the MXU and
+    never materializes the (frames, window) gather the rfft path needs.
+    Measured 0.221 s -> ~0.01 s for a 10-min file on v5e
+    (benchmarks/embed_breakdown.py); bit-equivalence is bounded by the
+    golden fbank tests with the flag forced on.
+    """
+    from ..utils.runtime import device_flag
+    return device_flag("PYANNOTE_TPU_CONV_FBANK")
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_dft_kernel_np(window_size: int, padded: int, window_type: str,
+                        remove_dc_offset: bool,
+                        preemphasis_coefficient: float) -> np.ndarray:
+    """(window_size, 2*(padded//2+1)) composed frame->[re|im] matrix.
+
+    For a frame column vector f: out = C^T W P A f, with A = DC removal,
+    P = preemphasis (kaldi edge handling: first sample uses itself as its
+    left neighbour), W = diag(window), C = real-DFT basis. As a
+    row-vector kernel: K = A^T P^T W C, precomputed in float64.
+    """
+    n = window_size
+    A = np.eye(n)
+    if remove_dc_offset:
+        A = A - np.full((n, n), 1.0 / n)
+    P = np.eye(n)
+    if preemphasis_coefficient != 0.0:
+        c = float(preemphasis_coefficient)
+        P[np.arange(1, n), np.arange(0, n - 1)] = -c
+        P[0, 0] = 1.0 - c
+    w = _window(window_type, n).astype(np.float64)
+    k = np.arange(padded // 2 + 1)
+    angle = 2.0 * np.pi * np.outer(np.arange(n), k) / padded
+    C = np.concatenate([np.cos(angle), -np.sin(angle)], axis=1)
+    K = A.T @ P.T @ (w[:, None] * C)
+    return K.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,11 +160,7 @@ def fbank_num_frames(num_samples: int, sample_rate: int = 16000,
     return (num_samples + window_shift // 2) // window_shift
 
 
-@partial(jax.jit, static_argnames=(
-    "sample_rate", "num_mel_bins", "frame_length", "frame_shift",
-    "window_type", "round_to_power_of_two", "remove_dc_offset",
-    "preemphasis_coefficient", "low_freq", "high_freq"))
-def fbank(
+def fbank_impl(
     waveform: jnp.ndarray,              # (..., num_samples)
     sample_rate: int = 16000,
     num_mel_bins: int = 80,
@@ -141,6 +183,26 @@ def fbank(
     num_frames = 1 + (num_samples - window_size) // window_shift
     batch_shape = waveform.shape[:-1]
     x = waveform.reshape((-1, num_samples))
+
+    if _use_conv_dft():
+        # single MXU pass: framing+DC+preemphasis+window+DFT as one
+        # strided conv (kernel precomposed in float64)
+        K = jnp.asarray(_conv_dft_kernel_np(
+            window_size, padded, window_type, remove_dc_offset,
+            float(preemphasis_coefficient)))
+        out = jax.lax.conv_general_dilated(
+            x[..., None], K[:, None, :],
+            window_strides=(window_shift,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST)[:, :num_frames]
+        nk = padded // 2 + 1
+        power = jnp.square(out[..., :nk]) + jnp.square(out[..., nk:])
+        banks = jnp.asarray(kaldi_mel_banks(
+            num_mel_bins, padded, sample_rate, low_freq, high_freq))
+        mel = jnp.einsum("bnf,fm->bnm", power, banks,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = jnp.log(jnp.maximum(mel, EPSILON))
+        return out.reshape(batch_shape + (num_frames, num_mel_bins))
 
     # framing: strided gather (B, num_frames, window_size)
     idx = (jnp.arange(num_frames)[:, None] * window_shift
@@ -179,6 +241,15 @@ def fbank(
                      precision=jax.lax.Precision.HIGHEST)
     out = jnp.log(jnp.maximum(mel, EPSILON))
     return out.reshape(batch_shape + (num_frames, num_mel_bins))
+
+
+# jitted entry point; fbank_impl stays importable for benchmarks/tests
+# that need their own jit wrappers (the conv/rfft gate resolves at
+# trace time)
+fbank = partial(jax.jit, static_argnames=(
+    "sample_rate", "num_mel_bins", "frame_length", "frame_shift",
+    "window_type", "round_to_power_of_two", "remove_dc_offset",
+    "preemphasis_coefficient", "low_freq", "high_freq"))(fbank_impl)
 
 
 def wespeaker_fbank(waveforms: jnp.ndarray, num_mel_bins: int = 80,

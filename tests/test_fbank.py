@@ -81,3 +81,28 @@ def test_mel_banks_shape_and_coverage():
     # every mel bin has some support; interior fft bins covered
     assert (banks.sum(axis=0) > 0).all()
     assert (banks[5:200].sum(axis=1) > 0).all()
+
+
+@pytest.mark.parametrize("window_type", ["povey", "hamming"])
+def test_conv_fbank_matches_naive(window_type, monkeypatch):
+    """The composed-conv MXU path (PYANNOTE_TPU_CONV_FBANK) matches the
+    per-frame oracle to the same tolerance as the rfft path."""
+    monkeypatch.setenv("PYANNOTE_TPU_CONV_FBANK", "1")
+    fbank.clear_cache()  # gate resolves at trace time
+    try:
+        rng = np.random.default_rng(0)
+        wav = (0.1 * rng.standard_normal(16000)).astype(
+            np.float32) * 32768.0
+        ours = np.asarray(fbank(jnp.asarray(wav),
+                                window_type=window_type))
+        ref = naive_fbank(wav, window_type=window_type)
+        assert ours.shape == ref.shape == (98, 80)
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+        # batched input agrees with per-item
+        two = np.stack([wav, wav[::-1].copy()])
+        out2 = np.asarray(fbank(jnp.asarray(two),
+                                window_type=window_type))
+        np.testing.assert_allclose(out2[0], ours, atol=1e-4)
+    finally:
+        monkeypatch.delenv("PYANNOTE_TPU_CONV_FBANK")
+        fbank.clear_cache()
