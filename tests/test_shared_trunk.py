@@ -198,3 +198,41 @@ def test_early_trunk_dispatch_is_used_and_equivalent(tmp_path,
             out_early.speaker_diarization.itertracks(yield_label=True),
             out_late.speaker_diarization.itertracks(yield_label=True)):
         assert s1 == s2 and l1 == l2
+
+
+def test_shared_trunk_with_conv_fbank_matches_rfft(tmp_path, monkeypatch):
+    """The composed-conv fbank (accelerator default) composes with the
+    shared-trunk path: same chunk grid, same trunk geometry, and
+    embeddings numerically close to the rfft-fbank run."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    from pyannote_audio_tpu.ops.fbank import fbank
+
+    monkeypatch.setenv("PYANNOTE_TPU_SHARED_TRUNK", "1")
+    file = default_two_speaker_file(tmp_path / "cf.wav")
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("PYANNOTE_TPU_CONV_FBANK", flag)
+        fbank.clear_cache()
+        emb = TinyWeSpeaker()
+        emb.build()
+        pipeline = _pipeline(emb)
+        pipeline.instantiate({
+            "segmentation": {"min_duration_off": 0.0},
+            "clustering": {"method": "centroid", "threshold": 0.6,
+                           "min_cluster_size": 1}})
+        out = pipeline(dict(file), max_speakers=3)
+        outs[flag] = out.speaker_diarization
+    fbank.clear_cache()
+    # identical final segmentation decisions on this corpus
+    assert outs["0"].labels() == outs["1"].labels()
+    t0 = [(seg.start, seg.end) for seg, _, _ in outs["0"].itertracks(
+        yield_label=True)]
+    t1 = [(seg.start, seg.end) for seg, _, _ in outs["1"].itertracks(
+        yield_label=True)]
+    assert len(t0) == len(t1)
+    for (s0, e0), (s1, e1) in zip(t0, t1):
+        assert abs(s0 - s1) < 0.05 and abs(e0 - e1) < 0.05
