@@ -350,3 +350,26 @@ def test_device_waveform_cache_detects_mutation():
     # unchanged waveform still hits the cache
     buf3 = _upload_waveform_cached(wav2, cache)
     assert buf3 is buf2
+
+
+def test_mulaw_lut_encode_matches_formula():
+    """PCM16-exact float input takes the LUT fast path; its output is
+    bit-identical to the companding formula. Non-exact floats fall back
+    to the formula."""
+    from pyannote_audio_tpu.core.inference import _mulaw_encode
+
+    rng = np.random.default_rng(1)
+    i16 = rng.integers(-32768, 32768, size=(1, 50000), dtype=np.int16)
+    exact = (i16 / np.float32(32768.0)).astype(np.float32)
+
+    def formula(w):
+        x = np.clip(w, -1.0, 1.0)
+        y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log1p(255.0)
+        return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+    assert np.array_equal(_mulaw_encode(exact), formula(exact))
+    # resampled/non-exact floats (formula fallback) still encode sanely
+    fuzzy = exact + np.float32(1e-5)
+    out = _mulaw_encode(fuzzy)
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, formula(fuzzy))
