@@ -26,6 +26,9 @@ from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/pyannote_tpu_jax_cache")
+# pin the transport so the 'upload' stage stays comparable across runs
+# regardless of the backend's quantization default (mu-law on TPU)
+os.environ.setdefault("PYANNOTE_TPU_UPLOAD_QUANT", "int16")
 
 import numpy as np
 
@@ -87,10 +90,6 @@ def main():
     fns = pipeline._make_shared_trunk_fns(window_samples,
                                           device_masks=True)
     compute_trunk, gather_pool_fn, geometry = fns
-    # unpack the internal jitted pieces by re-deriving them the way
-    # compute_trunk composes them (whole_fbank/prepare/panel are closed
-    # over; re-create equivalents here for isolated timing)
-    mixin_fns = pipeline._jitted_shared_trunk_dev = fns
 
     emb = pipeline._embedding
     num_real_frames = fbank_num_frames(

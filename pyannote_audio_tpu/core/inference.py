@@ -52,10 +52,15 @@ def _mulaw_encode(waveform: np.ndarray) -> np.ndarray:
     costs ~0.1 s per 10-min file on the staging thread)."""
     global _MULAW_LUT
     scaled = waveform * np.float32(32768.0)
-    as_i16 = scaled.astype(np.int16, copy=False)
-    if waveform.dtype == np.float32 and scaled.size and \
-            scaled.min() >= -32768.0 and scaled.max() <= 32767.0 and \
-            np.array_equal(as_i16, scaled):
+    # validate range BEFORE the int16 cast: casting NaN/Inf/out-of-range
+    # floats emits numpy RuntimeWarnings (and is wasted work); NaN makes
+    # the comparisons False so corrupt input falls to the clipping
+    # formula below
+    in_range = (waveform.dtype == np.float32 and scaled.size
+                and bool(scaled.min() >= -32768.0)
+                and bool(scaled.max() <= 32767.0))
+    if in_range and np.array_equal(
+            as_i16 := scaled.astype(np.int16, copy=False), scaled):
         if _MULAW_LUT is None:
             grid = np.arange(-32768, 32768, dtype=np.float32) / 32768.0
             y = np.sign(grid) * np.log1p(_MULAW_MU * np.abs(grid)) \
@@ -76,44 +81,63 @@ def _mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
         / jnp.float32(_MULAW_MU)
 
 
-def _upload_quant_mode() -> str:
-    """Resolve the waveform transport quantization mode.
+_WARNED_QUANT_MODES: set = set()
 
-    PYANNOTE_TPU_UPLOAD_QUANT wins when set ("mulaw" | "int16" | "").
-    Unset: "mulaw" on accelerator backends — the TPU sits behind a
-    host->device link whose transfers do not overlap compute, so upload
-    bytes are a hard serial per-file cost and 8-bit companded transport
-    (~38 dB SNR, DER delta +0.0003 on the A/B corpus — docs/PARITY.md)
-    is the serving default; "" on CPU (bit-exact int16/f32 paths).
+
+def _upload_quant_mode() -> str:
+    """Resolve the waveform transport mode: "mulaw" | "int16" | "f32".
+
+    PYANNOTE_TPU_UPLOAD_QUANT wins when set ("mulaw", "int16", "f32";
+    ""/"none" mean "int16", the bit-exact default; anything else warns
+    once and falls back to "int16"). The legacy PYANNOTE_TPU_INT16_UPLOAD=0
+    gate maps to "f32". Unset: "mulaw" on accelerator backends — the TPU
+    sits behind a host->device link whose transfers do not overlap
+    compute, so upload bytes are a hard serial per-file cost and 8-bit
+    companded transport (~38 dB SNR, DER delta +0.0003 on the A/B
+    corpus — docs/PARITY.md) is the serving default; "int16" on CPU
+    (bit-exact for PCM16 sources, f32 otherwise).
     """
     mode = os.environ.get("PYANNOTE_TPU_UPLOAD_QUANT")
     if mode is not None:
-        return mode
+        mode = mode.strip().lower()
+        if mode in ("", "none"):
+            return "int16"
+        if mode in ("mulaw", "int16", "f32"):
+            return mode
+        if mode not in _WARNED_QUANT_MODES:
+            _WARNED_QUANT_MODES.add(mode)
+            warnings.warn(
+                f"PYANNOTE_TPU_UPLOAD_QUANT={mode!r} is not one of "
+                "'mulaw' | 'int16' | 'f32'; using bit-exact 'int16' "
+                "transport")
+        return "int16"
+    if os.environ.get("PYANNOTE_TPU_INT16_UPLOAD", "1") != "1":
+        return "f32"
     try:
         import jax
-        return "mulaw" if jax.default_backend() != "cpu" else ""
+        return "mulaw" if jax.default_backend() != "cpu" else "int16"
     except Exception:
-        return ""
+        return "int16"
 
 
-def _upload_waveform(waveform: np.ndarray) -> jnp.ndarray:
+def _upload_waveform(waveform: np.ndarray,
+                     quant: Optional[str] = None) -> jnp.ndarray:
     """Host->device waveform transfer, quantized to cut link bytes.
 
     The axon relay moves ~40-100 MB/s and transfers do NOT overlap device
     compute (benchmarks/overlap_probe.py), so upload bytes are a hard
     per-file cost. Default on accelerators: 8-bit mu-law (quarter of the
-    f32 bytes, ~38 dB SNR; DER-neutral on the A/B corpus). Set
-    PYANNOTE_TPU_UPLOAD_QUANT=int16 (or "") for bit-exact transport:
-    PCM16-decoded waveforms are exactly i/32768, so shipping int16 and
-    rescaling on device is bit-exact; anything else (resampled/float
-    sources) falls back to f32. Disable the int16 path too with
-    PYANNOTE_TPU_INT16_UPLOAD=0.
+    f32 bytes, ~38 dB SNR; DER-neutral on the A/B corpus). "int16" is
+    bit-exact for PCM16-decoded waveforms (exactly i/32768; anything
+    else falls back to f32); "f32" ships raw floats. ``quant`` overrides
+    the env-resolved mode — pipelines whose *product is the audio
+    itself* (speech separation) pass "int16" so transport can never cap
+    output fidelity.
     """
-    if _upload_quant_mode() == "mulaw" and \
-            waveform.dtype == np.float32:
+    mode = quant if quant is not None else _upload_quant_mode()
+    if mode == "mulaw" and waveform.dtype == np.float32:
         return jnp.asarray(_mulaw_encode(waveform))
-    if os.environ.get("PYANNOTE_TPU_INT16_UPLOAD", "1") == "1" and \
-            waveform.dtype == np.float32:
+    if mode != "f32" and waveform.dtype == np.float32:
         scaled = waveform * np.float32(32768.0)
         if scaled.size and np.all(scaled == np.rint(scaled)) and \
                 scaled.min() >= -32768.0 and scaled.max() <= 32767.0:
@@ -175,7 +199,8 @@ def _chunk_grid(num_samples: int, window_size: int, step_size: int,
     return starts, padded_len
 
 
-def _upload_waveform_cached(waveform: np.ndarray, cache) -> jnp.ndarray:
+def _upload_waveform_cached(waveform: np.ndarray, cache,
+                            quant: Optional[str] = None) -> jnp.ndarray:
     """Per-file device-buffer reuse across pipeline stages.
 
     The diarization pipeline uploads the same (padded) waveform twice —
@@ -187,19 +212,19 @@ def _upload_waveform_cached(waveform: np.ndarray, cache) -> jnp.ndarray:
     miss a mutated waveform in a reused file dict) plus a strided
     abs-sum to catch sign-flip mutations.
     """
+    mode = quant if quant is not None else _upload_quant_mode()
     if cache is None:
-        return _upload_waveform(waveform)
+        return _upload_waveform(waveform, quant=mode)
     n = waveform.shape[-1]
     stride = max(1, n // 4096)
     probe = (float(waveform.sum(dtype=np.float64)),
              float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
              float(waveform[0, 0]), float(waveform[0, n - 1]))
-    key = (waveform.shape, str(waveform.dtype), probe,
-           _upload_quant_mode())
+    key = (waveform.shape, str(waveform.dtype), probe, mode)
     hit = cache.get("_device_waveform")
     if hit is not None and hit[0] == key:
         return hit[1]
-    buf = _upload_waveform(waveform)
+    buf = _upload_waveform(waveform, quant=mode)
     try:
         cache["_device_waveform"] = (key, buf)
     except TypeError:

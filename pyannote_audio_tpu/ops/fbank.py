@@ -186,7 +186,8 @@ def fbank_impl(
 
     if _use_conv_dft():
         # single MXU pass: framing+DC+preemphasis+window+DFT as one
-        # strided conv (kernel precomposed in float64)
+        # strided conv (kernel precomposed in float64); power falls
+        # through to the shared mel/log tail below
         K = jnp.asarray(_conv_dft_kernel_np(
             window_size, padded, window_type, remove_dc_offset,
             float(preemphasis_coefficient)))
@@ -197,43 +198,40 @@ def fbank_impl(
             precision=jax.lax.Precision.HIGHEST)[:, :num_frames]
         nk = padded // 2 + 1
         power = jnp.square(out[..., :nk]) + jnp.square(out[..., nk:])
-        banks = jnp.asarray(kaldi_mel_banks(
-            num_mel_bins, padded, sample_rate, low_freq, high_freq))
-        mel = jnp.einsum("bnf,fm->bnm", power, banks,
-                         precision=jax.lax.Precision.HIGHEST)
-        out = jnp.log(jnp.maximum(mel, EPSILON))
-        return out.reshape(batch_shape + (num_frames, num_mel_bins))
-
-    # framing: strided gather (B, num_frames, window_size)
-    idx = (jnp.arange(num_frames)[:, None] * window_shift
-           + jnp.arange(window_size)[None, :])
-    frames = x[:, idx]
-
-    if remove_dc_offset:
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    if preemphasis_coefficient != 0.0:
-        first = frames[..., :1] - preemphasis_coefficient * frames[..., :1]
-        rest = frames[..., 1:] - preemphasis_coefficient * frames[..., :-1]
-        frames = jnp.concatenate([first, rest], axis=-1)
-    frames = frames * jnp.asarray(_window(window_type, window_size))
-
-    if _use_dft_matmul():
-        # TPU path: the power spectrum as two real matmuls — XLA's TPU FFT
-        # lowers poorly, while a (frames, window) x (window, bins) DFT
-        # contraction rides the MXU. Zero-padding is implicit (basis rows
-        # beyond the window are dropped).
-        cos_b, sin_b = _dft_basis(window_size, padded)
-        re = jnp.einsum("bnf,fk->bnk", frames, cos_b,
-                        precision=jax.lax.Precision.HIGHEST)
-        im = jnp.einsum("bnf,fk->bnk", frames, sin_b,
-                        precision=jax.lax.Precision.HIGHEST)
-        power = jnp.square(re) + jnp.square(im)
     else:
-        if padded > window_size:
-            frames = jnp.pad(frames,
-                             ((0, 0), (0, 0), (0, padded - window_size)))
-        spectrum = jnp.fft.rfft(frames, axis=-1)
-        power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+        # framing: strided gather (B, num_frames, window_size)
+        idx = (jnp.arange(num_frames)[:, None] * window_shift
+               + jnp.arange(window_size)[None, :])
+        frames = x[:, idx]
+
+        if remove_dc_offset:
+            frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+        if preemphasis_coefficient != 0.0:
+            first = frames[..., :1] \
+                - preemphasis_coefficient * frames[..., :1]
+            rest = frames[..., 1:] \
+                - preemphasis_coefficient * frames[..., :-1]
+            frames = jnp.concatenate([first, rest], axis=-1)
+        frames = frames * jnp.asarray(_window(window_type, window_size))
+
+        if _use_dft_matmul():
+            # the power spectrum as two real matmuls — XLA's TPU FFT
+            # lowers poorly, while a (frames, window) x (window, bins)
+            # DFT contraction rides the MXU. Zero-padding is implicit
+            # (basis rows beyond the window are dropped).
+            cos_b, sin_b = _dft_basis(window_size, padded)
+            re = jnp.einsum("bnf,fk->bnk", frames, cos_b,
+                            precision=jax.lax.Precision.HIGHEST)
+            im = jnp.einsum("bnf,fk->bnk", frames, sin_b,
+                            precision=jax.lax.Precision.HIGHEST)
+            power = jnp.square(re) + jnp.square(im)
+        else:
+            if padded > window_size:
+                frames = jnp.pad(
+                    frames, ((0, 0), (0, 0), (0, padded - window_size)))
+            spectrum = jnp.fft.rfft(frames, axis=-1)
+            power = jnp.square(spectrum.real) \
+                + jnp.square(spectrum.imag)
 
     banks = jnp.asarray(kaldi_mel_banks(num_mel_bins, padded, sample_rate,
                                         low_freq, high_freq))

@@ -158,7 +158,11 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             padded = np.pad(waveform,
                             ((0, 0), (0, padded_len - num_samples)))
         cache = file if isinstance(file, MutableMapping) else None
-        device_waveform = _upload_waveform_cached(padded, cache)
+        # separation's product IS audio: force bit-exact transport so the
+        # accelerator mu-law default can never cap source fidelity at
+        # companded 8 bits (core/inference.py:_upload_quant_mode)
+        device_waveform = _upload_waveform_cached(padded, cache,
+                                                  quant="int16")
 
         if getattr(self, "_jitted_sep_batch", None) is None:
             module = model.module

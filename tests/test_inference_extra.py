@@ -171,7 +171,7 @@ def test_device_waveform_cache_shared_across_stages(seg_model, tmp_path):
 
     calls = []
     real = I._upload_waveform
-    I._upload_waveform = lambda w: calls.append(w.shape) or real(w)
+    I._upload_waveform = lambda w, **kw: calls.append(w.shape) or real(w, **kw)
     try:
         f = dict(file)
         out_cached = pipeline(f)
@@ -197,7 +197,7 @@ def test_inference_preload_overlaps_upload(seg_model, tmp_path):
 
     calls = []
     real = I._upload_waveform
-    I._upload_waveform = lambda w: calls.append(w.shape) or real(w)
+    I._upload_waveform = lambda w, **kw: calls.append(w.shape) or real(w, **kw)
     try:
         f = dict(file)
         inference.preload(f)
@@ -302,18 +302,52 @@ def test_upload_quant_mode_resolution(monkeypatch):
     from pyannote_audio_tpu.core import inference as inf
 
     monkeypatch.delenv("PYANNOTE_TPU_UPLOAD_QUANT", raising=False)
+    monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD", raising=False)
     # this suite runs on the CPU backend: default is exact transport
     assert jax.default_backend() == "cpu"
-    assert inf._upload_quant_mode() == ""
+    assert inf._upload_quant_mode() == "int16"
+    # legacy gate maps to raw-f32 transport
+    monkeypatch.setenv("PYANNOTE_TPU_INT16_UPLOAD", "0")
+    assert inf._upload_quant_mode() == "f32"
+    monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD")
     # accelerator backend (simulated) defaults to mu-law
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert inf._upload_quant_mode() == "mulaw"
     # explicit env always wins, both directions
     monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "int16")
     assert inf._upload_quant_mode() == "int16"
+    # ...including over the legacy gate (docs: "bit-exact everywhere")
+    monkeypatch.setenv("PYANNOTE_TPU_INT16_UPLOAD", "0")
+    assert inf._upload_quant_mode() == "int16"
+    monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD")
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
     assert inf._upload_quant_mode() == "mulaw"
+    # unrecognized values warn once and fall back to bit-exact int16
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mu-law")
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert inf._upload_quant_mode() == "int16"
+    assert any("mu-law" in str(c.message) for c in caught)
+
+
+def test_separation_forces_exact_transport(monkeypatch):
+    """Pipelines whose product is audio override the mu-law default:
+    quant='int16' at the upload site wins over the env mode."""
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.core.inference import _upload_waveform_cached
+
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
+    w = (np.arange(-5, 6, dtype=np.float32) / 32768.0)[None]
+    cache = {}
+    buf = _upload_waveform_cached(w, cache, quant="int16")
+    assert buf.dtype == jnp.int16          # NOT uint8
+    # the cached entry is keyed by the override, so a later default-mode
+    # upload of the same waveform does not reuse the exact buffer
+    buf2 = _upload_waveform_cached(w, cache)
+    assert buf2.dtype == jnp.uint8
 
 
 def test_oom_maps_to_actionable_memory_error(seg_model, tmp_path):
