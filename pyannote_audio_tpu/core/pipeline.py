@@ -310,7 +310,12 @@ class Pipeline:
         if len(set(uris)) != len(uris):
             raise ValueError("duplicate URIs in batch")
         if apply_batch is not None:
-            self._predecode_batch(files)
+            # subclasses that stream their own decode (diarization's
+            # staged apply_batch) skip the eager whole-batch pre-decode:
+            # it adds its full wall time as dead lead before the first
+            # device dispatch (benchmarks/batch_timeline.py)
+            if not getattr(self, "STREAMS_DECODE", False):
+                self._predecode_batch(files)
             return apply_batch(files, hook=hook, **kwargs)
 
         import threading

@@ -632,6 +632,10 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                          Pipeline):
     """Parity: SpeakerDiarization (reference speaker_diarization.py:127+)."""
 
+    # apply_batch streams its own per-file decode; skip the eager
+    # whole-batch pre-decode in Pipeline._apply_batch
+    STREAMS_DECODE = True
+
     def __init__(
         self,
         legacy: bool = False,
@@ -1082,11 +1086,40 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         Depth 2 balances keeping the device fed against the per-file
         reconstruct dispatch queueing behind too many staged files
         (benchmarks/batch_sweep.py: 1-2 ahead ≈ equal, 3+ slower).
+
+        Decode streams instead of batching: upcoming files decode in
+        background threads while the current file's device program is
+        staged (an eager whole-batch pre-decode adds its full wall time
+        as dead lead before the first dispatch — ~0.4 s for 3x10-min
+        files, benchmarks/batch_timeline.py). The C++ decoder releases
+        the GIL, so the overlap is real.
         """
+        import threading
         from collections import deque
+
+        def decode(f):
+            from collections.abc import MutableMapping
+            if isinstance(f, MutableMapping) and "waveform" not in f \
+                    and isinstance(f.get("audio"), (str, Path)):
+                try:
+                    waveform, sample_rate = self._audio(f)
+                except (ValueError, OSError):
+                    return     # _stage() will surface the real error
+                f["waveform"] = waveform
+                f["sample_rate"] = sample_rate
+
+        decode_threads: Dict[int, threading.Thread] = {}
+        for i, f in enumerate(files[1:], 1):
+            t = threading.Thread(target=decode, args=(f,), daemon=True)
+            t.start()
+            decode_threads[i] = t
+
         staged: deque = deque()
         results: List = []
-        for file in files:
+        for i, file in enumerate(files):
+            t = decode_threads.pop(i, None)
+            if t is not None:
+                t.join()
             staged.append(self._stage(file, hook=hook, **kwargs))
             if len(staged) > stage_ahead:
                 results.append(self._finalize(staged.popleft()))
