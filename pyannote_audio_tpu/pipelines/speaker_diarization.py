@@ -1107,6 +1107,11 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                     return     # _stage() will surface the real error
                 f["waveform"] = waveform
                 f["sample_rate"] = sample_rate
+            # deliberately NO preload here: worker-thread uploads contend
+            # with the current file's staging on the serialized relay
+            # (measured 5.95 -> 11.0 s/audio-hour with preload in this
+            # worker — benchmarks/batch_timeline.py); staging orders
+            # uploads itself
 
         decode_threads: Dict[int, threading.Thread] = {}
         for i, f in enumerate(files[1:], 1):
