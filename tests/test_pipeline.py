@@ -348,3 +348,32 @@ def test_oracle_segmentation_shapes(corpus_file):
     assert set(np.unique(oracle.data)) <= {0.0, 1.0}
     # ground truth: alice speaks during [1, 5] -> first chunk active
     assert oracle.data[0, :, :].sum() > 0
+
+
+def test_apply_batch_missing_file_raises_cleanly(seg_model, emb_model,
+                                                 tmp_path):
+    """The streamed decode worker swallows IO errors; the staging path
+    must re-surface them with the real exception, and earlier files in
+    the batch still complete."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    good = default_two_speaker_file(tmp_path / "ok.wav")
+    good["uri"] = "ok"
+    bad = {"uri": "missing", "audio": str(tmp_path / "nope.wav")}
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        embedding_batch_size=8, segmentation_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    with pytest.raises((ValueError, OSError)):
+        pipeline([dict(good), dict(bad)])
+    # a clean batch afterwards still works (no poisoned state)
+    out = pipeline([dict(good)])
+    assert len(out) == 1
