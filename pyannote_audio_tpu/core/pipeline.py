@@ -320,26 +320,6 @@ class Pipeline:
 
         import threading
 
-        from .io import Audio
-        audio = getattr(self, "_audio", None) or \
-            Audio(sample_rate=16000, mono="downmix")
-
-        def decode(f):
-            if "waveform" not in f and isinstance(f.get("audio"),
-                                                  (str, Path)):
-                try:
-                    waveform, sample_rate = audio(f)
-                except (ValueError, OSError):
-                    return         # apply() will surface the real error
-                f["waveform"] = waveform
-                f["sample_rate"] = sample_rate
-            try:
-                # overlap the host->device transfer with the device
-                # compute of the previous file (no-op by default)
-                self.preload(f)
-            except Exception:
-                pass               # apply() re-uploads if needed
-
         prefetch: Dict[int, threading.Thread] = {}
         results = []
         for i in range(len(files)):
@@ -347,14 +327,46 @@ class Pipeline:
             if t is not None:
                 t.join()
             else:
-                decode(files[i])
+                self._decode_into(files[i])
             if i + 1 < len(files):
-                t = threading.Thread(target=decode, args=(files[i + 1],),
-                                     daemon=True)
+                t = threading.Thread(target=self._decode_into,
+                                     args=(files[i + 1],), daemon=True)
                 t.start()
                 prefetch[i + 1] = t
             results.append(self.apply(files[i], hook=hook, **kwargs))
         return results
+
+    def _decode_into(self, f, preload: bool = True) -> None:
+        """Decode a path-backed file dict in place (worker-thread safe).
+
+        Shared by the sequential batch path and subclass streamed
+        apply_batch workers — one decode implementation, so exception
+        coverage and file-dict handling cannot diverge. Errors are
+        swallowed; the consuming ``apply``/``_stage`` re-decodes and
+        surfaces the real exception. ``preload`` additionally uploads
+        the device buffer early (pipelines whose staging orders uploads
+        itself pass False — worker-thread uploads contend with staging
+        on the serialized relay)."""
+        from collections.abc import MutableMapping
+
+        from .io import Audio
+        audio = getattr(self, "_audio", None) or \
+            Audio(sample_rate=16000, mono="downmix")
+        if isinstance(f, MutableMapping) and "waveform" not in f \
+                and isinstance(f.get("audio"), (str, Path)):
+            try:
+                waveform, sample_rate = audio(f)
+            except (ValueError, OSError):
+                return             # consumer surfaces the real error
+            f["waveform"] = waveform
+            f["sample_rate"] = sample_rate
+        if preload:
+            try:
+                # overlap the host->device transfer with the device
+                # compute of the previous file (no-op by default)
+                self.preload(f)
+            except Exception:
+                pass               # consumer re-uploads if needed
 
     def _predecode_batch(self, files: List[Dict]) -> None:
         """Decode+downmix+resample path-backed files in parallel (C++)."""

@@ -1097,27 +1097,31 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         import threading
         from collections import deque
 
-        def decode(f):
-            from collections.abc import MutableMapping
-            if isinstance(f, MutableMapping) and "waveform" not in f \
-                    and isinstance(f.get("audio"), (str, Path)):
-                try:
-                    waveform, sample_rate = self._audio(f)
-                except (ValueError, OSError):
-                    return     # _stage() will surface the real error
-                f["waveform"] = waveform
-                f["sample_rate"] = sample_rate
-            # deliberately NO preload here: worker-thread uploads contend
-            # with the current file's staging on the serialized relay
-            # (measured 5.95 -> 11.0 s/audio-hour with preload in this
-            # worker — benchmarks/batch_timeline.py); staging orders
-            # uploads itself
+        if not files:
+            return []
 
+        # rolling bounded prefetch: decode stays stage_ahead+1 files in
+        # front of staging (unbounded fan-out would decode a 200-file
+        # batch concurrently — RAM = whole batch, threads compete with
+        # the critical path). preload=False is deliberate: worker-thread
+        # uploads contend with the current file's staging on the
+        # serialized relay (measured 5.95 -> 11.0 s/audio-hour —
+        # benchmarks/batch_timeline.py); staging orders uploads itself.
         decode_threads: Dict[int, threading.Thread] = {}
-        for i, f in enumerate(files[1:], 1):
-            t = threading.Thread(target=decode, args=(f,), daemon=True)
-            t.start()
-            decode_threads[i] = t
+        window = stage_ahead + 1
+
+        def start_prefetch(j: int) -> None:
+            if 0 < j < len(files) and j not in decode_threads:
+                t = threading.Thread(target=self._decode_into,
+                                     args=(files[j], False), daemon=True)
+                t.start()
+                decode_threads[j] = t
+
+        for j in range(1, min(window + 1, len(files))):
+            start_prefetch(j)
+        # file 0 sits on the critical path either way: decode it inline
+        # so every stage consumer hits the cached waveform
+        self._decode_into(files[0], False)
 
         staged: deque = deque()
         results: List = []
@@ -1125,6 +1129,9 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             t = decode_threads.pop(i, None)
             if t is not None:
                 t.join()
+            elif i > 0:
+                self._decode_into(file, False)
+            start_prefetch(i + window + 1)
             staged.append(self._stage(file, hook=hook, **kwargs))
             if len(staged) > stage_ahead:
                 results.append(self._finalize(staged.popleft()))
