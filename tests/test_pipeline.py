@@ -377,3 +377,38 @@ def test_apply_batch_missing_file_raises_cleanly(seg_model, emb_model,
     # a clean batch afterwards still works (no poisoned state)
     out = pipeline([dict(good)])
     assert len(out) == 1
+
+
+def test_apply_batch_mixed_formats(seg_model, emb_model, tmp_path):
+    """A WAV + FLAC batch rides the streamed decode worker (FFmpeg path
+    for the FLAC) and matches the per-file sequential results."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    from pyannote_audio_tpu.native import codec_available, codec_encode
+    if not codec_available():
+        pytest.skip("libpat_codec.so (FFmpeg) not available")
+
+    wav_file = default_two_speaker_file(tmp_path / "w.wav")
+    wav_file["uri"] = "w"
+    # re-encode the same audio as FLAC (sample-exact vs 16-bit)
+    from pyannote_audio_tpu.core.io import Audio
+    waveform, sr = Audio(sample_rate=16000, mono="downmix")(dict(wav_file))
+    assert codec_encode(tmp_path / "f.flac", waveform, sr)
+    flac_file = {"uri": "f", "audio": str(tmp_path / "f.flac")}
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        embedding_batch_size=8, segmentation_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    batch_out = pipeline([dict(wav_file), dict(flac_file)])
+    seq = [pipeline(dict(wav_file)), pipeline(dict(flac_file))]
+    for b, s in zip(batch_out, seq):
+        assert list(b.speaker_diarization.itertracks(yield_label=True)) \
+            == list(s.speaker_diarization.itertracks(yield_label=True))
