@@ -116,12 +116,12 @@ def main():
     pipeline({"audio": paths[0], "uri": "warmup"}, max_speakers=4)
     pipeline(batch(), max_speakers=4)
 
-    # best of 4: the TPU sits behind a shared pool/relay whose load varies
+    # best of 8: the TPU sits behind a shared pool/relay whose load varies
     # minute to minute (observed 13 -> 57 s/audio-hour on identical code);
     # the minimum reflects achievable hardware throughput, and passes are
-    # cheap (~5-12 s) next to the compile budget
+    # cheap (~3-12 s) next to the compile budget
     times = []
-    for _ in range(4):
+    for _ in range(8):
         t0 = time.perf_counter()
         pipeline(batch(), max_speakers=4)
         times.append(time.perf_counter() - t0)
