@@ -54,11 +54,13 @@ def overlap_add(
     """Masked weighted overlap-add.
 
     Returns (weighted_sum (F_out, C), weight_sum (F_out, C)).
-    NaN scores are treated as missing (weight zero), matching the reference's
-    mask semantics (inference.py:584-618).
+    NaN scores are treated as missing (weight zero), matching the
+    reference's mask = 1 - np.isnan(score) (inference.py:592) exactly:
+    +/-inf scores keep full weight and propagate into the average, as
+    they do through the reference's numpy sums.
     """
     num_chunks, frames, C = scores.shape
-    valid = jnp.isfinite(scores)
+    valid = ~jnp.isnan(scores)
     w = window_weights[None, :, None] * chunk_mask[:, None, None]
     w = jnp.where(valid, w, 0.0)
     x = jnp.where(valid, scores, 0.0) * w

@@ -46,11 +46,18 @@ def fused_count_stats(
                       masking, clustering.py:354).
       clean_frames:   (C_pad, S) frames where the speaker is active *alone*
                       (drives BaseClustering.filter_embeddings).
+
+    Both statistics are NaN-PROPAGATING on purpose: the reference
+    computes them on raw scores (filter_embeddings, reference
+    clustering.py:109-121; inactive_speakers, speaker_diarization.py:
+    681-685), so any NaN in a speaker's column makes its clean count
+    NaN — every downstream ``>=``/``==`` comparison is then False and
+    the speaker is excluded from clustering / not marked inactive,
+    exactly like host numpy.
     """
-    binary = jnp.nan_to_num(scores, nan=0.0)
-    speaker_frames = jnp.sum(binary, axis=1)                    # (C, S)
-    alone = jnp.sum(binary, axis=2, keepdims=True) == 1.0
-    clean_frames = jnp.sum(binary * alone, axis=1)              # (C, S)
+    speaker_frames = jnp.sum(scores, axis=1)                    # (C, S)
+    alone = jnp.sum(scores, axis=2, keepdims=True) == 1.0       # NaN->False
+    clean_frames = jnp.sum(scores * alone, axis=1)              # (C, S)
 
     # NaN-propagating sum over speakers (np.sum semantics), then
     # hamming-free masked overlap-add average + rint
@@ -114,6 +121,7 @@ def fused_reconstruct(
     return binary, exclusive
 
 
+@partial(jax.jit, static_argnames=("exclude_overlap", "min_num_frames"))
 def make_embedding_masks(
     scores: jnp.ndarray,          # (C_pad, F, S) binarized scores
     exclude_overlap: bool,
@@ -122,19 +130,20 @@ def make_embedding_masks(
     """Per-(chunk, speaker) pooling masks, on device.
 
     Parity: the mask preparation in SpeakerDiarization.get_embeddings
-    (reference speaker_diarization.py:360-400): NaN -> 0, optionally
-    prefer overlap-free frames unless that leaves fewer than
-    ``min_num_frames``. Returns (C_pad, S, F).
-    """
-    @partial(jax.jit, static_argnames=("exclude", "min_frames"))
-    def _masks(scores, exclude: bool, min_frames: int):
-        masks = jnp.nan_to_num(scores, nan=0.0)
-        if exclude:
-            alone = jnp.sum(masks, axis=2, keepdims=True) < 2
-            clean = masks * alone
-            enough = jnp.sum(clean, axis=1, keepdims=True) > min_frames
-            masks = jnp.where(enough, clean, masks)
-        return jnp.transpose(masks, (0, 2, 1))
+    (reference speaker_diarization.py:375-420): the overlap-free mask is
+    computed on the RAW scores first (a NaN frame sums to NaN, NaN < 2
+    is False, so partially-stitched frames are never counted clean);
+    NaN -> 0 happens afterwards, and the clean mask is used only when it
+    keeps more than ``min_num_frames`` frames. Returns (C_pad, S, F).
 
-    return _masks(scores, exclude=exclude_overlap,
-                  min_frames=min_num_frames)
+    Module-level jit on the bucketed chunk axis: one executable per
+    (bucket, F, S) signature instead of a fresh trace per call.
+    """
+    if exclude_overlap:
+        alone = jnp.sum(scores, axis=2, keepdims=True) < 2      # NaN->False
+        clean = jnp.nan_to_num(scores * alone, nan=0.0)
+        enough = jnp.sum(clean, axis=1, keepdims=True) > min_num_frames
+        masks = jnp.where(enough, clean, jnp.nan_to_num(scores, nan=0.0))
+    else:
+        masks = jnp.nan_to_num(scores, nan=0.0)
+    return jnp.transpose(masks, (0, 2, 1))

@@ -479,19 +479,29 @@ class EmbeddingHotPathMixin:
             num_frames * min_num_samples / num_samples)
         if device_masks:
             # masks never leave HBM (ops/diarize_fused.py); batches are
-            # sliced inside the gather dispatch
+            # sliced inside the gather dispatch. The FULL bucketed array
+            # goes in so the jitted mask program compiles once per
+            # bucket, not once per file length; pad chunks are sliced
+            # away with the batch tails below.
             from ..ops.diarize_fused import make_embedding_masks
             masks = make_embedding_masks(
-                binary_segmentations.device_data[:num_chunks],
-                exclude_overlap, min_num_frames)    # (C, S, F) device
+                binary_segmentations.device_data,
+                exclude_overlap, min_num_frames)    # (C_pad, S, F) device
         else:
-            masks = np.nan_to_num(binary_segmentations.data, nan=0.0) \
-                .astype(np.float32)                 # (C, F, S)
+            # overlap-free mask on RAW scores first (NaN frame -> sum
+            # NaN -> not clean), NaN -> 0 afterwards — reference
+            # speaker_diarization.py:375-420 ordering
+            raw = binary_segmentations.data
             if exclude_overlap:
-                alone = (masks.sum(axis=2, keepdims=True) < 2)
-                clean = masks * alone
+                alone = (np.sum(raw, axis=2, keepdims=True) < 2)
+                clean = np.nan_to_num(raw * alone, nan=0.0) \
+                    .astype(np.float32)
                 enough = clean.sum(axis=1, keepdims=True) > min_num_frames
-                masks = np.where(enough, clean, masks)
+                masks = np.where(
+                    enough, clean,
+                    np.nan_to_num(raw, nan=0.0).astype(np.float32))
+            else:
+                masks = np.nan_to_num(raw, nan=0.0).astype(np.float32)
             masks = np.transpose(masks, (0, 2, 1))  # (C, S, F)
 
         waveform, sample_rate = self._audio(file)
@@ -582,10 +592,12 @@ class EmbeddingHotPathMixin:
         num_batches = math.ceil(num_chunks / B)
         if device_masks:
             # one padded (C_pad, S, F) device array; per-batch slices
-            # happen inside the gather dispatch
+            # happen inside the gather dispatch. The chunk bucket is
+            # usually >= num_batches*B already (both quantize the chunk
+            # count); pad only if the batch grid needs more
             pad_chunks = num_batches * B - masks.shape[0]
             all_masks = jnp.pad(masks, ((0, pad_chunks), (0, 0), (0, 0))) \
-                if pad_chunks else masks
+                if pad_chunks > 0 else masks
         out = []
         if hook is not None:
             hook("embeddings", None, total=num_batches, completed=0)

@@ -200,3 +200,49 @@ def test_pipeline_device_vs_host_identical(rng, tmp_path, monkeypatch):
     dev_turns = out_device.serialize()
     host_turns = out_host.serialize()
     assert dev_turns == host_turns
+
+
+def test_nan_semantics_match_reference_order():
+    """NaN frames (partial stitching) follow the reference's compute
+    order: the overlap-free mask and the clean-frame statistics are
+    taken on RAW scores (NaN propagates and disqualifies), NaN -> 0
+    only afterwards (reference speaker_diarization.py:375-420,
+    clustering.py:109-121)."""
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.ops.diarize_fused import (fused_count_stats,
+                                                      make_embedding_masks)
+
+    C, F, S = 2, 8, 2
+    scores = np.zeros((C, F, S), np.float32)
+    # chunk 0: speaker 0 active alone on frames 0-3; frame 2 has a NaN
+    # for speaker 1 -> that frame must NOT count as clean
+    scores[0, 0:4, 0] = 1.0
+    scores[0, 2, 1] = np.nan
+    # chunk 1: speaker 0 clean on 2 frames only
+    scores[1, 0:2, 0] = 1.0
+
+    masks = np.asarray(make_embedding_masks(
+        jnp.asarray(scores), True, 2))              # (C, S, F)
+    # chunk 0 speaker 0: clean frames = {0,1,3} (frame 2 disqualified by
+    # the NaN) -> 3 > min_num_frames=2 -> clean mask used, frame 2 zero
+    assert masks[0, 0, 2] == 0.0
+    assert masks[0, 0, 0] == 1.0 and masks[0, 0, 3] == 1.0
+    # chunk 1 speaker 0: only 2 clean frames, NOT > 2 -> falls back to
+    # the full (NaN->0) mask
+    np.testing.assert_array_equal(masks[1, 0], np.nan_to_num(
+        scores[1, :, 0]))
+
+    # fused_count_stats: the NaN poisons speaker 1's stats in chunk 0
+    # (reference filter_embeddings computes on raw data), and speaker 0's
+    # clean count excludes the NaN frame
+    offsets = jnp.zeros((C,), jnp.int32)
+    mask = jnp.ones((C,), jnp.float32)
+    _, speaker_frames, clean_frames = map(np.asarray, fused_count_stats(
+        jnp.asarray(scores), offsets, mask, 16))
+    assert np.isnan(speaker_frames[0, 1])
+    assert np.isnan(clean_frames[0, 1])
+    assert clean_frames[0, 0] == 3.0                # frame 2 not clean
+    # NaN stats compare False everywhere, so the speaker is excluded by
+    # any >= threshold gate exactly like host numpy
+    assert not (clean_frames[0, 1] >= 0.0)
