@@ -82,6 +82,25 @@ def _bucket(n: int, quantum: int = 512) -> int:
     return max(quantum, -(-n // quantum) * quantum)
 
 
+def pad_chunk_bucket(scores: jnp.ndarray, frame_offsets: "np.ndarray",
+                     num_chunks: int, quantum: int = 256):
+    """Pad the chunk axis to its bucket for a fused dispatch.
+
+    Returns (scores (C_pad, ...) zero-padded, offsets (C_pad,) host,
+    chunk_mask (C_pad,) host f32 with ones for real chunks) — the
+    argument triple every fused dispatch takes (fused_count_stats,
+    fused_reconstruct, aggregate_scores)."""
+    C_pad = _bucket(num_chunks, quantum)
+    if C_pad > scores.shape[0]:
+        scores = jnp.pad(scores, ((0, C_pad - scores.shape[0]),)
+                         + ((0, 0),) * (scores.ndim - 1))
+    chunk_mask = np.zeros(C_pad, np.float32)
+    chunk_mask[:num_chunks] = 1.0
+    offsets = np.pad(np.asarray(frame_offsets),
+                     (0, C_pad - len(frame_offsets)))
+    return scores, offsets, chunk_mask
+
+
 def aggregate_scores(
     scores: jnp.ndarray,
     frame_offsets: jnp.ndarray,

@@ -843,23 +843,18 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         apply can queue every file's device work before the first host
         round-trip; ``_fetch_count_stats`` completes the pair.
         """
-        from ..ops.aggregate import _bucket
+        from ..ops.aggregate import _bucket, pad_chunk_bucket
         from ..ops.diarize_fused import fused_count_stats
 
         frames = self._segmentation.model.receptive_field
         chunk_window = binarized.sliding_window
         num_chunks = binarized.num_valid
-        dev = binarized.device_data[:num_chunks]
 
         offsets, num_output_frames, window = self._aggregation_grid(
             chunk_window, frames, num_chunks)
 
-        C_pad = _bucket(num_chunks, 256)
-        if C_pad > num_chunks:
-            dev = jnp.pad(dev, ((0, C_pad - num_chunks), (0, 0), (0, 0)))
-        chunk_mask = np.zeros(C_pad, np.float32)
-        chunk_mask[:num_chunks] = 1.0
-        offsets_padded = np.pad(offsets, (0, C_pad - num_chunks))
+        dev, offsets_padded, chunk_mask = pad_chunk_bucket(
+            binarized.device_data[:num_chunks], offsets, num_chunks)
         F_bucket = _bucket(num_output_frames, 4096)
 
         device_handles = fused_count_stats(
@@ -905,17 +900,13 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         Parity: reconstruct + to_diarization for both count variants
         (apply steps at reference speaker_diarization.py:688-713).
         """
-        from ..ops.aggregate import _bucket
+        from ..ops.aggregate import _bucket, pad_chunk_bucket
         from ..ops.diarize_fused import fused_reconstruct
 
         num_chunks = segmentations.num_valid
-        dev = segmentations.device_data[:num_chunks]
-        C_pad = _bucket(num_chunks, 256)
-        if C_pad > num_chunks:
-            dev = jnp.pad(dev, ((0, C_pad - num_chunks), (0, 0), (0, 0)))
-        chunk_mask = np.zeros(C_pad, np.float32)
-        chunk_mask[:num_chunks] = 1.0
-        offsets_padded = np.pad(offsets, (0, C_pad - num_chunks))
+        dev, offsets_padded, chunk_mask = pad_chunk_bucket(
+            segmentations.device_data[:num_chunks], offsets, num_chunks)
+        C_pad = dev.shape[0]
 
         hard = np.asarray(hard_clusters, dtype=np.int32)
         hard_padded = np.full((C_pad, hard.shape[1]), -2, dtype=np.int32)
