@@ -24,11 +24,18 @@ def hysteresis(
     offset: jnp.ndarray,
     initial_on: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Binary activation with hysteresis along axis 0."""
+    """Binary activation with hysteresis along axis 0.
+
+    Reference semantics (signal.py:108-111): NaN -> 0.0 first (a NaN run
+    turns the state OFF rather than freezing it), and an undecided
+    frame 0 takes the hysteresis-band midpoint decision
+    ``scores[0] >= (onset + offset) / 2``.
+    """
+    scores = jnp.nan_to_num(scores)
     cmd = jnp.where(scores > onset, 1,
                     jnp.where(scores < offset, -1, 0)).astype(jnp.int8)
     if initial_on is None:
-        init = cmd[0] > 0
+        init = scores[0] >= 0.5 * (onset + offset)
     else:
         init = jnp.full(cmd.shape[1:], initial_on, dtype=bool)
     cmd = cmd.at[0].set(jnp.where(cmd[0] == 0,

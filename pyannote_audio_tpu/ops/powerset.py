@@ -12,8 +12,7 @@ mapping matrix is built once on host (tiny) and closed over by jitted fns.
 from __future__ import annotations
 
 import itertools
-from functools import cached_property
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,27 +74,40 @@ class Powerset:
     def to_powerset(self, multilabel: jnp.ndarray) -> jnp.ndarray:
         """(..., K) hard multilabel -> (..., K_powerset) one-hot.
 
-        Encodes each multilabel vector as a powers-of-two integer and matches
-        it against the per-state codes (branch-free, no host sync).
+        Exact reference semantics (powerset.py:146-168):
+        one_hot(argmax(multilabel @ mapping^T)). With the rows ordered by
+        cardinality the argmax picks the exact matching state for any
+        valid vector, AND maps a vector with MORE active classes than
+        ``max_set_size`` to its best-overlap subset (e.g. (1,1,1) with
+        max_set_size=2 -> {0,1}) instead of silently producing no match.
         """
-        powers = 2 ** jnp.arange(self.num_classes, dtype=jnp.int32)
-        code = jnp.sum((multilabel > 0.5).astype(jnp.int32) * powers, axis=-1)
-        return (code[..., None] == self.state_code).astype(multilabel.dtype)
+        products = multilabel @ self.mapping.T
+        idx = jnp.argmax(products, axis=-1)
+        return jax.nn.one_hot(idx, self.num_powerset_classes,
+                              dtype=multilabel.dtype)
 
     def permutation_mapping(self, perm: Tuple[int, ...]) -> jnp.ndarray:
         """Lift a multilabel class permutation to powerset-class indices.
 
-        Returns ``perm_ps`` with ``new_powerset = old_powerset[..., perm_ps]``
-        equivalent to permuting multilabel classes by ``perm``.
+        Reference orientation (_permutation_powerset, powerset.py:170-215;
+        e.g. perm (1,0,2) -> [0,2,1,3,4,6,5], perm (1,2,0) ->
+        [0,2,3,1,6,4,5]): ``perm_ps[j] = i`` where permuting the
+        multilabel columns of state ``i`` by ``perm`` yields state ``j``.
+        Equivalently, permuting a POWERSET score vector by gathering
+        ``scores[..., perm_ps]`` moves each state's score to where the
+        column-permuted state lands — matching the reference's documented
+        table verbatim.
         """
+        return jnp.asarray(self._permutation_mapping_np(perm))
+
+    def _permutation_mapping_np(self, perm: Tuple[int, ...]) -> np.ndarray:
         mapping = np.asarray(self.mapping)
         permuted = mapping[:, list(perm)]
         powers = 2 ** np.arange(self.num_classes, dtype=np.int64)
-        codes = (mapping @ powers).astype(np.int64)
-        permuted_codes = (permuted @ powers).astype(np.int64)
-        lookup = {c: i for i, c in enumerate(codes)}
-        return jnp.asarray([lookup[c] for c in permuted_codes],
-                           dtype=jnp.int32)
+        before = (mapping @ powers).astype(np.int64)
+        after = (permuted @ powers).astype(np.int64)
+        lookup = {c: i for i, c in enumerate(after)}
+        return np.asarray([lookup[c] for c in before], dtype=np.int32)
 
     def all_permutation_mappings(self) -> jnp.ndarray:
         """(num_perms, K_powerset) table for all K! multilabel permutations.
@@ -103,6 +115,15 @@ class Powerset:
         Used by the permutation-invariant powerset loss: instead of running a
         Hungarian solver per sample (reference speaker_diarization.py:402-485),
         we enumerate all K! permutations on-device (K <= 4 in practice).
+        The table is built once per Powerset instance and cached as a HOST
+        array (a traced device value must never be cached: it would leak a
+        tracer across jit scopes); jnp.asarray of the constant is free at
+        trace time.
         """
-        perms = list(itertools.permutations(range(self.num_classes)))
-        return jnp.stack([self.permutation_mapping(p) for p in perms], axis=0)
+        cached = getattr(self, "_all_perm_tables", None)
+        if cached is None:
+            perms = list(itertools.permutations(range(self.num_classes)))
+            cached = np.stack(
+                [self._permutation_mapping_np(p) for p in perms], axis=0)
+            self._all_perm_tables = cached
+        return jnp.asarray(cached)

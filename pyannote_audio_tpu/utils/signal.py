@@ -31,6 +31,7 @@ def binarize_ndarray(
     the previous state in between (reference signal.py:78-141).
     """
     offset = onset if offset is None else offset
+    scores = np.nan_to_num(scores)       # NaN -> 0.0 (reference :108)
     on = scores > onset
     off = scores < offset
     # state per frame: +1 on, -1 off, 0 keep-previous; forward-fill nonzeros
@@ -39,7 +40,8 @@ def binarize_ndarray(
     flat = state.reshape(frames, -1)
     out = np.empty_like(flat, dtype=bool)
     if initial_state is None:
-        prev = flat[0] > 0  # undecided start defaults to its own on-ness
+        # undecided start: band midpoint decides (reference :110-111)
+        prev = scores.reshape(frames, -1)[0] >= 0.5 * (onset + offset)
     else:
         prev = np.full(flat.shape[1], bool(initial_state))
     for t in range(frames):
@@ -54,9 +56,20 @@ def binarize_swf(
     offset: Optional[float] = None,
     initial_state: Optional[bool] = None,
 ) -> SlidingWindowFeature:
+    """Hysteresis along the FRAME axis for 2-d (frames, classes) or 3-d
+    (chunks, frames, classes) features (reference signal.py:144-199
+    rearranges 'c f k -> (c k) f' so each chunk scans its own frames)."""
+    data = scores.data
+    if data.ndim == 3:
+        binarized = binarize_ndarray(
+            np.moveaxis(data, 1, 0),     # (frames, chunks, classes)
+            onset=onset, offset=offset, initial_state=initial_state)
+        binarized = np.moveaxis(binarized, 0, 1)
+    else:
+        binarized = binarize_ndarray(data, onset=onset, offset=offset,
+                                     initial_state=initial_state)
     return SlidingWindowFeature(
-        binarize_ndarray(scores.data, onset=onset, offset=offset,
-                         initial_state=initial_state).astype(np.float32),
+        binarized.astype(np.float32),
         scores.sliding_window, labels=scores.labels)
 
 
@@ -111,9 +124,11 @@ class Binarize:
             timestamps = [window[i].middle for i in range(num_frames)]
             for k, label in enumerate(labels):
                 y = scores.data[:, k]
+                # frame 0 sets the initial state only; transitions are
+                # scanned from frame 1 (reference signal.py:280-305)
                 is_active = y[0] > self.onset
                 start = timestamps[0]
-                for ts, score in zip(timestamps, y):
+                for ts, score in zip(timestamps[1:], y[1:]):
                     if is_active:
                         if score < self.offset:
                             seg = Segment(start - self.pad_onset,
@@ -157,25 +172,29 @@ class Peak:
         self.min_duration = min_duration
 
     def __call__(self, scores: SlidingWindowFeature) -> Timeline:
-        if scores.data.ndim == 2 and scores.data.shape[1] != 1:
-            raise ValueError("Peak expects 1-d scores")
+        if scores.data.ndim > 2 or (scores.data.ndim == 2
+                                    and scores.data.shape[1] != 1):
+            raise ValueError("Peak expects one-dimensional scores.")
         y = scores.data.reshape(-1)
         window = scores.sliding_window
         num_frames = len(y)
-        timestamps = np.array([window[i].middle for i in range(num_frames)])
         order = max(1, int(np.rint(self.min_duration / window.step)))
+        # scipy.signal.argrelmax(order=order, mode='clip') semantics
+        # (reference signal.py:360): STRICTLY greater than every
+        # neighbour within `order` on both sides, indices clipped at the
+        # boundaries (so frame 0 / frame n-1 are never maxima, and score
+        # plateaus yield no peaks at all)
         maxima = []
         for i in range(num_frames):
-            lo, hi = max(0, i - order), min(num_frames, i + order + 1)
-            if y[i] >= y[lo:hi].max() and y[i] > self.alpha:
-                if maxima and i - maxima[-1] < order:
-                    if y[i] > y[maxima[-1]]:
-                        maxima[-1] = i
-                else:
-                    maxima.append(i)
-        boundaries = [timestamps[i] for i in maxima]
-        extent = scores.extent
-        edges = [extent.start] + boundaries + [extent.end]
+            if all(y[i] > y[max(i - k, 0)]
+                   and y[i] > y[min(i + k, num_frames - 1)]
+                   for k in range(1, order + 1)):
+                maxima.append(i)
+        boundaries = [window[i].middle for i in maxima
+                      if y[i] > self.alpha]
+        # final boundary at frames[num_frames].end (reference :368), one
+        # window step past the last frame's window
+        edges = [window[0].start] + boundaries + [window[num_frames].end]
         segmentation = Timeline(
             [Segment(a, b) for a, b in zip(edges[:-1], edges[1:])
              if Segment(a, b)])

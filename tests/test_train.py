@@ -67,11 +67,40 @@ def test_powerset_pit_loss_permutation_invariant():
     logp = jnp.asarray(
         logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
     target = (rng.uniform(size=(2, 20, 3)) > 0.6).astype(np.float32)
+    # valid targets only: frames with more than max_set_size active
+    # speakers map to their best-overlap SUBSET (reference argmax
+    # semantics), which is tie-broken identically under any column
+    # permutation — exact invariance genuinely holds only for targets
+    # within capacity (the reference's training path behaves the same)
+    over = target.sum(-1) > ps.max_set_size
+    target[over] = np.array([1.0, 1.0, 0.0], np.float32)
     loss1, _ = powerset_pit_loss(logp, jnp.asarray(target), ps)
     # permuting target speakers must not change the loss
     perm_target = target[:, :, [2, 0, 1]]
     loss2, _ = powerset_pit_loss(logp, jnp.asarray(perm_target), ps)
     assert abs(float(loss1) - float(loss2)) < 1e-6
+
+
+def test_to_powerset_overflow_maps_to_best_overlap_subset():
+    """Multilabel vectors with more active classes than max_set_size map
+    to the best-overlap state (reference one_hot(argmax(ml @ mapping^T)),
+    powerset.py:146-168) — NOT to an all-zero row that argmax would turn
+    into the empty set (training such frames toward silence)."""
+    ps = Powerset(3, 2)
+    one_hot = np.asarray(ps.to_powerset(
+        jnp.asarray([[1.0, 1.0, 1.0]])))
+    assert one_hot.shape == (1, 7)
+    assert one_hot.sum() == 1.0               # a real one-hot, not zeros
+    # best-overlap subset of {0,1,2} at cardinality <= 2: first pair {0,1}
+    mapped = np.asarray(ps.mapping)[one_hot[0].argmax()]
+    np.testing.assert_array_equal(mapped, [1.0, 1.0, 0.0])
+    # reference permutation_mapping examples (powerset.py:216-231)
+    np.testing.assert_array_equal(
+        np.asarray(ps.permutation_mapping((1, 0, 2))),
+        [0, 2, 1, 3, 4, 6, 5])
+    np.testing.assert_array_equal(
+        np.asarray(ps.permutation_mapping((1, 2, 0))),
+        [0, 2, 3, 1, 6, 4, 5])
 
 
 def test_powerset_pit_loss_perfect_prediction():
