@@ -115,12 +115,17 @@ class BaseClustering(Pipeline):
                           train_clusters: np.ndarray,
                           constrained: bool = False):
         """Centroids from train subset, then closest-centroid assignment."""
+        # dense relabel first: sklearn/AHC labels are already dense, but
+        # the jittable KMeans (ops/kmeans.py) can leave an id with zero
+        # members, whose zero-vector centroid would yield a NaN cosine
+        # column that argmax then picks for EVERY embedding
+        train_clusters = np.unique(np.asarray(train_clusters),
+                                   return_inverse=True)[1]
         num_clusters = int(np.max(train_clusters)) + 1
         num_chunks, num_speakers, dim = embeddings.shape
         train = embeddings[train_chunk_idx, train_speaker_idx]
         centroids = np.stack([
             train[train_clusters == k].mean(axis=0)
-            if np.any(train_clusters == k) else np.zeros(dim)
             for k in range(num_clusters)])
         dist = cdist(embeddings.reshape(-1, dim), centroids,
                      metric=self.metric)
@@ -318,10 +323,14 @@ class VBxClustering(BaseClustering):
         if train.shape[0] < 2:
             hard = np.zeros((num_chunks, num_speakers), dtype=np.int8)
             soft = np.ones((num_chunks, num_speakers, 1))
-            centroids = np.mean(train, axis=0, keepdims=True)
+            centroids = np.mean(train, axis=0, keepdims=True) \
+                if len(train) else np.zeros((1, dim))
             return hard, soft, centroids
 
-        _, min_clusters, max_clusters = self.set_num_clusters(
+        # keep the RESOLVED count: it is clamped to the number of
+        # surviving embeddings, so the KMeans fallback below can never
+        # request more clusters than samples
+        num_clusters, min_clusters, max_clusters = self.set_num_clusters(
             train.shape[0], num_clusters=num_clusters,
             min_clusters=min_clusters, max_clusters=max_clusters)
 
@@ -360,8 +369,12 @@ class VBxClustering(BaseClustering):
                      metric=self.metric)
         soft = 2.0 - dist.reshape(num_chunks, num_speakers, -1)
         if constrained:
-            # mask silent local speakers below any valid score
-            floor = soft.min() - 1.0
+            # mask silent local speakers below any valid score. nanmin:
+            # NaN embedding rows make plain min() NaN, and the floor
+            # would then TIE with (not undercut) every valid score after
+            # constrained_argmax's nan_to_num (the reference's
+            # soft_clusters.min() at clustering.py:659 shares that flaw)
+            floor = np.nanmin(soft) - 1.0
             speaker_frames = getattr(
                 segmentations, "precomputed_speaker_frames", None)
             silent = speaker_frames == 0 if speaker_frames is not None \

@@ -82,16 +82,27 @@ def vbx_em(
 
 
 def vbx_em_jax(x, phi, fa: float = 1.0, fb: float = 1.0, gamma=None,
-               max_iters: int = 10):
+               max_iters: int = 10, max_speakers: Optional[int] = None,
+               seed: int = 0):
     """Jittable VBx EM: fixed-iteration lax.scan on device.
 
     Same updates as :func:`vbx_em` with the early-stopping test replaced
     by a fixed iteration count (compiler-friendly control flow; extra
     iterations only tighten the ELBO). Inputs are tiny, so this exists for
-    end-to-end on-device pipelines rather than raw speed.
+    end-to-end on-device pipelines rather than raw speed. Like
+    :func:`vbx_em`, ``gamma=None`` requires ``max_speakers`` and draws
+    the random Dirichlet-style initial responsibilities on host.
     """
     import jax
     import jax.numpy as jnp
+
+    if gamma is None:
+        if max_speakers is None:
+            raise ValueError("provide gamma or max_speakers")
+        rng = np.random.default_rng(seed)
+        gamma = rng.gamma(1.0, size=(np.asarray(x).shape[0],
+                                     max_speakers))
+        gamma = gamma / gamma.sum(axis=1, keepdims=True)
 
     x = jnp.asarray(x, jnp.float32)
     phi = jnp.asarray(phi, jnp.float32)

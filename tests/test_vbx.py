@@ -68,3 +68,24 @@ def test_cluster_vbx_device_gate(monkeypatch):
     assert isinstance(gamma_dev, np.ndarray)
     np.testing.assert_allclose(pi_dev, pi_np, atol=1e-3)
     assert (gamma_dev.argmax(1) == gamma_np.argmax(1)).mean() == 1.0
+
+
+def test_vbx_em_jax_default_gamma_matches_vbx_em_init():
+    """vbx_em_jax(gamma=None, max_speakers=...) works and uses the same
+    host random init as vbx_em (seed 0)."""
+    import numpy as np
+
+    from pyannote_audio_tpu.utils.vbx import vbx_em, vbx_em_jax
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 8)).astype(np.float32)
+    phi = np.linspace(0.5, 2.0, 8).astype(np.float32)
+    g_np, pi_np, _ = vbx_em(x, phi, max_speakers=4, max_iters=5,
+                            epsilon=-1.0)  # no early stop: fixed iters
+    g_j, pi_j = vbx_em_jax(x, phi, max_speakers=4, max_iters=5)[:2]
+    np.testing.assert_allclose(np.asarray(g_j), g_np, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pi_j), pi_np, atol=1e-4)
+
+    import pytest
+    with pytest.raises(ValueError):
+        vbx_em_jax(x, phi)
