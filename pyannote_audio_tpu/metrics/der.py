@@ -38,10 +38,18 @@ def _boundaries(*annotations: Annotation, uem: Optional[Timeline] = None
 
 
 def _interval_labels(ann: Annotation, lo: float, hi: float) -> List[Hashable]:
+    """UNIQUE labels active on the interval (first-seen order).
+
+    Deduplication matters: overlapping same-label tracks (legal in RTTM
+    and in Annotation) must count as ONE active speaker, like
+    pyannote.metrics' crop().labels() — otherwise n_correct can exceed
+    min(n_ref, n_hyp) and confusion goes negative."""
     mid = 0.5 * (lo + hi)
-    out = []
+    out: List[Hashable] = []
+    seen = set()
     for seg, _, lbl in ann.itertracks(yield_label=True):
-        if seg.start <= mid < seg.end:
+        if seg.start <= mid < seg.end and lbl not in seen:
+            seen.add(lbl)
             out.append(lbl)
     return out
 
@@ -103,20 +111,40 @@ class DERComponents:
         return self
 
 
-def _apply_collar(reference: Annotation, collar: float,
-                  uem: Optional[Timeline]) -> Optional[Timeline]:
-    """Shrink the scoring region by +-collar/2 around each ref boundary."""
-    if collar <= 0:
+def _scoring_uem(reference: Annotation, hypothesis: Annotation,
+                 collar: float, uem: Optional[Timeline],
+                 skip_overlap: bool = False) -> Optional[Timeline]:
+    """Resolve the scoring region (pyannote.metrics uemify semantics).
+
+    - missing uem -> union of the REFERENCE and HYPOTHESIS extents (a
+      reference-only extent would silently drop false alarms outside it);
+    - collar > 0 -> remove +-collar/2 around every reference boundary;
+    - skip_overlap -> also remove (collar-extended) reference overlap
+      regions, so BOTH the label mapping and the scoring sweep exclude
+      them, exactly like pyannote.metrics' extruded uem.
+    """
+    if collar <= 0 and not skip_overlap:
         return uem
-    removed = Timeline(uri=reference.uri)
     half = 0.5 * collar
-    for seg in reference.itersegments():
-        removed.add(Segment(seg.start - half, seg.start + half))
-        removed.add(Segment(seg.end - half, seg.end + half))
     if uem is None:
-        extent = reference.get_timeline().extent()
-        extent = Segment(extent.start - half, extent.end + half)
+        ref_tl = reference.get_timeline()
+        hyp_tl = hypothesis.get_timeline()
+        if not ref_tl and not hyp_tl:
+            return uem
+        extents = [tl.extent() for tl in (ref_tl, hyp_tl) if tl]
+        extent = Segment(min(e.start for e in extents) - half,
+                         max(e.end for e in extents) + half)
         uem = Timeline([extent], uri=reference.uri)
+    removed = Timeline(uri=reference.uri)
+    if collar > 0:
+        for seg in reference.itersegments():
+            removed.add(Segment(seg.start - half, seg.start + half))
+            removed.add(Segment(seg.end - half, seg.end + half))
+    if skip_overlap:
+        for seg in reference.get_overlap():
+            removed.add(Segment(seg.start - half, seg.end + half))
+    if not removed:
+        return uem.support()
     return removed.gaps(support=uem.support())
 
 
@@ -138,7 +166,8 @@ def diarization_error_rate_components(
       conf += (min(Nr,Nh) - Nc) * dur
       total += Nr * dur
     """
-    uem = _apply_collar(reference, collar, uem)
+    uem = _scoring_uem(reference, hypothesis, collar, uem,
+                       skip_overlap=skip_overlap)
     if uem is not None:
         uem = uem.support()
     if mapping is None:
@@ -153,9 +182,9 @@ def diarization_error_rate_components(
         if uem is not None and not any(
                 s.start <= mid < s.end for s in uem):
             continue
+        # skip_overlap is fully handled by the extruded uem above (the
+        # overlap regions are removed from scoring AND mapping)
         r = _interval_labels(reference, lo, hi)
-        if skip_overlap and len(r) > 1:
-            continue
         h = _interval_labels(hypothesis, lo, hi)
         mapped = [mapping.get(hl) for hl in h]
         n_ref, n_hyp = len(r), len(h)
@@ -228,7 +257,10 @@ class GreedyDiarizationErrorRate(DiarizationErrorRate):
 
     def __call__(self, reference: Annotation, hypothesis: Annotation,
                  uem: Optional[Timeline] = None, detailed: bool = False):
-        uem2 = _apply_collar(reference, self.collar, uem)
+        # the greedy mapping uses the SAME extruded scoring region as the
+        # component sweep (collar + skip_overlap)
+        uem2 = _scoring_uem(reference, hypothesis, self.collar, uem,
+                            skip_overlap=self.skip_overlap)
         mat, ref_labels, hyp_labels = cooccurrence_matrix(
             reference, hypothesis, uem=uem2)
         mapping = {}
@@ -258,7 +290,17 @@ def detection_error_rate(reference: Annotation, hypothesis: Annotation,
                          uem: Optional[Timeline] = None) -> float:
     """Speech-activity detection error (any-speaker vs any-speaker)."""
     fa, miss, total = _detection_components(reference, hypothesis, uem)
-    return (fa + miss) / total if total > 0 else 0.0
+    return _rate(fa + miss, total)
+
+
+def _rate(errors: float, total: float) -> float:
+    """errors/total with the empty-reference convention of
+    DERComponents.der: a file with no reference speech scores 0.0 only
+    when the hypothesis made no errors either, inf otherwise — an
+    always-on detector must not look perfect on noise-only files."""
+    if total > 0:
+        return errors / total
+    return 0.0 if errors == 0.0 else np.inf
 
 
 def _detection_components(reference: Annotation, hypothesis: Annotation,
@@ -311,15 +353,14 @@ class DetectionErrorRate:
         self.fa_ += fa
         self.miss_ += miss
         self.total_ += total
-        rate = (fa + miss) / total if total > 0 else 0.0
+        rate = _rate(fa + miss, total)
         if detailed:
             return {"detection error rate": rate, "false alarm": fa,
                     "miss": miss, "total": total}
         return rate
 
     def __abs__(self) -> float:
-        return (self.fa_ + self.miss_) / self.total_ \
-            if self.total_ > 0 else 0.0
+        return _rate(self.fa_ + self.miss_, self.total_)
 
 
 class DetectionPrecisionRecallFMeasure:
@@ -409,7 +450,7 @@ class IdentificationErrorRate:
         self.miss_ += miss
         self.conf_ += conf
         self.total_ += total
-        rate = (fa + miss + conf) / total if total > 0 else 0.0
+        rate = _rate(fa + miss + conf, total)
         if detailed:
             return {"identification error rate": rate, "false alarm": fa,
                     "missed detection": miss, "confusion": conf,
@@ -417,5 +458,4 @@ class IdentificationErrorRate:
         return rate
 
     def __abs__(self) -> float:
-        return (self.fa_ + self.miss_ + self.conf_) / self.total_ \
-            if self.total_ > 0 else 0.0
+        return _rate(self.fa_ + self.miss_ + self.conf_, self.total_)

@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 
 from pyannote_audio_tpu import Annotation, Segment, Timeline
-from pyannote_audio_tpu.metrics.der import (DiarizationErrorRate,
+from pyannote_audio_tpu.metrics.der import (  # noqa: F401
+    diarization_error_rate_components,
+    DiarizationErrorRate,
                                             GreedyDiarizationErrorRate,
                                             detection_error_rate,
                                             diarization_error_rate,
@@ -173,3 +175,69 @@ def test_vad_and_multilabel_get_metric():
     macro = MacroAverageFMeasure(["speech", "music"])
     assert macro(ref, ref) == pytest.approx(1.0)
     assert abs(macro) == pytest.approx(1.0)
+
+
+def test_duplicate_same_label_tracks_count_once():
+    """Overlapping same-label reference tracks are ONE active speaker:
+    confusion can never go negative (labels deduped per interval)."""
+    ref = Annotation(uri="dup")
+    ref[Segment(0, 10), "t1"] = "A"
+    ref[Segment(3, 5), "t2"] = "A"       # overlapping duplicate of A
+    hyp = Annotation(uri="dup")
+    hyp[Segment(0, 10), "h"] = "h1"
+    comp = diarization_error_rate_components(ref, hyp)
+    assert comp.confusion >= 0.0
+    assert comp.total == 10.0            # NOT 12: A counts once
+    assert comp.der == 0.0               # h1 -> A, perfect
+
+
+def test_collar_without_uem_scores_far_false_alarms():
+    """collar > 0 with no uem: the scoring region is the union of the
+    reference AND hypothesis extents, so a spurious hypothesis segment
+    far outside the reference still counts as false alarm."""
+    ref = Annotation(uri="fa")
+    ref[Segment(0, 10), "t"] = "A"
+    hyp = Annotation(uri="fa")
+    hyp[Segment(0, 10), "h"] = "h1"
+    hyp[Segment(20, 25), "h2"] = "h2"    # far-away false alarm
+    comp = diarization_error_rate_components(ref, hyp, collar=0.5)
+    assert comp.false_alarm >= 5.0 - 1e-9
+
+
+def test_empty_reference_full_hypothesis_is_not_perfect():
+    """Noise-only file: an always-on detector must not score 0.0."""
+    import numpy as np
+
+    from pyannote_audio_tpu.metrics.der import (DetectionErrorRate,
+                                                IdentificationErrorRate)
+
+    ref = Annotation(uri="noise")
+    hyp = Annotation(uri="noise")
+    hyp[Segment(0, 30), "h"] = "speech"
+    det = DetectionErrorRate()
+    assert det(ref, hyp) == np.inf
+    ier = IdentificationErrorRate()
+    assert ier(ref, hyp) == np.inf
+    # and a silent hypothesis on a silent file IS perfect
+    det2 = DetectionErrorRate()
+    assert det2(ref, Annotation(uri="noise")) == 0.0
+
+
+def test_skip_overlap_mapping_excludes_overlap_regions():
+    """With skip_overlap the label mapping is computed on the extruded
+    (overlap-free) region: overlap co-occurrence cannot flip it."""
+    ref = Annotation(uri="ov")
+    ref[Segment(0, 4), "t1"] = "A"       # A alone on [0, 4]
+    ref[Segment(4, 20), "t2"] = "B"      # B alone on [4, 20]
+    ref[Segment(4, 12), "t3"] = "A"      # A overlaps B on [4, 12]
+    hyp = Annotation(uri="ov")
+    hyp[Segment(0, 12), "h"] = "h1"      # co-occurs more with A if the
+                                         # overlap region is counted
+    comp = diarization_error_rate_components(ref, hyp, skip_overlap=True)
+    # overlap-free co-occurrence: h1&A = 4 s ([0,4]), h1&B = 8 s
+    # ([4,12] minus the overlap... [12,12]=0 -> B from [4,12] is overlap
+    # region, so h1&B counts only where B is alone AND h1 active = none
+    # after extrusion of [4,12]; h1&A = [0,4] -> maps h1 -> A
+    # scored region: [0,4] (A) + [12,20] (B)
+    assert comp.total == 12.0
+    assert comp.der >= 0.0
