@@ -139,18 +139,22 @@ class Timeline:
             support = Timeline([support], uri=self.uri)
         support = support.support()
         out = Timeline(uri=self.uri)
-        for seg in support:
-            for s in self:
+        seen = set()                  # a segment overlapping several
+        for seg in support:           # support segments is kept ONCE
+            for s in self:            # (pyannote.core set semantics)
                 inter = s & seg
                 if not inter:
                     continue
                 if mode == "intersection":
                     out.add(inter)
                 elif mode == "strict":
-                    if s in seg:
+                    if s in seg and s not in seen:
+                        seen.add(s)
                         out.add(s)
                 elif mode == "loose":
-                    out.add(s)
+                    if s not in seen:
+                        seen.add(s)
+                        out.add(s)
                 else:
                     raise ValueError(f"unknown mode {mode!r}")
         return out
@@ -276,10 +280,12 @@ class Annotation:
                        for lbl in tracks.values()}, key=str)
 
     def chart(self) -> List[Tuple[Label, float]]:
-        durations = defaultdict(float)
-        for seg, _, lbl in self.itertracks(yield_label=True):
-            durations[lbl] += seg.duration
-        return sorted(durations.items(), key=lambda kv: kv[1], reverse=True)
+        """(label, duration) sorted by decreasing SUPPORT-merged duration
+        (pyannote.core parity: overlapping same-label tracks count their
+        merged extent once, agreeing with label_duration)."""
+        return sorted(((lbl, self.label_duration(lbl))
+                       for lbl in self.labels()),
+                      key=lambda kv: kv[1], reverse=True)
 
     def argmax(self, support: Optional[Segment] = None) -> Optional[Label]:
         cropped = self if support is None else self.crop(support)
@@ -349,8 +355,9 @@ class Annotation:
     ) -> "Annotation":
         if mapping is None:
             if generator is None:
-                generator = iter(f"{chr(ord('A') + i % 26)}"
-                                 for i in itertools.count())
+                # A..Z, AA, AB, ... — never wraps onto existing labels
+                # (a modulo-26 generator silently merges speakers past 26)
+                generator = string_generator()
             mapping = {lbl: next(generator) for lbl in self.labels()}
         out = Annotation(uri=self.uri, modality=self.modality) if copy \
             else self

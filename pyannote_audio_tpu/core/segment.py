@@ -179,11 +179,18 @@ class SlidingWindow:
                 n = int(np.rint(fixed / self._step))
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        i0 = max(i0, 0) if not return_ranges else i0
-        rng = (i0, i0 + max(n, 0))
+        end = i0 + max(n, 0)
         if return_ranges:
-            return [list(rng)]
-        return np.arange(rng[0], rng[1])
+            return [[i0, end]]
+        if fixed is None:
+            # clamp START only (the end was computed from the unclamped
+            # i0): lifting i0 after n was derived would SHIFT the range
+            # past the focus instead of truncating it
+            i0 = max(i0, 0)
+            end = max(end, i0)
+        # fixed crops keep the exact requested frame count, including
+        # out-of-range indices — SlidingWindowFeature.crop pads them
+        return np.arange(i0, end)
 
     def __getitem__(self, i: int) -> Segment:
         start = self._start + i * self._step
@@ -206,7 +213,13 @@ class SlidingWindow:
             yield last
             i += 1
         if align_last:
-            final = Segment(support.end - self._duration, support.end)
+            # clamp to the support start: a support shorter than the
+            # window must yield ONE window anchored at the support start
+            # (extending past its end), never one starting before it —
+            # consumers rasterize frame offsets from window.start
+            final_start = max(support.start,
+                              support.end - self._duration)
+            final = Segment(final_start, final_start + self._duration)
             if final and (last is None or final.start - last.start
                           > SEGMENT_PRECISION):
                 yield final
@@ -281,7 +294,13 @@ class SlidingWindowFeature:
         fixed: Optional[float] = None,
         return_data: bool = True,
     ):
-        """Extract frames overlapping ``focus`` (zero-padded out of range)."""
+        """Extract frames overlapping ``focus``.
+
+        Fixed-size crops whose range extends past the data repeat the
+        edge frames (pyannote.core parity — the reference training path
+        relies on edge-repeated targets for chunks at file boundaries);
+        an entirely out-of-range fixed crop zero-fills.
+        """
         ranges = self.sliding_window.crop(
             focus, mode=mode, fixed=fixed, return_ranges=True)
         n = len(self.data)
@@ -300,8 +319,12 @@ class SlidingWindowFeature:
             if pad_before > 0 or pad_after > 0:
                 pad = [(pad_before, pad_after)] + [(0, 0)] * (
                     self.data.ndim - 1)
-                chunk = np.pad(chunk.astype(float), pad,
-                               constant_values=np.nan)
+                if len(chunk):
+                    chunk = np.pad(chunk, pad, mode="edge")
+                else:
+                    chunk = np.zeros(
+                        (pad_before + pad_after,) + self.data.shape[1:],
+                        dtype=self.data.dtype)
             parts.append(chunk)
         data = np.concatenate(parts, axis=0) if parts else self.data[:0]
         if return_data:
@@ -350,6 +373,10 @@ class DeviceSlidingWindowFeature(SlidingWindowFeature):
     def data(self, value) -> None:
         self._host_data = np.asarray(value)
         self.num_valid = len(self._host_data)
+        # the device view is now stale: drop it so device consumers
+        # (which read .device_data directly) fail loudly instead of
+        # silently computing on the pre-mutation array
+        self.device_data = None
 
     def __len__(self) -> int:
         return self.num_valid

@@ -109,3 +109,57 @@ def test_swf_crop_and_align():
     crop = feat.crop(Segment(1.0, 2.0), mode="center")
     assert crop.shape[0] == 10
     assert crop[0, 0] == 10.0
+
+
+def test_sliding_window_crop_focus_before_start():
+    """A focus starting before the window start truncates (never shifts)
+    the index range: only genuinely overlapping frames are returned."""
+    sw = SlidingWindow(start=0.0, duration=2.0, step=1.0)
+    idx = sw.crop(Segment(-3.0, 1.0), mode="loose")
+    assert list(idx) == [0]
+
+
+def test_swf_fixed_crop_edge_repeats():
+    """Fixed-size crops past the data repeat edge frames
+    (pyannote.core parity), never inject NaN."""
+    data = np.arange(5, dtype=np.float32)[:, None]
+    swf = SlidingWindowFeature(
+        data, SlidingWindow(start=0.0, duration=1.0, step=1.0))
+    out = swf.crop(Segment(-2.0, 2.0), fixed=4.0)
+    assert np.isfinite(out).all()
+    assert out[0, 0] == data[0, 0]      # left edge repeated
+    tail = swf.crop(Segment(3.0, 8.0), fixed=5.0)
+    assert np.isfinite(tail).all()
+    assert tail[-1, 0] == data[-1, 0]   # right edge repeated
+
+
+def test_align_last_never_starts_before_support():
+    """A support shorter than the window yields one window anchored at
+    the support start (consumers rasterize offsets from window.start)."""
+    sw = SlidingWindow(start=0.0, duration=5.0, step=2.0)
+    chunks = list(sw(Segment(0.0, 3.0), align_last=True))
+    assert len(chunks) == 1
+    assert chunks[0].start == 0.0 and chunks[0].duration == 5.0
+
+
+def test_timeline_crop_loose_dedupes_across_support():
+    tl = Timeline([Segment(0, 10)])
+    sup = Timeline([Segment(1, 2), Segment(5, 6)])
+    out = tl.crop(sup, mode="loose")
+    assert len(out) == 1
+
+
+def test_rename_labels_beyond_26_and_chart_support_merged():
+    ann = Annotation(uri="x")
+    for i in range(30):
+        ann[Segment(i, i + 1), i] = f"spk{i:02d}"
+    renamed = ann.rename_labels()
+    assert len(renamed.labels()) == 30  # modulo-26 would merge 4 pairs
+    # chart: overlapping same-label tracks merged like label_duration
+    ann2 = Annotation(uri="y")
+    ann2[Segment(0, 10), 0] = "X"
+    ann2[Segment(5, 15), 1] = "X"
+    ann2[Segment(0, 12), 2] = "Y"
+    chart = dict(ann2.chart())
+    assert chart["X"] == 15.0
+    assert chart["Y"] == 12.0
