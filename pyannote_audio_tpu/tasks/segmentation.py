@@ -46,7 +46,18 @@ class SegmentationTaskMixin(Task):
         if isinstance(values, SlidingWindowFeature):
             data = values.crop(chunk, fixed=chunk.duration)
         else:
+            # plain array covering the WHOLE file: slice the chunk's
+            # share by time ratio (returning the full array would give
+            # every chunk the same misaligned whole-file weight curve)
             data = np.asarray(values, dtype=np.float32)
+            total = file.get("duration")
+            if total is None and "annotated" in file:
+                total = file["annotated"].extent().end
+            if total:
+                n = data.shape[0]
+                i0 = int(round(chunk.start / float(total) * n))
+                i1 = int(round(chunk.end / float(total) * n))
+                data = data[max(i0, 0):max(i1, i0 + 1)]
         data = np.nan_to_num(np.asarray(data, dtype=np.float32), nan=0.0)
         if data.ndim == 1:
             data = data[:, None]
@@ -109,7 +120,8 @@ class VoiceActivityDetection(SegmentationTaskMixin):
 
     def __init__(self, protocol: Protocol, duration: float = 2.0,
                  balance=None, weight: Optional[Text] = None, **kwargs):
-        super().__init__(protocol, duration=duration, **kwargs)
+        super().__init__(protocol, duration=duration, balance=balance,
+                         **kwargs)
         self.weight = weight
 
     def setup(self, model=None) -> None:

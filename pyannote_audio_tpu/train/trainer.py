@@ -54,10 +54,16 @@ def make_train_step(task: Task, model: Model, optimizer,
             return updates
 
         def mask(path, leaf):
-            path_str = "/".join(
-                str(getattr(p, "key", getattr(p, "idx", p)))
-                for p in path)
-            if any(prefix in path_str for prefix in frozen_prefixes):
+            parts = [str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path]
+            path_str = "/".join(parts)
+            # PREFIX semantics on path components: 'lstm' freezes
+            # params/lstm/* but never 'pre_lstm_proj' or 'sincnet'
+            # (substring matching silently froze unrelated parameters)
+            if any(path_str == prefix
+                   or path_str.startswith(prefix + "/")
+                   or any(part == prefix for part in parts)
+                   for prefix in frozen_prefixes):
                 return jnp.zeros_like(leaf)
             return leaf
         return jax.tree_util.tree_map_with_path(mask, updates)
@@ -78,8 +84,11 @@ def make_train_step(task: Task, model: Model, optimizer,
         return keep(new_params, params), keep(new_opt_state, opt_state), \
             loss
 
+    # donate params/opt_state: they are returned (updated) every step, so
+    # XLA can alias the buffers instead of allocating + copying ~3x the
+    # model size per step; fit() rebinds both on every call
     if mesh is None:
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, donate_argnums=(0, 1))
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
@@ -88,6 +97,7 @@ def make_train_step(task: Task, model: Model, optimizer,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded,
                       batch_sharded),
         out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
     )
 
 
@@ -172,6 +182,11 @@ class Trainer:
         sign = 1.0 if monitor_mode == "min" else -1.0
         best_score = math.inf
         epochs_since_best = 0
+        # the monitor-fallback decision is per-FIT: a reused Trainer must
+        # re-decide against the new task's metrics, not inherit a stale
+        # train-loss fallback from a previous validation-less run
+        if hasattr(self, "_monitor_key"):
+            del self._monitor_key
         for epoch in range(self.max_epochs):
             for cb in self.callbacks:
                 if hasattr(cb, "on_train_epoch_start"):
@@ -240,6 +255,11 @@ class Trainer:
                                               / "best")
                 else:
                     epochs_since_best += 1
+            else:
+                # a NaN/missing monitored score is NOT an improvement:
+                # diverged training must still trip early stopping
+                # (lightning's EarlyStopping check_finite parity)
+                epochs_since_best += 1
             if self.early_stopping_patience is not None and \
                     epochs_since_best >= self.early_stopping_patience:
                 break
@@ -272,9 +292,15 @@ class Trainer:
         model_params = {k: v for k, v in params.items()
                         if k in model.params.keys()} \
             if isinstance(params, dict) else params
-        step = max(1, len(chunks) // max_chunks) if max_chunks else 1
+        if max_chunks:
+            # stride for corpus coverage, then hard-cap (floor-division
+            # stride alone admits up to ~2x max_chunks)
+            step = max(1, len(chunks) // max_chunks)
+            selected = chunks[::step][:max_chunks]
+        else:
+            selected = chunks
         batch_X, batch_y = [], []
-        for file, chunk in chunks[::step]:
+        for file, chunk in selected:
             try:
                 prepared = task.prepare_chunk(
                     file, chunk, np.random.default_rng(0))

@@ -658,16 +658,20 @@ def test_nan_loss_batch_skip():
 
     X_good = jnp.ones((2, 4))
     y = jnp.zeros((2, 1))
+    # the step donates params/opt_state buffers (aliased in place), so
+    # snapshot host copies BEFORE each call for the comparisons
+    w0 = np.asarray(params["w"]).copy()
     p1, o1, loss1 = step(params, opt_state, X_good, y, None)
     assert np.isfinite(float(loss1))
-    assert not np.allclose(np.asarray(p1["w"]), np.asarray(params["w"]))
+    w1 = np.asarray(p1["w"]).copy()
+    assert not np.allclose(w1, w0)
 
+    o1_host = [np.asarray(le).copy()
+               for le in jax.tree_util.tree_leaves(o1)]
     X_nan = X_good.at[0, 0].set(jnp.nan)
     p2, o2, loss2 = step(p1, o1, X_nan, y, None)
     assert not np.isfinite(float(loss2))
-    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), w1)
     # optimizer state (including step count) is also untouched
-    c1 = jax.tree_util.tree_leaves(o1)
-    c2 = jax.tree_util.tree_leaves(o2)
-    for a, b in zip(c1, c2):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(o1_host, jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(a, np.asarray(b))
