@@ -85,6 +85,9 @@ class Task:
             warm_up = (float(warm_up), float(warm_up))
         self.warm_up = warm_up
         self.batch_size = batch_size
+        # stored for API parity (reference tasks expose num_workers);
+        # batches are generated inline, so it does not spawn workers here
+        self.num_workers = num_workers
         self.seed = seed
         self.cache = cache
         self.audio = Audio(sample_rate=16000, mono="downmix")
@@ -195,11 +198,17 @@ class Task:
             if annotated is None:
                 file_regions = [Segment(0, self.audio.get_duration(file))]
             else:
-                # >= keeps regions exactly one chunk long (parity: the
-                # reference skips only strictly-shorter regions,
-                # core/task.py:441-443 `segment.duration < self.duration`)
-                file_regions = [s for s in annotated
-                                if s.duration >= self.min_duration]
+                file_regions = list(annotated)
+            # the region filter uses the FULL chunk duration (parity:
+            # reference core/task.py:441-443 `segment.duration <
+            # self.duration` — min_duration only bounds the embedding
+            # task's variable-length sampling, never the region filter).
+            # A shorter region would make draw_chunk overrun into
+            # un-annotated audio; the synthetic whole-file region above
+            # gets the same filter (a 0.5 s file must not train as 75%
+            # zero-padded negatives).
+            file_regions = [s for s in file_regions
+                            if s.duration >= self.duration]
             r0 = len(regions)
             for seg in file_regions:
                 regions.append((file_id, seg.duration, seg.start))
@@ -280,6 +289,12 @@ class Task:
             cache_path.parent.mkdir(parents=True, exist_ok=True)
             if all(audios):  # in-memory waveforms can't persist
                 _save_prepared_data(cache_path, self.prepared_data)
+            else:
+                import warnings
+                warnings.warn(
+                    f"prepared-data cache {cache_path} NOT written: some "
+                    "files carry in-memory waveforms (no audio path), so "
+                    "every run will rebuild from the protocol")
         self._prepared = True
 
     def setup(self, model=None) -> None:
@@ -309,6 +324,12 @@ class Task:
         uniformly first, then a file within it.
         """
         candidates = self._train_files
+        if not candidates:
+            raise ValueError(
+                "no trainable files: every annotated region is shorter "
+                f"than the chunk duration ({self.duration:g} s) or has "
+                "zero annotated duration — check the protocol or lower "
+                "`duration`")
         if self.balance:
             groups: Dict[Tuple, List[Dict]] = {}
             for f in candidates:
@@ -416,22 +437,38 @@ def _structured(rows: List[Dict], keys: List[str]) -> np.ndarray:
 
 
 def _save_prepared_data(path, prepared: Dict) -> None:
+    """Atomic cache write: temp file + os.replace, so a process killed
+    mid-write can never leave a truncated npz that poisons every
+    subsequent run."""
     import json
+    import os
     payload = dict(prepared)
     payload["metadata-values"] = np.array(
         json.dumps(payload["metadata-values"]), dtype=np.str_)
     payload["protocol"] = np.array(payload["protocol"], dtype=np.str_)
-    with open(path, "wb") as f:
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez_compressed(f, **payload)
+    os.replace(tmp, path)
 
 
 def _load_prepared_data(path) -> Optional[Dict]:
-    """Load a prepared-data npz; None if it isn't one (stale format)."""
+    """Load a prepared-data npz; None if it isn't one (stale format) or
+    is corrupt (truncated write from a killed process) — the caller then
+    rebuilds and overwrites it."""
     import json
-    with np.load(path, allow_pickle=False) as z:
-        if "audio-path" not in z.files or "metadata-values" not in z.files:
-            return None
-        prepared = {name: z[name] for name in z.files}
+    import warnings
+    import zipfile
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if "audio-path" not in z.files \
+                    or "metadata-values" not in z.files:
+                return None
+            prepared = {name: z[name] for name in z.files}
+    except (zipfile.BadZipFile, OSError, ValueError, KeyError) as exc:
+        warnings.warn(f"ignoring unreadable prepared-data cache "
+                      f"{path}: {exc}")
+        return None
     prepared["metadata-values"] = json.loads(
         str(prepared["metadata-values"]))
     prepared["protocol"] = str(prepared["protocol"])
