@@ -170,6 +170,7 @@ class OptimalDiarizationErrorRate(_StreamingMetric):
         self.speech_total = 0.0
 
     def update(self, preds, target):
+        total = None
         for i, threshold in enumerate(self.thresholds):
             fa, miss, conf, total = der_update(
                 jnp.asarray(preds), jnp.asarray(target),
@@ -177,7 +178,8 @@ class OptimalDiarizationErrorRate(_StreamingMetric):
             self.false_alarm[i] += float(fa)
             self.missed_detection[i] += float(miss)
             self.speaker_confusion[i] += float(conf)
-        self.speech_total += float(total)
+        if total is not None:        # total is threshold-independent
+            self.speech_total += float(total)
 
     def compute(self) -> float:
         ders = (self.false_alarm + self.missed_detection
@@ -210,6 +212,8 @@ class EqualErrorRate:
         self.labels.append(np.asarray(labels, dtype=int).reshape(-1))
 
     def compute(self) -> float:
+        if not self.scores:
+            return float("nan")      # no trials accumulated
         scores = np.concatenate(self.scores)
         labels = np.concatenate(self.labels)
         order = np.argsort(-scores)

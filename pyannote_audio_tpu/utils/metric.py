@@ -115,6 +115,12 @@ class MacroAverageFMeasure:
                  ) -> float:
         reference = np.asarray(reference) > 0.5
         hypothesis = np.asarray(hypothesis) > 0.5
+        if reference.ndim != hypothesis.ndim or \
+                reference.shape[1:] != hypothesis.shape[1:]:
+            raise ValueError(
+                f"class-count mismatch: reference {reference.shape} vs "
+                f"hypothesis {hypothesis.shape} (broadcasting would "
+                "silently credit every class with the same detections)")
         n = min(len(reference), len(hypothesis))
         reference, hypothesis = reference[:n], hypothesis[:n]
         self._tp += (reference & hypothesis).sum(axis=0)
