@@ -157,6 +157,8 @@ class Task:
         annotated_duration: List[float] = []
         regions: List[Tuple] = []          # (file_id, duration, start)
         regions_ids: List[Tuple[int, int]] = []
+        raw_regions: List[Tuple] = []      # unfiltered annotated regions
+        raw_regions_ids: List[Tuple[int, int]] = []
         segments: List[Tuple] = []         # reference 6-tuple rows
         segments_ids: List[Tuple[int, int]] = []
         file_labels: List[str] = []        # per-file label names, flat
@@ -196,9 +198,10 @@ class Task:
 
             annotated = file.get("annotated")
             if annotated is None:
-                file_regions = [Segment(0, self.audio.get_duration(file))]
+                raw_file_regions = \
+                    [Segment(0, self.audio.get_duration(file))]
             else:
-                file_regions = list(annotated)
+                raw_file_regions = list(annotated)
             # the region filter uses the FULL chunk duration (parity:
             # reference core/task.py:441-443 `segment.duration <
             # self.duration` — min_duration only bounds the embedding
@@ -207,12 +210,20 @@ class Task:
             # un-annotated audio; the synthetic whole-file region above
             # gets the same filter (a 0.5 s file must not train as 75%
             # zero-padded negatives).
-            file_regions = [s for s in file_regions
+            file_regions = [s for s in raw_file_regions
                             if s.duration >= self.duration]
             r0 = len(regions)
             for seg in file_regions:
                 regions.append((file_id, seg.duration, seg.start))
             regions_ids.append((r0, len(regions)))
+            # the UNFILTERED annotated regions are persisted separately so
+            # a warm-cache run rebuilds the same 'annotated' timeline a
+            # cold run sees (short regions stay visible to consumers such
+            # as whole-file weight slicing, only sampling ignores them)
+            rr0 = len(raw_regions)
+            for seg in raw_file_regions:
+                raw_regions.append((file_id, seg.duration, seg.start))
+            raw_regions_ids.append((rr0, len(raw_regions)))
             annotated_duration.append(
                 sum(s.duration for s in file_regions))
 
@@ -243,6 +254,13 @@ class Task:
             segments_ids.append((s0, len(segments)))
 
             file = dict(file)
+            if annotated is None:
+                # cold/warm agreement: a warm cache rebuilds 'annotated'
+                # from the raw-regions table, so a file without one gets
+                # the synthetic whole-file timeline on the cold run too
+                from ..core.annotation import Timeline
+                file["annotated"] = Timeline(
+                    raw_file_regions, uri=file.get("uri"))
             file["_regions"] = [Segment(s, s + d)
                                 for _, d, s in regions[r0:len(regions)]]
             file["_annotated_duration"] = annotated_duration[-1]
@@ -260,6 +278,11 @@ class Task:
                                 ("start", "f8")]),
             "audio-regions-ids": np.array(
                 regions_ids, dtype=[("start", "i4"), ("end", "i4")]),
+            "annotations-raw-regions": np.array(
+                raw_regions, dtype=[("file_id", "i4"), ("duration", "f8"),
+                                    ("start", "f8")]),
+            "audio-raw-regions-ids": np.array(
+                raw_regions_ids, dtype=[("start", "i4"), ("end", "i4")]),
             "annotations-segments": np.array(
                 segments, dtype=[("file_id", "i4"), ("start", "f8"),
                                  ("end", "f8"), ("file_label_idx", "i4"),
@@ -494,6 +517,18 @@ def _files_from_prepared(prepared: Dict, subset: str) -> List[Dict]:
         regions = [Segment(float(r["start"]),
                            float(r["start"]) + float(r["duration"]))
                    for r in prepared["annotations-regions"][r0:r1]]
+        # 'annotated' comes from the UNFILTERED raw-regions table so warm
+        # and cold runs agree for files with regions shorter than the
+        # chunk duration; older caches without the table fall back to the
+        # filtered set
+        if "annotations-raw-regions" in prepared:
+            rr0, rr1 = prepared["audio-raw-regions-ids"][file_id]
+            annotated_regions = [
+                Segment(float(r["start"]),
+                        float(r["start"]) + float(r["duration"]))
+                for r in prepared["annotations-raw-regions"][rr0:rr1]]
+        else:
+            annotated_regions = regions
         s0, s1 = prepared["audio-segments-ids"][file_id]
         l0, l1 = prepared["audio-file-labels-ids"][file_id]
         labels = [str(x) for x in prepared["metadata-file-labels"][l0:l1]]
@@ -510,7 +545,7 @@ def _files_from_prepared(prepared: Dict, subset: str) -> List[Dict]:
             "scope": Scopes[int(row["scope"])],
             "subset": subset,
             "annotation": annotation,
-            "annotated": Timeline(regions, uri=uri),
+            "annotated": Timeline(annotated_regions, uri=uri),
             "_regions": regions,
             "_annotated_duration": float(
                 prepared["audio-annotated"][file_id]),

@@ -42,7 +42,10 @@ class GlobalLayerNorm(nn.Module):
 
 
 class DPRNNBlock(nn.Module):
-    """One dual-path block: intra-chunk BiLSTM + inter-chunk BiLSTM."""
+    """One dual-path block: intra-chunk BiLSTM + inter-chunk BiLSTM.
+
+    Residual/norm order follows asteroid's DPRNNBlock exactly
+    (x + gLN(linear(rnn(x)))), so converted checkpoints reproduce."""
 
     bn_chan: int = 128
     hid_size: int = 128
@@ -55,14 +58,14 @@ class DPRNNBlock(nn.Module):
         h = x.reshape(B * S, K, C)
         h = LSTM(hidden_size=self.hid_size, num_layers=1,
                  bidirectional=True, name="intra_rnn")(h)
-        h = nn.Dense(self.bn_chan, name="intra_proj")(h)
+        h = nn.Dense(self.bn_chan, name="intra_linear")(h)
         h = h.reshape(B, S, K, C)
         x = x + GlobalLayerNorm(self.bn_chan, name="intra_norm")(h)
         # inter-chunk: sequence axis S, batch B*K
         h = jnp.swapaxes(x, 1, 2).reshape(B * K, S, C)
         h = LSTM(hidden_size=self.hid_size, num_layers=1,
                  bidirectional=True, name="inter_rnn")(h)
-        h = nn.Dense(self.bn_chan, name="inter_proj")(h)
+        h = nn.Dense(self.bn_chan, name="inter_linear")(h)
         h = jnp.swapaxes(h.reshape(B, K, S, C), 1, 2)
         return x + GlobalLayerNorm(self.bn_chan, name="inter_norm")(h)
 
@@ -71,6 +74,14 @@ class DPRNN(nn.Module):
     """Full masker: bottleneck -> chunk -> blocks -> overlap-add -> masks.
 
     Input (B, T, in_chan); output masks (B, n_src, T, out_chan).
+
+    Numerics match asteroid's ``masknn.recurrent.DPRNN`` (the reference's
+    masker, ToTaToNet.py:44,190-196) step for step so converted PixIT
+    checkpoints reproduce: unfold pads ``chunk_size`` zeros on BOTH sides
+    of the frame axis with hop = chunk_size // 2 (dropping an uncovered
+    tail), the fold overlap-add does NOT average overlaps, and the folded
+    representation passes through a tanh x sigmoid 1x1-conv gate
+    (net_out / net_gate) before the mask activation.
     """
 
     in_chan: int = 64
@@ -86,14 +97,13 @@ class DPRNN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, _ = x.shape
         h = GlobalLayerNorm(self.in_chan, name="in_norm")(x)
-        h = nn.Dense(self.bn_chan, use_bias=False, name="bottleneck")(h)
+        h = nn.Dense(self.bn_chan, name="bottleneck")(h)
 
-        # fold time into 50%-overlapping chunks of chunk_size
+        # asteroid framing: pad chunk_size both sides, hop = K // 2
         K = self.chunk_size
         hop = K // 2
-        pad = (-(T - K) % hop) if T > K else K - T
-        h = jnp.pad(h, ((0, 0), (hop, hop + pad), (0, 0)))
-        Tp = h.shape[1]
+        h = jnp.pad(h, ((0, 0), (K, K), (0, 0)))
+        Tp = h.shape[1]                          # T + 2K
         S = (Tp - K) // hop + 1
         idx = jnp.arange(S)[:, None] * hop + jnp.arange(K)[None, :]
         chunks = h[:, idx]                       # (B, S, K, C)
@@ -103,18 +113,17 @@ class DPRNN(nn.Module):
                                 name=f"block_{r}")(chunks)
 
         chunks = nn.PReLU(name="mask_prelu")(chunks)
-        chunks = nn.Dense(self.n_src * self.out_chan,
-                          name="mask_proj")(chunks)
-        # overlap-add chunks back to the time axis
-        C2 = self.n_src * self.out_chan
-        flat_idx = idx.reshape(-1)
-        out = jnp.zeros((B, Tp, C2), chunks.dtype)
-        out = out.at[:, flat_idx].add(chunks.reshape(B, -1, C2))
-        norm = jnp.zeros((Tp,), chunks.dtype).at[flat_idx].add(1.0)
-        out = out / jnp.maximum(norm, 1.0)[None, :, None]
-        out = out[:, hop:hop + T]
-        masks = out.reshape(B, T, self.n_src, self.out_chan)
-        masks = jnp.transpose(masks, (0, 2, 1, 3))  # (B, n_src, T, C)
+        chunks = nn.Dense(self.n_src * self.bn_chan,
+                          name="first_out")(chunks)
+        # fold (sum, NO overlap normalization — asteroid uses plain fold)
+        chunks = chunks.reshape(B, S, K, self.n_src, self.bn_chan)
+        out = jnp.zeros((B, Tp, self.n_src, self.bn_chan), chunks.dtype)
+        out = out.at[:, idx].add(chunks)
+        out = out[:, K:K + T]                    # (B, T, n_src, bn_chan)
+        # gating in the folded space: tanh(conv) * sigmoid(conv)
+        gated = jnp.tanh(nn.Dense(self.out_chan, name="net_out")(out)) \
+            * nn.sigmoid(nn.Dense(self.out_chan, name="net_gate")(out))
+        masks = jnp.transpose(gated, (0, 2, 1, 3))  # (B, n_src, T, C)
         if self.mask_act == "relu":
             return nn.relu(masks)
         if self.mask_act == "sigmoid":

@@ -18,7 +18,6 @@ import numpy as np
 
 from ...core.model import Model, Problem, Resolution, Specifications
 from ...models.blocks.pooling import stats_pool
-from ...ops.fbank import fbank
 from ...utils.params import merge_dict
 from ...utils.receptive_field import (multi_conv_num_frames,
                                       multi_conv_receptive_field_center,
@@ -30,23 +29,66 @@ TDNN_KERNELS = (5, 3, 3, 1, 1)
 TDNN_DILATIONS = (1, 2, 3, 1, 1)
 
 
-def mfcc_features(waveforms: jnp.ndarray, sample_rate: int = 16000,
-                  n_mfcc: int = 40, n_mels: int = 128) -> jnp.ndarray:
-    """MFCC: log-mel fbank -> DCT-II (ortho), torchaudio-like defaults.
+def _htk_mel_fbanks(n_freqs: int, n_mels: int, sample_rate: int,
+                    f_min: float = 0.0,
+                    f_max: Optional[float] = None) -> np.ndarray:
+    """(n_freqs, n_mels) triangular filterbank, torchaudio
+    ``melscale_fbanks`` semantics (mel_scale="htk", norm=None)."""
+    f_max = f_max or sample_rate / 2.0
 
-    Frame math follows snip_edges framing (400/160 at 16 kHz).
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]                       # (n_mels + 1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]          # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return np.maximum(0.0, np.minimum(down, up)).astype(np.float32)
+
+
+def mfcc_features(waveforms: jnp.ndarray, sample_rate: int = 16000,
+                  n_mfcc: int = 40, n_mels: int = 128,
+                  n_fft: int = 400, hop: int = 200,
+                  top_db: float = 80.0) -> jnp.ndarray:
+    """torchaudio ``transforms.MFCC`` defaults, exactly (the reference
+    builds its front-end as ``MFCC(n_mfcc=40, dct_type=2, norm="ortho",
+    log_mels=False)`` — reference xvector.py:43-60): centered reflect-pad
+    STFT (hann periodic window, hop = n_fft // 2), power spectrum, HTK-mel
+    128-bin filterbank (no slaney norm), ``amplitude_to_DB`` with
+    top_db=80 clamped per item, then DCT-II (ortho).
+
+    Returns (batch, frames, n_mfcc) with frames = 1 + samples // hop.
     """
     x = waveforms[..., 0, :] if waveforms.ndim == 3 else waveforms
-    mel = fbank(x, sample_rate=sample_rate, num_mel_bins=n_mels,
-                window_type="hanning", remove_dc_offset=False,
-                preemphasis_coefficient=0.0, low_freq=0.0)
-    # DCT-II with ortho norm over the mel axis
-    n = mel.shape[-1]
+    num_samples = x.shape[-1]
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = 1 + num_samples // hop
+    idx = (jnp.arange(num_frames)[:, None] * hop
+           + jnp.arange(n_fft)[None, :])
+    frames = xp[:, idx]                                  # (B, T, n_fft)
+    n = jnp.arange(n_fft)
+    window = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * n / n_fft))  # periodic
+    spec = jnp.abs(jnp.fft.rfft(frames * window, axis=-1)) ** 2
+    fb = jnp.asarray(_htk_mel_fbanks(n_fft // 2 + 1, n_mels, sample_rate))
+    mel = spec @ fb                                      # (B, T, n_mels)
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    # top_db clamp relative to each item's max over (time, mel)
+    db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True)
+                     - top_db)
+    # DCT-II with ortho norm over the mel axis (torchaudio create_dct)
     k = jnp.arange(n_mfcc)[:, None]
-    m = jnp.arange(n)[None, :]
-    basis = jnp.cos(jnp.pi / n * (m + 0.5) * k) * jnp.sqrt(2.0 / n)
+    m = jnp.arange(n_mels)[None, :]
+    basis = jnp.cos(jnp.pi / n_mels * (m + 0.5) * k) \
+        * jnp.sqrt(2.0 / n_mels)
     basis = basis.at[0].multiply(1.0 / jnp.sqrt(2.0))
-    return jnp.einsum("...tm,cm->...tc", mel, basis)
+    return jnp.einsum("...tm,cm->...tc", db, basis)
 
 
 class TDNNStack(nn.Module):
@@ -150,12 +192,59 @@ class _BaseXVector(Model):
         return self.module.apply(self.params, jnp.asarray(frames), weights,
                                  method=XVectorModule.embed)
 
+    # -- torch conversion -------------------------------------------------
+
+    def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
+        """Map a reference XVector state_dict onto our param pytree.
+
+        Reference layout (xvector.py:63-89): ``tdnns`` is a flat
+        ModuleList [Conv1d, LeakyReLU, BatchNorm1d] x 5, so conv ``i``
+        lives at ``tdnns.{3i}`` and its batch norm at ``tdnns.{3i+2}``;
+        ``embedding`` is the final Linear. XVectorSincNet adds the same
+        ``sincnet.*`` keys PyanNet checkpoints carry; XVectorMFCC's
+        ``mfcc.*`` entries are parameter-free torchaudio buffers
+        (window / mel fb / dct) and are ignored.
+        """
+
+        def get(name):
+            return np.asarray(state[name], dtype=np.float32)
+
+        tdnn_p: Dict = {}
+        tdnn_s: Dict = {}
+        for i in range(len(TDNN_CHANNELS)):
+            t = 3 * i
+            # torch conv weight (out, in, k) -> flax kernel (k, in, out)
+            tdnn_p[f"tdnn_{i}"] = {
+                "kernel": get(f"tdnns.{t}.weight").transpose(2, 1, 0),
+                "bias": get(f"tdnns.{t}.bias")}
+            tdnn_p[f"bn_{i}"] = {
+                "scale": get(f"tdnns.{t + 2}.weight"),
+                "bias": get(f"tdnns.{t + 2}.bias")}
+            tdnn_s[f"bn_{i}"] = {
+                "mean": get(f"tdnns.{t + 2}.running_mean"),
+                "var": get(f"tdnns.{t + 2}.running_var")}
+        params: Dict = {
+            "tdnn": tdnn_p,
+            "embedding": {"kernel": get("embedding.weight").T,
+                          "bias": get("embedding.bias")},
+        }
+        if self.FRONTEND == "sincnet":
+            from ..segmentation.pyannet import convert_sincnet_state_dict
+            params["sincnet"] = convert_sincnet_state_dict(state)
+        return {"params": params, "batch_stats": {"tdnn": tdnn_s}}
+
 
 class XVectorMFCC(_BaseXVector):
     FRONTEND = "mfcc"
 
+    # torchaudio MelSpectrogram defaults the reference inherits
+    # (center=True, n_fft=400, hop = n_fft // 2 — reference
+    # xvector.py:97-127 frame math)
+    _N_FFT = 400
+    _HOP = 200
+
     def num_frames(self, num_samples: int) -> int:
-        n = 1 + (num_samples - 400) // 160 if num_samples >= 400 else 0
+        n = 1 + num_samples // self._HOP        # center=True framing
         return multi_conv_num_frames(
             n, kernel_size=list(TDNN_KERNELS), stride=[1] * 5,
             padding=[0] * 5, dilation=list(TDNN_DILATIONS))
@@ -164,13 +253,13 @@ class XVectorMFCC(_BaseXVector):
         n = multi_conv_receptive_field_size(
             num_frames, kernel_size=list(TDNN_KERNELS), stride=[1] * 5,
             dilation=list(TDNN_DILATIONS))
-        return 400 + (n - 1) * 160
+        return self._N_FFT + (n - 1) * self._HOP
 
     def receptive_field_center(self, frame: int = 0) -> int:
         c = multi_conv_receptive_field_center(
             frame, kernel_size=list(TDNN_KERNELS), stride=[1] * 5,
             padding=[0] * 5, dilation=list(TDNN_DILATIONS))
-        return c * 160 + 200
+        return c * self._HOP                    # center=True
 
 
 class XVectorSincNet(_BaseXVector):

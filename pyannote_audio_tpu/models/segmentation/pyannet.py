@@ -24,6 +24,41 @@ from ..blocks.rnn import LSTM
 from ..blocks.sincnet import SincNet
 
 
+def convert_sincnet_state_dict(state: Dict[str, np.ndarray],
+                               prefix: str = "sincnet") -> Dict:
+    """Map the reference's ``sincnet.*`` state-dict keys onto our SincNet
+    param subtree (shared by PyanNet and XVectorSincNet — the reference
+    instantiates the identical block in both, PyanNet.py:100 /
+    xvector.py:233)."""
+
+    def get(*names):
+        for n in names:
+            if n in state:
+                return np.asarray(state[n], dtype=np.float32)
+        raise KeyError(f"missing key (tried {names})")
+
+    sn: Dict = {}
+    sn["wav_norm1d"] = {"scale": get(f"{prefix}.wav_norm1d.weight"),
+                        "bias": get(f"{prefix}.wav_norm1d.bias")}
+    sn["sinc_conv"] = {
+        "low_hz": get(f"{prefix}.conv1d.0.filterbank.low_hz_",
+                      f"{prefix}.conv1d.0.low_hz_").reshape(-1),
+        "band_hz": get(f"{prefix}.conv1d.0.filterbank.band_hz_",
+                       f"{prefix}.conv1d.0.band_hz_").reshape(-1),
+    }
+    for i in (0, 1, 2):
+        sn[f"norm1d_{i}"] = {
+            "scale": get(f"{prefix}.norm1d.{i}.weight"),
+            "bias": get(f"{prefix}.norm1d.{i}.bias")}
+    for i in (1, 2):
+        # torch conv weight (out, in, k) -> flax kernel (k, in, out)
+        sn[f"conv1d_{i}"] = {
+            "kernel": get(f"{prefix}.conv1d.{i}.weight").transpose(
+                2, 1, 0),
+            "bias": get(f"{prefix}.conv1d.{i}.bias")}
+    return sn
+
+
 class PyanNetModule(nn.Module):
     sincnet_stride: int = 10
     sample_rate: int = 16000
@@ -119,7 +154,7 @@ class PyanNet(Model):
 
     def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
         """Map a reference PyanNet state_dict onto our param pytree."""
-        p: Dict = {"sincnet": {}, "lstm": {}, "classifier": {}}
+        p: Dict = {"lstm": {}, "classifier": {}}
 
         def get(*names):
             for n in names:
@@ -127,25 +162,7 @@ class PyanNet(Model):
                     return np.asarray(state[n], dtype=np.float32)
             raise KeyError(f"missing key (tried {names})")
 
-        sn = p["sincnet"]
-        sn["wav_norm1d"] = {"scale": get("sincnet.wav_norm1d.weight"),
-                            "bias": get("sincnet.wav_norm1d.bias")}
-        sn["sinc_conv"] = {
-            "low_hz": get("sincnet.conv1d.0.filterbank.low_hz_",
-                          "sincnet.conv1d.0.low_hz_").reshape(-1),
-            "band_hz": get("sincnet.conv1d.0.filterbank.band_hz_",
-                           "sincnet.conv1d.0.band_hz_").reshape(-1),
-        }
-        for i in (0, 1, 2):
-            sn[f"norm1d_{i}"] = {
-                "scale": get(f"sincnet.norm1d.{i}.weight"),
-                "bias": get(f"sincnet.norm1d.{i}.bias")}
-        for i in (1, 2):
-            # torch conv weight (out, in, k) -> flax kernel (k, in, out)
-            sn[f"conv1d_{i}"] = {
-                "kernel": get(f"sincnet.conv1d.{i}.weight").transpose(
-                    2, 1, 0),
-                "bias": get(f"sincnet.conv1d.{i}.bias")}
+        p["sincnet"] = convert_sincnet_state_dict(state)
 
         for i in range(self.lstm["num_layers"]):
             for suffix, ours in (("", ""), ("_reverse", "_reverse")):

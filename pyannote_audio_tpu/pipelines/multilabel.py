@@ -16,6 +16,7 @@ from ..core.inference import Inference
 from ..core.io import AudioFile
 from ..core.pipeline import Pipeline
 from ..core.segment import SlidingWindowFeature
+from ..utils.metric import MacroAverageFMeasure  # noqa: F401 (re-export)
 from ..utils.signal import Binarize
 from .parameter import ParamDict, Uniform
 from .utils.getter import PipelineModel, get_model
@@ -100,33 +101,10 @@ class MultiLabelSegmentation(Pipeline):
     def get_metric(self):
         """Identification error rate, or macro-average per-class detection
         F-measure when fscore=True (parity: multilabel.py:218-224)."""
-        from ..metrics.der import (DetectionPrecisionRecallFMeasure,
-                                   IdentificationErrorRate)
+        from ..metrics.der import IdentificationErrorRate
         if self.fscore:
             return MacroAverageFMeasure(self._classes)
         return IdentificationErrorRate()
 
     def get_direction(self):
         return "maximize" if self.fscore else "minimize"
-
-
-class MacroAverageFMeasure:
-    """Per-class detection F, macro-averaged over classes."""
-
-    def __init__(self, classes):
-        from ..metrics.der import DetectionPrecisionRecallFMeasure
-        self._per_class = {c: DetectionPrecisionRecallFMeasure()
-                           for c in classes}
-
-    def __call__(self, reference, hypothesis, uem=None,
-                 detailed: bool = False):
-        values = {}
-        for label, metric in self._per_class.items():
-            values[label] = metric(reference.subset([label]),
-                                   hypothesis.subset([label]), uem=uem)
-        mean = sum(values.values()) / max(len(values), 1)
-        return {"macro fscore": mean, **values} if detailed else mean
-
-    def __abs__(self) -> float:
-        vals = [abs(m) for m in self._per_class.values()]
-        return sum(vals) / max(len(vals), 1)

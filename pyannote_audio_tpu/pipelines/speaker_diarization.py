@@ -1134,7 +1134,10 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                 t.join()
             elif i > 0:
                 self._decode_into(file, False)
-            start_prefetch(i + window + 1)
+            # the initial loop already primed 1..window, so the rolling
+            # lead is i + window (not +1: one extra thread would exceed
+            # the documented stage_ahead+1 decode window)
+            start_prefetch(i + window)
             staged.append(self._stage(file, hook=hook, **kwargs))
             if len(staged) > stage_ahead:
                 results.append(self._finalize(staged.popleft()))

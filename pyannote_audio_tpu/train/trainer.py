@@ -118,7 +118,13 @@ class Trainer:
         log_dir: Optional[Union[str, Path]] = None,
         monitor: Optional[Tuple[str, str]] = None,
         early_stopping_patience: Optional[int] = None,
+        limit_val_chunks: Optional[int] = None,
     ):
+        #: OPT-IN cap on validation chunks (strided subsample). Default
+        #: None = the FULL fixed validation grid every epoch, matching
+        #: the reference (mixins.py:254-289) so early stopping and best-
+        #: checkpoint selection ride on the whole dev set.
+        self.limit_val_chunks = limit_val_chunks
         #: (metric name, "min"|"max") tracked for best-checkpointing and
         #: early stopping; None = the task's ``val_monitor`` (parity role:
         #: lightning ModelCheckpoint(monitor=...) + EarlyStopping as used
@@ -162,6 +168,14 @@ class Trainer:
         model_keys = set(model.params.keys())
         params = task.augment_params(
             model.params, jax.random.PRNGKey(self.seed + 1), model)
+        # donation guard: the first train step donates `params`
+        # (donate_argnums=(0,1) in make_train_step); augment_params may
+        # return model.params' own arrays, and donating those would leave
+        # model.params pointing at deleted buffers for the rest of fit
+        # (callbacks reading model.params, or any mid-fit exception, would
+        # hit 'Array has been deleted'). Copy every leaf so donated
+        # buffers are never aliased by model.params.
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         opt_state = self.optimizer.init(params)
         self.frozen_prefixes: Tuple[str, ...] = ()
         _step_cache: Dict[Tuple[str, ...], Callable] = {}
@@ -215,7 +229,9 @@ class Trainer:
                         f"non-finite loss {loss}")
             record = {"epoch": epoch,
                       "loss": float(np.mean(losses)) if losses else np.nan}
-            record.update(self.validate(model, task, params, epoch=epoch))
+            record.update(self.validate(
+                model, task, params, max_chunks=self.limit_val_chunks,
+                epoch=epoch))
             self.history.append(record)
             if self.log_dir is not None:
                 import json
@@ -269,14 +285,24 @@ class Trainer:
 
 
     def validate(self, model: Model, task: Task, params,
-                 max_chunks: int = 32, epoch: int = 0) -> Dict:
-        """Validation pass: DER component family (diarization) or AUROC.
+                 max_chunks: Optional[int] = None, epoch: int = 0,
+                 eval_batch_size: int = 32) -> Dict:
+        """Validation pass over the FULL fixed grid, batched + jitted.
 
         Parity role: the reference's validation_step family
         (tasks/segmentation/speaker_diarization.py:487-571 DER metric
         family incl. components and optimal threshold, mixins.py:302-437
-        AUROC). ``max_chunks`` caps per-epoch validation cost (None/0 =
-        use every chunk).
+        AUROC) over the whole validation grid (mixins.py:254-289 — the
+        reference never subsamples). ``max_chunks`` is an explicit
+        OPT-IN cap (strided subsample) for expensive dev sets.
+
+        The DER family streams through one jitted eval step per batch
+        (train/evaluate.py): `der/val` + components on the hard powerset
+        decode at 0.5 (reference parity) and `der/val/optimal` sweeping
+        51 thresholds over the SOFT per-class marginals in the same
+        dispatch. Under ``self.mesh`` the step runs sharded over the
+        data axis with an in-step psum — multi-device values match
+        single-device exactly.
         """
         chunks = getattr(task, "prepare_validation", lambda: [])()
         if not chunks:
@@ -285,8 +311,11 @@ class Trainer:
                                          FalseAlarmRate,
                                          MissedDetectionRate,
                                          OptimalDiarizationErrorRate,
-                                         SpeakerConfusionRate)
+                                         SpeakerConfusionRate,
+                                         unpack_der_components)
         from ..ops.powerset import Powerset
+        from .evaluate import (DEFAULT_THRESHOLDS, make_eval_step,
+                               pad_eval_batch)
 
         powerset: Optional[Powerset] = getattr(task, "_powerset", None)
         model_params = {k: v for k, v in params.items()
@@ -299,6 +328,70 @@ class Trainer:
             selected = chunks[::step][:max_chunks]
         else:
             selected = chunks
+
+        # jitted callables are keyed on the module instance: a rebuilt
+        # model (new head) must not reuse a stale executable
+        if getattr(self, "_val_apply_key", None) is not model.module:
+            self._val_apply = jax.jit(model.apply_fn)
+            self._val_eval_step = make_eval_step(
+                model.apply_fn, powerset=powerset, mesh=self.mesh)
+            self._val_apply_key = model.module
+
+        if self.mesh is not None:
+            n_dev = int(np.prod([s for s in self.mesh.devices.shape]))
+            eval_batch_size = max(eval_batch_size // n_dev, 1) * n_dev
+
+        metrics = {
+            "der/val": DiarizationErrorRate(),
+            "der/val/false_alarm": FalseAlarmRate(),
+            "der/val/missed_detection": MissedDetectionRate(),
+            "der/val/confusion": SpeakerConfusionRate(),
+        }
+        optimal = OptimalDiarizationErrorRate()
+        from ..metrics.auroc import BinnedAUROC
+        auroc = BinnedAUROC()
+        loss_sum, loss_n = 0.0, 0
+        have_der = have_auroc = False
+        plot_pred = plot_y = None
+
+        def flush(batch_X, batch_y):
+            nonlocal loss_sum, loss_n, have_der, have_auroc
+            nonlocal plot_pred, plot_y
+            if batch_y[0] is None:
+                return           # nothing to score without targets
+            X = np.stack(batch_X)
+            y = np.stack(batch_y).astype(np.float32)
+            if powerset is not None:
+                Xp, yp, valid = pad_eval_batch(X, y, eval_batch_size)
+                hard4, softp = self._val_eval_step(
+                    model_params, jnp.asarray(Xp), jnp.asarray(yp),
+                    jnp.asarray(valid))
+                hard4 = np.asarray(hard4)
+                for m in metrics.values():
+                    m.update_from_components(*hard4)
+                optimal.update_from_components(*unpack_der_components(
+                    np.asarray(softp), len(DEFAULT_THRESHOLDS)))
+                have_der = True
+                if plot_pred is None:
+                    preds = self._val_apply(model_params, jnp.asarray(X))
+                    plot_pred = np.asarray(powerset.to_multilabel(preds))
+                    plot_y = y
+            else:
+                preds = np.asarray(
+                    self._val_apply(model_params, jnp.asarray(X)))
+                if preds.ndim == 3:
+                    # VAD / multilabel: frame-level AUROC
+                    # (parity: mixins.py:302-437)
+                    n = min(preds.shape[1], y.shape[1])
+                    auroc.update(preds[:, :n], y[:, :n])
+                    have_auroc = True
+                    if plot_pred is None:
+                        plot_pred, plot_y = preds, y
+            loss_sum += float(task.loss(
+                model, params,
+                TrainingBatch(X=X, y=np.stack(batch_y)))) * len(batch_X)
+            loss_n += len(batch_X)
+
         batch_X, batch_y = [], []
         for file, chunk in selected:
             try:
@@ -310,51 +403,26 @@ class Trainer:
                 continue
             batch_X.append(prepared["X"])
             batch_y.append(prepared.get("y"))
-        if not batch_X:
-            return {}
-        X = jnp.asarray(np.stack(batch_X))
-        # the jitted apply is keyed on the module instance: a rebuilt
-        # model (new head) must not reuse a stale executable
-        if getattr(self, "_val_apply_key", None) is not model.module:
-            self._val_apply = jax.jit(model.apply_fn)
-            self._val_apply_key = model.module
-        preds = self._val_apply(model_params, X)
+            if len(batch_X) == eval_batch_size:
+                flush(batch_X, batch_y)
+                batch_X, batch_y = [], []
+        if batch_X:
+            flush(batch_X, batch_y)
+
         out: Dict = {}
-        preds_np = np.asarray(preds)       # ONE device->host transfer
-        plot_pred = preds_np if preds_np.ndim == 3 else None
-        if powerset is not None and batch_y[0] is not None:
-            multilabel = powerset.to_multilabel(preds)
-            plot_pred = np.asarray(multilabel)
-            y = np.stack(batch_y)
-            n = min(multilabel.shape[1], y.shape[1])
-            p = np.asarray(multilabel)[:, :n]
-            t = y[:, :n]
-            for name, metric in (
-                    ("der/val", DiarizationErrorRate()),
-                    ("der/val/false_alarm", FalseAlarmRate()),
-                    ("der/val/missed_detection", MissedDetectionRate()),
-                    ("der/val/confusion", SpeakerConfusionRate()),
-                    ("der/val/optimal", OptimalDiarizationErrorRate())):
-                metric.update(p, t)
+        if have_der:
+            for name, metric in metrics.items():
                 out[name] = metric.compute()
-        elif batch_y[0] is not None and preds_np.ndim == 3:
-            # VAD / multilabel: frame-level AUROC
-            # (parity: mixins.py:302-437)
-            from ..metrics.auroc import BinnedAUROC
-            y = np.stack(batch_y)
-            p = preds_np
-            n = min(p.shape[1], y.shape[1])
-            auroc = BinnedAUROC()
-            auroc.update(p[:, :n], y[:, :n])
+            out["der/val/optimal"] = optimal.compute()
+            out["der/val/optimal_threshold"] = optimal.optimal_threshold
+        if have_auroc:
             out["auroc/val"] = auroc.compute()
-        if batch_y[0] is not None:
-            out["loss/val"] = float(task.loss(
-                model, params,
-                TrainingBatch(X=np.stack(batch_X), y=np.stack(batch_y))))
+        if loss_n:
+            out["loss/val"] = loss_sum / loss_n
         if self.log_dir is not None and plot_pred is not None and \
-                batch_y[0] is not None and _is_power_of_two_or_zero(epoch):
+                plot_y is not None and _is_power_of_two_or_zero(epoch):
             self._log_validation_figure(
-                epoch, plot_pred, np.stack(batch_y),
+                epoch, plot_pred, plot_y,
                 warm_up=getattr(task, "warm_up", (0.0, 0.0)),
                 duration=task.duration)
         return out

@@ -79,28 +79,80 @@ class DiscreteDiarizationErrorRate:
 
 
 class SlidingDiarizationErrorRate:
-    """Window-wise DER over a sliding window (parity: metric.py:245)."""
+    """Aggregated DER over 50%-overlapping windows (parity: reference
+    utils/metric.py:245-286 — SlidingWindow(duration=window,
+    step=window/2) over the evaluated extent, per-window DER components
+    accumulated, ONE aggregate rate returned).
+
+    The tail is covered by a final end-aligned window (pyannote.core's
+    ``align_last`` behavior) so no frame is dropped. Per-window rates are
+    kept on ``self.windowed_`` for inspection.
+    """
 
     def __init__(self, window: float = 10.0):
         self.window = window
+        self.windowed_: np.ndarray = np.asarray([])
 
     def __call__(self, reference: SlidingWindowFeature,
-                 hypothesis: SlidingWindowFeature) -> np.ndarray:
+                 hypothesis: SlidingWindowFeature) -> float:
         step = reference.sliding_window.step
         frames_per_window = max(1, int(round(self.window / step)))
+        hop = max(1, frames_per_window // 2)
         n = min(len(reference.data), len(hypothesis.data))
+        components = {"false alarm": 0.0, "missed detection": 0.0,
+                      "confusion": 0.0, "total": 0.0}
+        starts = list(range(0, max(n - frames_per_window, 0) + 1, hop))
+        if not starts:
+            starts = [0]
+        # end-aligned tail window when the full-window grid stops short
+        if starts[-1] + frames_per_window < n:
+            starts.append(max(n - frames_per_window, 0))
         ders = []
-        for start in range(0, n - frames_per_window + 1,
-                           frames_per_window):
-            stop = start + frames_per_window
+        for start in starts:
+            stop = min(start + frames_per_window, n)
             parts = discrete_diarization_error_rate(
                 reference.data[start:stop], hypothesis.data[start:stop])
+            for key in components:
+                components[key] += parts[key]
             ders.append(parts["diarization error rate"])
-        return np.asarray(ders)
+        self.windowed_ = np.asarray(ders)
+        return float((components["false alarm"]
+                      + components["missed detection"]
+                      + components["confusion"])
+                     / max(components["total"], 1e-8))
 
 
 class MacroAverageFMeasure:
-    """Per-class F-measure, macro-averaged (parity: metric.py:289)."""
+    """Per-class detection F-measure over Annotations, macro-averaged.
+
+    THE canonical implementation (parity: reference utils/metric.py:289
+    MacroAverageFMeasure, a pyannote.metrics BaseMetric over per-class
+    sub-annotations) — the multilabel pipeline's ``get_metric`` re-exports
+    this class. For frame-array inputs use
+    :class:`DiscreteMacroAverageFMeasure`.
+    """
+
+    def __init__(self, classes):
+        from ..metrics.der import DetectionPrecisionRecallFMeasure
+        self._per_class = {c: DetectionPrecisionRecallFMeasure()
+                           for c in classes}
+
+    def __call__(self, reference, hypothesis, uem=None,
+                 detailed: bool = False):
+        values = {}
+        for label, metric in self._per_class.items():
+            values[label] = metric(reference.subset([label]),
+                                   hypothesis.subset([label]), uem=uem)
+        mean = sum(values.values()) / max(len(values), 1)
+        return {"macro fscore": mean, **values} if detailed else mean
+
+    def __abs__(self) -> float:
+        vals = [abs(m) for m in self._per_class.values()]
+        return sum(vals) / max(len(vals), 1)
+
+
+class DiscreteMacroAverageFMeasure:
+    """Per-class F-measure on binary FRAME arrays, macro-averaged."""
 
     def __init__(self, classes):
         self.classes = list(classes)

@@ -83,3 +83,33 @@ def test_sharded_pipelined_batch_apply(seg_model, tmp_path):
     for b, s in zip(batch_out, seq_out):
         assert list(b.speaker_diarization.itertracks(yield_label=True)) \
             == list(s.speaker_diarization.itertracks(yield_label=True))
+
+
+def test_sharded_eval_step_matches_single_device(seg_model):
+    """The psum-wired validation eval step (train/evaluate.py) returns
+    identical DER components on an 8-device mesh and on one device."""
+    from pyannote_audio_tpu.ops.powerset import Powerset
+    from pyannote_audio_tpu.train.evaluate import (make_eval_step,
+                                                   pad_eval_batch)
+
+    powerset = Powerset(3, 2)
+    rng = np.random.default_rng(0)
+    B = 16
+    X = rng.normal(size=(B, 1, 16000 * 2)).astype(np.float32)
+    frames = seg_model.num_frames(16000 * 2)
+    y = (rng.uniform(size=(B, frames, 3)) > 0.6).astype(np.float32)
+    X, y, valid = pad_eval_batch(X[:13], y[:13], B)   # ragged tail mask
+
+    single = make_eval_step(seg_model.apply_fn, powerset=powerset)
+    sharded = make_eval_step(seg_model.apply_fn, powerset=powerset,
+                             mesh=make_mesh())
+    h1, s1 = single(seg_model.params, X, y, valid)
+    h8, s8 = sharded(seg_model.params, X, y, valid)
+    np.testing.assert_allclose(np.asarray(h8), np.asarray(h1),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               rtol=1e-5, atol=1e-4)
+    # padded items contribute nothing: un-masking them adds soft false
+    # alarms at threshold 0 (their zero targets already add no total)
+    _, s_full = single(seg_model.params, X, y, np.ones(B, np.float32))
+    assert np.asarray(s_full)[0] > np.asarray(s1)[0]

@@ -223,6 +223,184 @@ def test_wespeaker_trunk_matches_torch_replica():
     np.testing.assert_allclose(ours, expected, atol=2e-3)
 
 
+class TorchTDNNXVector(tnn.Module):
+    """Reference-shaped XVector TDNN + StatsPool + embedding (the part
+    shared by XVectorMFCC and XVectorSincNet, reference xvector.py:63-89),
+    fed with front-end features."""
+
+    def __init__(self, in_channel, dimension=512):
+        super().__init__()
+        self.tdnns = tnn.ModuleList()
+        for out_channel, k, d in zip((512, 512, 512, 512, 1500),
+                                     (5, 3, 3, 1, 1), (1, 2, 3, 1, 1)):
+            self.tdnns.extend([
+                tnn.Conv1d(in_channel, out_channel, k, dilation=d),
+                tnn.LeakyReLU(),
+                tnn.BatchNorm1d(out_channel)])
+            in_channel = out_channel
+        self.embedding = tnn.Linear(in_channel * 2, dimension)
+
+    def randomize_norms(self):
+        with torch.no_grad():
+            for mod in self.modules():
+                if isinstance(mod, tnn.BatchNorm1d):
+                    mod.running_mean.uniform_(-0.3, 0.3)
+                    mod.running_var.uniform_(0.5, 1.5)
+                    mod.weight.uniform_(0.5, 1.5)
+                    mod.bias.uniform_(-0.2, 0.2)
+
+    def forward(self, feats):                   # (B, C, T)
+        x = feats
+        for block in self.tdnns:
+            x = block(x)
+        stats = torch.cat([x.mean(dim=-1), x.std(dim=-1, unbiased=True)],
+                          dim=1)
+        return self.embedding(stats)
+
+    def reference_state_dict(self):
+        sd = {}
+        for name, value in self.state_dict().items():
+            if "num_batches" in name:
+                continue
+            sd[name] = value.detach().numpy()
+        return sd
+
+
+def _torch_mfcc(wav: torch.Tensor, n_mfcc=40, n_mels=128, n_fft=400,
+                hop=200, sr=16000) -> torch.Tensor:
+    """torchaudio transforms.MFCC defaults, implemented with plain torch
+    ops (torchaudio is not in the env): centered reflect-pad spectrogram,
+    hann periodic window, power 2, HTK-mel fbanks (norm=None),
+    amplitude_to_DB(top_db=80), DCT-II ortho. (B, 1, S) -> (B, n_mfcc, T)."""
+    x = wav[:, 0]
+    pad = n_fft // 2
+    xp = F.pad(x[:, None], (pad, pad), mode="reflect")[:, 0]
+    frames = xp.unfold(-1, n_fft, hop)              # (B, T, n_fft)
+    window = torch.hann_window(n_fft, periodic=True, dtype=torch.float64)
+    spec = torch.fft.rfft(frames.double() * window, dim=-1).abs() ** 2
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=float) / 700.0)
+
+    all_freqs = np.linspace(0, sr // 2, n_fft // 2 + 1)
+    m_pts = np.linspace(hz2mel(0.0), hz2mel(sr / 2), n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    fb = np.maximum(0.0, np.minimum(-slopes[:, :-2] / f_diff[:-1],
+                                    slopes[:, 2:] / f_diff[1:]))
+    mel = spec @ torch.from_numpy(fb)               # (B, T, n_mels)
+    db = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+    db = torch.maximum(db, db.amax(dim=(-2, -1), keepdim=True) - 80.0)
+    n = np.arange(n_mels)
+    k = np.arange(n_mfcc)
+    dct = np.cos(np.pi / n_mels * (n[:, None] + 0.5) * k[None, :]) \
+        * np.sqrt(2.0 / n_mels)
+    dct[:, 0] *= 1.0 / np.sqrt(2.0)
+    mfcc = db @ torch.from_numpy(dct)               # (B, T, n_mfcc)
+    return mfcc.transpose(1, 2).float()
+
+
+def test_xvector_mfcc_matches_torch_replica():
+    from pyannote_audio_tpu.models.embedding.xvector import XVectorMFCC
+
+    torch.manual_seed(2)
+    replica = TorchTDNNXVector(in_channel=40)
+    replica.randomize_norms()
+    replica.eval()
+
+    wav = torch.randn(2, 1, 32000) * 0.1
+    with torch.no_grad():
+        expected = replica(_torch_mfcc(wav)).numpy()
+
+    model = XVectorMFCC()
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray,
+        model.convert_torch_state_dict(replica.reference_state_dict()))
+    model._jitted_apply = None
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=5e-3)
+    # frame math agrees with the replica front-end: 161 MFCC frames
+    # (center=True, hop 200) minus the valid convs k5, k3 d2, k3 d3
+    feats = _torch_mfcc(wav)
+    assert model.num_frames(32000) == feats.shape[-1] - 4 - 4 - 6
+
+
+def test_xvector_sincnet_matches_torch_replica():
+    from pyannote_audio_tpu.models.embedding.xvector import XVectorSincNet
+
+    torch.manual_seed(3)
+    low, band, sinc_kernel = _sinc_weights_np()
+
+    class TorchXVectorSincNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.wav_norm = tnn.InstanceNorm1d(1, affine=True)
+            self.register_buffer(
+                "sinc", torch.from_numpy(sinc_kernel.T[:, None, :].copy()))
+            self.norm80 = tnn.InstanceNorm1d(80, affine=True)
+            self.conv1 = tnn.Conv1d(80, 60, 5)
+            self.norm60a = tnn.InstanceNorm1d(60, affine=True)
+            self.conv2 = tnn.Conv1d(60, 60, 5)
+            self.norm60b = tnn.InstanceNorm1d(60, affine=True)
+            self.xvector = TorchTDNNXVector(in_channel=60)
+
+        def forward(self, wav):
+            x = self.wav_norm(wav)
+            x = F.conv1d(x, self.sinc, stride=10)
+            x = torch.abs(x)
+            x = F.leaky_relu(self.norm80(F.max_pool1d(x, 3, 3)))
+            x = self.conv1(x)
+            x = F.leaky_relu(self.norm60a(F.max_pool1d(x, 3, 3)))
+            x = self.conv2(x)
+            x = F.leaky_relu(self.norm60b(F.max_pool1d(x, 3, 3)))
+            return self.xvector(x)
+
+    ref = TorchXVectorSincNet()
+    ref.xvector.randomize_norms()
+    with torch.no_grad():
+        for norm in (ref.wav_norm, ref.norm80, ref.norm60a, ref.norm60b):
+            norm.weight.uniform_(0.5, 1.5)
+            norm.bias.uniform_(-0.2, 0.2)
+    ref.eval()
+
+    wav = torch.randn(2, 1, 32000) * 0.1
+    with torch.no_grad():
+        expected = ref(wav).numpy()
+
+    state = {
+        "sincnet.wav_norm1d.weight": ref.wav_norm.weight,
+        "sincnet.wav_norm1d.bias": ref.wav_norm.bias,
+        "sincnet.conv1d.0.filterbank.low_hz_":
+            torch.from_numpy(low[:, None].copy()),
+        "sincnet.conv1d.0.filterbank.band_hz_":
+            torch.from_numpy(band[:, None].copy()),
+        "sincnet.norm1d.0.weight": ref.norm80.weight,
+        "sincnet.norm1d.0.bias": ref.norm80.bias,
+        "sincnet.conv1d.1.weight": ref.conv1.weight,
+        "sincnet.conv1d.1.bias": ref.conv1.bias,
+        "sincnet.norm1d.1.weight": ref.norm60a.weight,
+        "sincnet.norm1d.1.bias": ref.norm60a.bias,
+        "sincnet.conv1d.2.weight": ref.conv2.weight,
+        "sincnet.conv1d.2.bias": ref.conv2.bias,
+        "sincnet.norm1d.2.weight": ref.norm60b.weight,
+        "sincnet.norm1d.2.bias": ref.norm60b.bias,
+    }
+    state = {k: v.detach().numpy() for k, v in state.items()}
+    state.update(ref.xvector.reference_state_dict())
+
+    model = XVectorSincNet()
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray, model.convert_torch_state_dict(state))
+    model._jitted_apply = None
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=5e-3)
+
+
 def test_pyannet_seg_bf16_gate(monkeypatch):
     """PYANNOTE_TPU_SEG_BF16 halves SincNet MXU precision but not its
     decisions: outputs stay close to the f32 path (log-softmax scores),
