@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -67,6 +68,13 @@ def cmd_apply(args) -> int:
 
 def cmd_benchmark(args) -> int:
     """Evaluate a pipeline on a protocol subset; report DER + speed."""
+    if getattr(args, "exact", False):
+        # one-flag bit-exact mode for reference-parity runs: f32 uploads
+        # stay exact (int16 LUT decode of PCM16 sources is bit-exact),
+        # SincNet convs stay f32 (docs/REAL_CHECKPOINT_PARITY.md)
+        os.environ["PYANNOTE_TPU_UPLOAD_QUANT"] = "int16"
+        os.environ["PYANNOTE_TPU_SEG_BF16"] = "0"
+
     from .core.io import Audio
     from .metrics.der import DiarizationErrorRate
     from .utils.database import get_protocol, register_database
@@ -289,6 +297,10 @@ def main(argv=None) -> int:
     p_bench.add_argument("--skip-overlap", action="store_true")
     p_bench.add_argument("--num-speakers", default=None,
                          choices=[None, "oracle"], nargs="?")
+    p_bench.add_argument("--exact", action="store_true",
+                         help="bit-exact transport + f32 convs (flips "
+                              "every lossy accelerator default for "
+                              "reference-parity runs)")
     p_bench.add_argument("--optimize-min-duration-off",
                          action="store_true")
     p_bench.add_argument("--device", default=None)

@@ -85,8 +85,8 @@ class Task:
             warm_up = (float(warm_up), float(warm_up))
         self.warm_up = warm_up
         self.batch_size = batch_size
-        # stored for API parity (reference tasks expose num_workers);
-        # batches are generated inline, so it does not spawn workers here
+        # > 1 enables the threaded input pipeline
+        # (train_batches_parallel); None/0/1 prepare batches inline
         self.num_workers = num_workers
         self.seed = seed
         self.cache = cache
@@ -400,6 +400,60 @@ class Task:
                 if prepared is not None:
                     chunks.append(prepared)
             yield self.collate(chunks)
+
+    def train_batches_parallel(self, epoch: int = 0, rank: int = 0
+                               ) -> Iterator[TrainingBatch]:
+        """``train_batches`` fed by ``num_workers`` decode/crop threads.
+
+        Parity role: the reference's DataLoader(num_workers=cpu_count//2)
+        worker processes (core/task.py:288-303). Threads (not processes)
+        suffice here: chunk preparation is numpy + the GIL-releasing C++
+        decoder, and batches must stay on the host side anyway (device
+        uploads from worker threads contend on the serialized TPU relay —
+        the apply_batch lesson). Each worker runs its own deterministic
+        per-(seed, worker, epoch, rank) stream and the consumer round-
+        robins them, so a given (num_workers, seed) setup reproduces
+        exactly; num_workers in (None, 0, 1) falls back to the inline
+        path unchanged.
+        """
+        workers = self.num_workers or 0
+        if workers <= 1:
+            yield from self.train_batches(epoch=epoch, rank=rank)
+            return
+        import queue
+        import threading
+
+        num_batches = max(1, self.train__len__() // self.batch_size)
+        queues = [queue.Queue(maxsize=2) for _ in range(workers)]
+        stop = threading.Event()
+
+        def run(w: int) -> None:
+            for batch in self.train_batches(epoch=epoch, worker_id=w,
+                                            rank=rank):
+                while not stop.is_set():
+                    try:
+                        queues[w].put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+
+        threads = [threading.Thread(target=run, args=(w,), daemon=True)
+                   for w in range(workers)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(num_batches):
+                yield queues[i % workers].get()
+        finally:
+            stop.set()
+            for q in queues:        # unblock producers stuck on put()
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
 
     def train__len__(self) -> int:
         """Chunks per epoch = total annotated duration / chunk duration."""

@@ -32,9 +32,16 @@ CONV_STRIDES = (5, 2, 2, 2, 2, 2, 2)
 
 
 class FeatureExtractor(nn.Module):
-    """7 strided conv layers over the raw waveform, group-norm first."""
+    """7 strided conv layers over the raw waveform.
+
+    ``norm_mode="group"`` (wav2vec2/WavLM BASE): bias-free convs, one
+    group norm (groups == channels) after conv 0. ``norm_mode="layer"``
+    (LARGE variants): biased convs, per-layer LayerNorm over channels —
+    HF feat_extract_norm="layer" semantics.
+    """
 
     channels: int = 512
+    norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,12 +49,15 @@ class FeatureExtractor(nn.Module):
         h = x[..., None]
         for i, (k, s) in enumerate(zip(CONV_KERNELS, CONV_STRIDES)):
             h = nn.Conv(self.channels, (k,), strides=(s,),
-                        padding="VALID", use_bias=False,
+                        padding="VALID",
+                        use_bias=self.norm_mode == "layer",
                         name=f"conv_{i}")(h)
-            if i == 0:
-                h = nn.GroupNorm(num_groups=self.channels,
+            if self.norm_mode == "layer":
+                h = nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{i}")(h)
+            elif i == 0:
+                h = nn.GroupNorm(num_groups=self.channels, epsilon=1e-5,
                                  name="group_norm")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         return h
 
 
@@ -63,11 +73,14 @@ class ConvPositionalEmbedding(nn.Module):
                     feature_group_count=self.groups, name="conv")(x)
         if self.kernel % 2 == 0:
             h = h[:, :-1]
-        return x + nn.gelu(h)
+        return x + nn.gelu(h, approximate=False)
 
 
-class GatedRelPositionBias(nn.Module):
-    """WavLM gated relative position bias (Chen et al. 2022, eq. 4)."""
+class RelPositionBias(nn.Module):
+    """WavLM relative position bias table (Chen et al. 2022): bucketed
+    relative positions -> per-head bias, computed once and shared by every
+    layer (the HF/torch table lives in layer 0's attention). Gating is
+    PER LAYER (TransformerLayer), matching WavLMAttention exactly."""
 
     num_heads: int = 12
     num_buckets: int = 320
@@ -80,45 +93,56 @@ class GatedRelPositionBias(nn.Module):
         max_exact = num_buckets // 2
         is_small = n < max_exact
         large = max_exact + (
-            jnp.log(n.astype(jnp.float32) / max_exact + 1e-8)
+            jnp.log(jnp.maximum(n.astype(jnp.float32), 1.0) / max_exact)
             / np.log(self.max_distance / max_exact)
             * (num_buckets - max_exact)).astype(jnp.int32)
         large = jnp.minimum(large, num_buckets - 1)
         return ret + jnp.where(is_small, n, large)
 
     @nn.compact
-    def __call__(self, query: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    def __call__(self, seq_len: int) -> jnp.ndarray:
         pos = jnp.arange(seq_len)
-        rel = pos[None, :] - pos[:, None]
+        rel = pos[None, :] - pos[:, None]        # memory - context
         buckets = self._bucket(rel)
         table = self.param("rel_attn_embed", nn.initializers.normal(0.02),
                            (self.num_buckets, self.num_heads))
         bias = table[buckets]                       # (T, T, H)
-        bias = jnp.transpose(bias, (2, 0, 1))       # (H, T, T)
-        # gating from the query content
-        B, T, D = query.shape
-        gate_in = query.reshape(B, T, self.num_heads, D // self.num_heads)
-        g = nn.Dense(8, name="gate_ur_linear")(gate_in)  # (B,T,H,8)
-        gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)
-        gate_a = gate_a.sum(-1) * 0.0 + gate_a[..., 0]
-        gate_b = gate_b[..., 0]
-        gate = gate_a * (gate_b * 4.0 - 2.0)             # (B,T,H)
-        gated = bias[None] * gate.transpose(0, 2, 1)[..., None]
-        return bias[None] + gated
+        return jnp.transpose(bias, (2, 0, 1))       # (H, T, T)
 
 
 class TransformerLayer(nn.Module):
+    """One encoder layer; ``pre_ln`` selects HF do_stable_layer_norm
+    semantics (True: pre-norm, LARGE models; False: post-norm, BASE).
+    With ``rel_pos_gate`` the shared WavLM position bias is gated per
+    layer from this layer's attention input (WavLMAttention:169-180:
+    sigmoid-projected (2,4)-summed gates, a * (b * const - 1) + 2)."""
+
     hidden: int = 768
     heads: int = 12
     ffn: int = 3072
-    rel_pos_bias: bool = False
+    pre_ln: bool = True
+    rel_pos_gate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = nn.LayerNorm(name="attn_norm")(x)
+                 position_bias: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_norm")(x) if self.pre_ln else x
         B, T, D = h.shape
         Hd = D // self.heads
+        bias = None
+        if position_bias is not None and self.rel_pos_gate:
+            gate_in = jnp.transpose(
+                h.reshape(B, T, self.heads, Hd), (0, 2, 1, 3))
+            proj = nn.Dense(8, name="gru_rel_pos_linear")(gate_in)
+            proj = proj.reshape(B, self.heads, T, 2, 4).sum(-1)
+            gates = jax.nn.sigmoid(proj)             # (B, H, T, 2)
+            const = self.param("gru_rel_pos_const", nn.initializers.ones,
+                               (1, self.heads, 1, 1))
+            gate = gates[..., 0:1] * (gates[..., 1:2] * const - 1.0) + 2.0
+            bias = gate * position_bias[None]        # (B, H, T, T)
+        elif position_bias is not None:
+            bias = position_bias[None]
         q = nn.Dense(D, name="q")(h).reshape(B, T, self.heads, Hd)
         k = nn.Dense(D, name="k")(h).reshape(B, T, self.heads, Hd)
         v = nn.Dense(D, name="v")(h).reshape(B, T, self.heads, Hd)
@@ -128,14 +152,24 @@ class TransformerLayer(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
         x = x + nn.Dense(D, name="out")(ctx)
-        h = nn.LayerNorm(name="ffn_norm")(x)
+        if not self.pre_ln:
+            x = nn.LayerNorm(epsilon=1e-5, name="attn_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ffn_norm")(x) if self.pre_ln else x
         h = nn.Dense(self.ffn, name="ffn_in")(h)
-        h = nn.gelu(h)
-        return x + nn.Dense(D, name="ffn_out")(h)
+        h = nn.gelu(h, approximate=False)
+        x = x + nn.Dense(D, name="ffn_out")(h)
+        if not self.pre_ln:
+            x = nn.LayerNorm(epsilon=1e-5, name="ffn_norm")(x)
+        return x
 
 
 class SSLEncoder(nn.Module):
-    """Full wav2vec2/WavLM encoder returning all layer hidden states."""
+    """Full wav2vec2/WavLM encoder returning all layer hidden states.
+
+    ``pre_ln`` mirrors HF do_stable_layer_norm: True (LARGE) puts the
+    encoder LayerNorm after the last layer; False (BASE) applies it right
+    after the positional conv, before the layer stack — both use the
+    ``final_norm`` parameter (HF key encoder.layer_norm)."""
 
     hidden: int = 768
     layers: int = 12
@@ -143,27 +177,35 @@ class SSLEncoder(nn.Module):
     ffn: int = 3072
     conv_channels: int = 512
     rel_pos_bias: bool = False    # True for WavLM
+    pre_ln: bool = True           # HF do_stable_layer_norm
+    conv_norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> List[jnp.ndarray]:
         # waveforms: (B, channels, T) or (B, T)
         x = waveforms[:, 0] if waveforms.ndim == 3 else waveforms
         feats = FeatureExtractor(self.conv_channels,
+                                 norm_mode=self.conv_norm_mode,
                                  name="feature_extractor")(x)
-        h = nn.LayerNorm(name="feature_norm")(feats)
+        h = nn.LayerNorm(epsilon=1e-5, name="feature_norm")(feats)
         h = nn.Dense(self.hidden, name="feature_projection")(h)
         h = ConvPositionalEmbedding(self.hidden, name="pos_conv")(h)
+        if not self.pre_ln:
+            h = nn.LayerNorm(epsilon=1e-5, name="final_norm")(h)
         states = [h]
-        bias = None
+        position_bias = None
         if self.rel_pos_bias:
-            bias_module = GatedRelPositionBias(self.heads, name="rel_pos")
+            position_bias = RelPositionBias(
+                self.heads, name="rel_pos")(h.shape[1])
         for i in range(self.layers):
-            if self.rel_pos_bias and i == 0:
-                bias = bias_module(h, h.shape[1])
             h = TransformerLayer(self.hidden, self.heads, self.ffn,
-                                 name=f"layer_{i}")(h, bias=bias)
+                                 pre_ln=self.pre_ln,
+                                 rel_pos_gate=self.rel_pos_bias,
+                                 name=f"layer_{i}")(
+                                     h, position_bias=position_bias)
             states.append(h)
-        states[-1] = nn.LayerNorm(name="final_norm")(states[-1])
+        if self.pre_ln:
+            states[-1] = nn.LayerNorm(epsilon=1e-5, name="final_norm")(states[-1])
         return states
 
     @staticmethod
@@ -198,14 +240,35 @@ def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
                     return np.asarray(state[prefix + n], dtype=np.float32)
         raise KeyError(names)
 
+    def has(name):
+        return any(prefix + name in state
+                   for prefix in ("", "wav2vec2.", "wavlm."))
+
     p: Dict = {"feature_extractor": {}, "pos_conv": {}}
     fe = p["feature_extractor"]
+    # HF feat_extract_norm="layer" (LARGE): per-layer LayerNorm + conv
+    # biases; "group" (BASE): bias-free convs, group norm after conv 0
+    layer_mode = has("feature_extractor.conv_layers.1.layer_norm.weight")
     for i in range(7):
         w = get(f"feature_extractor.conv_layers.{i}.conv.weight")
-        fe[f"conv_{i}"] = {"kernel": w.transpose(2, 1, 0)}
-    fe["group_norm"] = {
-        "scale": get("feature_extractor.conv_layers.0.layer_norm.weight"),
-        "bias": get("feature_extractor.conv_layers.0.layer_norm.bias")}
+        conv = {"kernel": w.transpose(2, 1, 0)}
+        if layer_mode and has(f"feature_extractor.conv_layers.{i}"
+                              ".conv.bias"):
+            conv["bias"] = get(
+                f"feature_extractor.conv_layers.{i}.conv.bias")
+        fe[f"conv_{i}"] = conv
+        if layer_mode:
+            fe[f"layer_norm_{i}"] = {
+                "scale": get(f"feature_extractor.conv_layers.{i}"
+                             ".layer_norm.weight"),
+                "bias": get(f"feature_extractor.conv_layers.{i}"
+                            ".layer_norm.bias")}
+    if not layer_mode:
+        fe["group_norm"] = {
+            "scale": get(
+                "feature_extractor.conv_layers.0.layer_norm.weight"),
+            "bias": get(
+                "feature_extractor.conv_layers.0.layer_norm.bias")}
     p["feature_norm"] = {
         "scale": get("feature_projection.layer_norm.weight"),
         "bias": get("feature_projection.layer_norm.bias")}
@@ -221,6 +284,10 @@ def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
     p["pos_conv"] = {"conv": {
         "kernel": full.transpose(2, 1, 0),
         "bias": get("encoder.pos_conv_embed.conv.bias")}}
+    # WavLM: shared rel-pos table lives in layer 0's attention
+    if has("encoder.layers.0.attention.rel_attn_embed.weight"):
+        p["rel_pos"] = {"rel_attn_embed": get(
+            "encoder.layers.0.attention.rel_attn_embed.weight")}
     for i in range(layers):
         base = f"encoder.layers.{i}"
         layer = {
@@ -247,6 +314,13 @@ def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
                               "output_dense.weight").T,
                 "bias": get(f"{base}.feed_forward.output_dense.bias")},
         }
+        if has(f"{base}.attention.gru_rel_pos_linear.weight"):
+            layer["gru_rel_pos_linear"] = {
+                "kernel": get(
+                    f"{base}.attention.gru_rel_pos_linear.weight").T,
+                "bias": get(f"{base}.attention.gru_rel_pos_linear.bias")}
+            layer["gru_rel_pos_const"] = get(
+                f"{base}.attention.gru_rel_pos_const")
         p[f"layer_{i}"] = layer
     p["final_norm"] = {"scale": get("encoder.layer_norm.weight"),
                        "bias": get("encoder.layer_norm.bias")}

@@ -22,17 +22,25 @@ from ..blocks.rnn import LSTM
 from ..blocks.ssl import SSLEncoder, convert_torch_wav2vec2
 
 _SSL_CONFIGS = {
-    # torchaudio-bundle-style names the reference accepts
+    # torchaudio-bundle-style names the reference accepts. pre_ln mirrors
+    # HF do_stable_layer_norm, conv_norm feat_extract_norm: BASE models
+    # (and wav2vec2-large-960h) are post-norm with a group-norm trunk;
+    # WavLM-large is pre-norm with a layer-norm trunk.
     "WAV2VEC2_BASE": dict(hidden=768, layers=12, heads=12, ffn=3072,
-                          rel_pos_bias=False),
+                          rel_pos_bias=False, pre_ln=False,
+                          conv_norm="group"),
     "WAV2VEC2_LARGE": dict(hidden=1024, layers=24, heads=16, ffn=4096,
-                           rel_pos_bias=False),
+                           rel_pos_bias=False, pre_ln=False,
+                           conv_norm="group"),
     "WAVLM_BASE": dict(hidden=768, layers=12, heads=12, ffn=3072,
-                       rel_pos_bias=True),
+                       rel_pos_bias=True, pre_ln=False,
+                       conv_norm="group"),
     "WAVLM_BASE_PLUS": dict(hidden=768, layers=12, heads=12, ffn=3072,
-                            rel_pos_bias=True),
+                            rel_pos_bias=True, pre_ln=False,
+                            conv_norm="group"),
     "WAVLM_LARGE": dict(hidden=1024, layers=24, heads=16, ffn=4096,
-                        rel_pos_bias=True),
+                        rel_pos_bias=True, pre_ln=True,
+                        conv_norm="layer"),
 }
 
 
@@ -81,8 +89,15 @@ def _infer_ssl_config(state: Dict[str, np.ndarray]) -> Dict:
     heads = {768: 12, 1024: 16}.get(hidden, max(1, hidden // 64))
     conv_channels = state[
         "feature_extractor.conv_layers.0.conv.weight"].shape[0]
+    # feat_extract_norm="layer" (per-conv LayerNorm) pairs with
+    # do_stable_layer_norm=True in every released wav2vec2/WavLM model —
+    # the state dict carries no direct pre/post-norm marker
+    layer_trunk = \
+        "feature_extractor.conv_layers.1.layer_norm.weight" in state
     return dict(hidden=hidden, layers=layers, heads=heads, ffn=ffn,
-                rel_pos_bias=rel_pos_bias, conv_channels=conv_channels)
+                rel_pos_bias=rel_pos_bias, conv_channels=conv_channels,
+                pre_ln=layer_trunk,
+                conv_norm="layer" if layer_trunk else "group")
 
 
 class SSeRiouSSModule(nn.Module):
@@ -92,6 +107,8 @@ class SSeRiouSSModule(nn.Module):
     ssl_ffn: int = 3072
     ssl_conv_channels: int = 512
     rel_pos_bias: bool = True
+    ssl_pre_ln: bool = False
+    ssl_conv_norm: str = "group"
     wav2vec_layer: int = -1
     lstm_hidden: int = 128
     lstm_layers: int = 4
@@ -107,6 +124,8 @@ class SSeRiouSSModule(nn.Module):
                             heads=self.ssl_heads, ffn=self.ssl_ffn,
                             conv_channels=self.ssl_conv_channels,
                             rel_pos_bias=self.rel_pos_bias,
+                            pre_ln=self.ssl_pre_ln,
+                            conv_norm_mode=self.ssl_conv_norm,
                             name="wav2vec")(waveforms)
         if self.wav2vec_layer < 0:
             weights = self.param("layer_weights", nn.initializers.zeros,
@@ -191,6 +210,8 @@ class SSeRiouSS(Model):
             ssl_conv_channels=self.ssl_config.get(
                 "conv_channels", 512),
             rel_pos_bias=self.ssl_config["rel_pos_bias"],
+            ssl_pre_ln=self.ssl_config.get("pre_ln", False),
+            ssl_conv_norm=self.ssl_config.get("conv_norm", "group"),
             wav2vec_layer=self.wav2vec_layer,
             lstm_hidden=self.lstm["hidden_size"],
             lstm_layers=self.lstm["num_layers"],

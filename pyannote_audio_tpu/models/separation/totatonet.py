@@ -52,6 +52,8 @@ class ToTaToNetModule(nn.Module):
     wavlm_ffn: int = 4096
     wavlm_conv_channels: int = 512
     wavlm_rel_pos_bias: bool = True
+    wavlm_pre_ln: bool = True      # wavlm-large is stable-layer-norm
+    wavlm_conv_norm: str = "layer"
     wavlm_scaling: int = 20        # SSL stride 320 / encoder stride 16
 
     def setup(self):
@@ -65,6 +67,8 @@ class ToTaToNetModule(nn.Module):
                                     ffn=self.wavlm_ffn,
                                     conv_channels=self.wavlm_conv_channels,
                                     rel_pos_bias=self.wavlm_rel_pos_bias,
+                                    pre_ln=self.wavlm_pre_ln,
+                                    conv_norm_mode=self.wavlm_conv_norm,
                                     name="wavlm")
         masker_in = self.n_filters + \
             (self.wavlm_hidden if self.use_wavlm else 0)
@@ -216,6 +220,9 @@ class ToTaToNet(Model):
                 "wavlm_ffn": self.wavlm_config["ffn"],
                 "wavlm_conv_channels": self.wavlm_config["conv_channels"],
                 "wavlm_rel_pos_bias": self.wavlm_config["rel_pos_bias"],
+                "wavlm_pre_ln": self.wavlm_config.get("pre_ln", True),
+                "wavlm_conv_norm": self.wavlm_config.get("conv_norm",
+                                                         "layer"),
                 "wavlm_scaling":
                     320 // self.encoder_decoder["stride"]}
                if self.wavlm_config else {}),
@@ -249,6 +256,93 @@ class ToTaToNet(Model):
         kernel = self.diarization_scaling * \
             self.encoder_decoder["kernel_size"]
         return {"kernel_size": kernel, "stride": stride}
+
+    # -- torch conversion -------------------------------------------------
+
+    def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
+        """Map a reference ToTaToNet state_dict onto our param pytree.
+
+        Reference layout (ToTaToNet.py:175-237): asteroid free-filterbank
+        ``encoder/decoder.filterbank._filters`` (n_filters, 1, k);
+        asteroid DPRNN ``masker.*`` (bottleneck = gLN + 1x1 conv, per
+        repeat intra/inter SingleRNN + linear + gLN, ``first_out`` =
+        PReLU + 1x1 conv2d to n_src*bn_chan, post-fold ``net_out`` /
+        ``net_gate`` 1x1 convs); ``linear.{i}`` + ``classifier`` heads.
+        WavLM weights (``wavlm.*``) are loaded separately through the SSL
+        checkpoint path (build(), blocks/ssl.py), not through this
+        converter.
+        """
+
+        def get(name):
+            return np.asarray(state[name], dtype=np.float32)
+
+        params: Dict = {}
+        # asteroid Encoder: conv1d(waveform, _filters, stride), no bias.
+        # torch (out=n_filters, in=1, k) -> flax kernel (k, 1, n_filters)
+        params["encoder"] = {"kernel": get(
+            "encoder.filterbank._filters").transpose(2, 1, 0)}
+        # asteroid Decoder: F.conv_transpose1d(x, _filters, stride) with
+        # torch layout (in=n_filters, out=1, k). flax ConvTranspose
+        # cross-correlates the un-flipped kernel over the dilated input,
+        # so the torch kernel must be spatially REVERSED: (k, in, out)
+        # with k axis flipped.
+        params["decoder"] = {"kernel": get(
+            "decoder.filterbank._filters").transpose(2, 0, 1)[::-1]}
+
+        m: Dict = {}
+        m["in_norm"] = {
+            "scale": get("masker.bottleneck.0.gamma").reshape(-1),
+            "bias": get("masker.bottleneck.0.beta").reshape(-1)}
+        m["bottleneck"] = {
+            "kernel": get("masker.bottleneck.1.weight")[..., 0].T,
+            "bias": get("masker.bottleneck.1.bias")}
+        for r in range(self.dprnn["n_repeats"]):
+            blk: Dict = {}
+            for which in ("intra", "inter"):
+                ref = f"masker.net.{r}.{which}_RNN.rnn"
+                rnn: Dict = {}
+                for kind in ("weight_ih", "weight_hh", "bias_ih",
+                             "bias_hh"):
+                    ours = kind.replace("weight_", "w_").replace(
+                        "bias_", "b_")
+                    rnn[f"{ours}_l0"] = get(f"{ref}.{kind}_l0")
+                    rnn[f"{ours}_l0_reverse"] = get(
+                        f"{ref}.{kind}_l0_reverse")
+                blk[f"{which}_rnn"] = rnn
+                blk[f"{which}_linear"] = {
+                    "kernel": get(f"masker.net.{r}.{which}_linear.weight"
+                                  ).T,
+                    "bias": get(f"masker.net.{r}.{which}_linear.bias")}
+                blk[f"{which}_norm"] = {
+                    "scale": get(f"masker.net.{r}.{which}_norm.gamma"
+                                 ).reshape(-1),
+                    "bias": get(f"masker.net.{r}.{which}_norm.beta"
+                                ).reshape(-1)}
+            m[f"block_{r}"] = blk
+        m["mask_prelu"] = {"negative_slope": get(
+            "masker.first_out.0.weight").reshape(())}
+        m["first_out"] = {
+            "kernel": get("masker.first_out.1.weight")[..., 0, 0].T,
+            "bias": get("masker.first_out.1.bias")}
+        m["net_out"] = {
+            "kernel": get("masker.net_out.0.weight")[..., 0].T,
+            "bias": get("masker.net_out.0.bias")}
+        m["net_gate"] = {
+            "kernel": get("masker.net_gate.0.weight")[..., 0].T,
+            "bias": get("masker.net_gate.0.bias")}
+        params["masker"] = m
+
+        for i in range(self.linear["num_layers"]):
+            params[f"linears_{i}"] = {
+                "kernel": get(f"linear.{i}.weight").T,
+                "bias": get(f"linear.{i}.bias")}
+        params["classifier"] = {"kernel": get("classifier.weight").T,
+                                "bias": get("classifier.bias")}
+        if self.use_wavlm and self.params is not None:
+            # keep the WavLM branch loaded by build() from the local SSL
+            # checkpoint (reference downloads microsoft/wavlm-large)
+            params["wavlm"] = self.params["params"]["wavlm"]
+        return {"params": params}
 
     def num_frames(self, num_samples: int) -> int:
         eq = self._equivalent_conv()

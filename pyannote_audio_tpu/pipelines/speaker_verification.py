@@ -84,9 +84,67 @@ class PyannoteAudioPretrainedSpeakerEmbedding:
         return emb
 
 
+class ONNXWeSpeakerPretrainedSpeakerEmbedding(
+        PyannoteAudioPretrainedSpeakerEmbedding):
+    """WeSpeaker ``.onnx`` weights loaded into the NATIVE ResNet.
+
+    Parity: ONNXWeSpeakerPretrainedSpeakerEmbedding
+    (reference speaker_verification.py:386-617) — but instead of an
+    onnxruntime session, the graph initializers (torch.onnx.export keeps
+    parameter names: "layer1.0.conv1.weight", "bn1.running_mean", ...)
+    are read with the dependency-free parser (utils/onnx.py) and mapped
+    onto models/embedding/wespeaker.py through its torch converter, so
+    inference runs on the XLA fbank+ResNet path. The architecture is
+    inferred from the block counts in the weight names.
+    """
+
+    def __init__(self, embedding: str, device=None):
+        from pathlib import Path
+
+        from ..models.embedding import wespeaker as ws
+        from ..utils.onnx import read_onnx_initializers
+
+        path = Path(embedding)
+        if not path.exists():
+            raise ValueError(
+                f"wespeaker embedding {embedding!r} is not a local file; "
+                "hub downloads need network access — fetch the .onnx "
+                "(e.g. wespeaker-voxceleb-resnet34-LM.onnx) and pass its "
+                "path, or convert the torch avg_model.pt with "
+                "`python -m pyannote_audio_tpu.models.embedding.convert`")
+        weights = read_onnx_initializers(path)
+        # wespeaker exports the bare ResNet module; the reference's torch
+        # layout prefixes it with "resnet."
+        state = {k if k.startswith("resnet.") else f"resnet.{k}": v
+                 for k, v in weights.items()}
+        n3 = len({k.split(".")[2] for k in state
+                  if k.startswith("resnet.layer3.")})
+        bottleneck = any(".conv3." in k for k in state
+                         if k.startswith("resnet.layer1."))
+        arch = {(6, False): "WeSpeakerResNet34",
+                (36, True): "WeSpeakerResNet152",
+                (48, True): "WeSpeakerResNet221",
+                (64, True): "WeSpeakerResNet293"}.get((n3, bottleneck))
+        if arch is None:
+            raise ValueError(
+                f"could not infer WeSpeaker architecture from {path} "
+                f"(layer3 has {n3} blocks, bottleneck={bottleneck})")
+        model = getattr(ws, arch)()
+        model.build()
+        model.params = model.convert_torch_state_dict(state)
+        model._jitted_apply = None
+        super().__init__(model, device=device)
+
+
 def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                                token=None, cache_dir=None):
-    """Dispatch factory (parity: speaker_verification.py:719-778)."""
+    """Dispatch factory (parity: speaker_verification.py:719-778).
+
+    Resolves the reference's four name shapes: "pyannote/*" (native
+    Model), "*wespeaker*" (ONNX weights -> native ResNet),
+    "speechbrain/*" and "nvidia/*" (external runtimes — actionable
+    errors). Anything else loads through the native Model path.
+    """
     if isinstance(embedding, str):
         lowered = embedding.lower()
         for vendor in ("speechbrain", "nvidia", "nemo"):
@@ -95,6 +153,12 @@ def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                     f"{vendor} embedding backends require external "
                     "runtimes that are not part of this framework; "
                     "convert the checkpoint to a native model instead.")
+        # native checkpoint DIRECTORIES (even ones named *wespeaker*)
+        # stay on the native path; files / hub names go through ONNX
+        if ("wespeaker" in lowered or lowered.endswith(".onnx")) \
+                and not Path(embedding).is_dir():
+            return ONNXWeSpeakerPretrainedSpeakerEmbedding(
+                embedding, device=device)
     return PyannoteAudioPretrainedSpeakerEmbedding(embedding, device=device)
 
 

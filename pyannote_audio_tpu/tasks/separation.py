@@ -64,8 +64,39 @@ def mixit_loss(est_sources: jnp.ndarray,   # (B, T, n_src)
     return jnp.mean(jnp.min(loss, axis=-1))
 
 
+def pixit_optimizer(lr: float = 1e-3, wavlm_lr: float = 1e-5,
+                    gradient_clip_val: float = 5.0):
+    """Two-group optimizer: separate (smaller) WavLM learning rate.
+
+    Parity: the reference fine-tunes WavLM with its own optimizer under
+    lightning manual optimization (PixIT.py:1011-1026,
+    ToTaToNet automatic_optimization=wavlm_frozen) — the TPU-native
+    equivalent is one ``optax.multi_transform`` whose label function
+    routes every parameter under a ``wavlm`` subtree to its own adam,
+    with the reference's gradient_clip_val=5.0 norm clip around both.
+    Pass the result as ``Trainer(optimizer=...)``.
+    """
+    import optax
+
+    def label_fn(params):
+        def label(path, _leaf):
+            return "wavlm" if any(
+                str(getattr(p, "key", getattr(p, "idx", p))) == "wavlm"
+                for p in path) else "rest"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    tx = optax.multi_transform(
+        {"wavlm": optax.adam(wavlm_lr), "rest": optax.adam(lr)}, label_fn)
+    return optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+
+
 class PixIT(Task):
     """Joint diarization + separation training."""
+
+    #: Trainer.validate sweeps OptimalDiarizationErrorRate over the raw
+    #: sigmoid multilabel outputs (reference default_metric: the
+    #: Optimal* family, PixIT.py:1030-1042)
+    val_optimal_der = True
 
     def __init__(
         self,
@@ -78,6 +109,10 @@ class PixIT(Task):
         super().__init__(protocol, duration=duration, **kwargs)
         self.max_speakers_per_chunk = max_speakers_per_chunk
         self.separation_loss_weight = separation_loss_weight
+
+    @property
+    def val_monitor(self):
+        return "der/val/optimal", "min"
 
     def setup(self, model=None) -> None:
         super().setup(model)
@@ -184,9 +219,25 @@ class PixIT(Task):
             data[max(i0, 0):min(i1, num_frames), k] = 1.0
         return data
 
+    # -- validation --------------------------------------------------------
+
+    def prepare_chunk(self, file: Dict, chunk: Segment,
+                      rng: np.random.Generator) -> Dict:
+        """Validation chunk: waveform + frame targets (no drawn MoM —
+        the within-batch MoM in ``loss`` covers separation, as the
+        reference's common_step does for validation batches)."""
+        labels = file["annotation"].crop(chunk).labels()
+        labels = labels[:self.max_speakers_per_chunk]
+        waveform, _ = self.audio.crop(file, chunk,
+                                      duration=self.duration, mode="pad")
+        return {"X": waveform,
+                "y": self._frame_targets(file, chunk, labels)}
+
     # -- loss --------------------------------------------------------------
 
     def loss(self, model, params, batch: TrainingBatch):
+        """(1 - w) * segmentation + w * separation (reference
+        training_step:996-999 weighting)."""
         X = jnp.asarray(batch.X)
         y = jnp.asarray(batch.y)
         diar, _ = model.apply_fn(params, X)
@@ -199,9 +250,16 @@ class PixIT(Task):
         if "mix1" in meta:
             mix1 = jnp.asarray(meta["mix1"])
             mix2 = jnp.asarray(meta["mix2"])
-            mom = (mix1 + mix2)[:, None, :]
-            _, est_sources = model.apply_fn(params, mom)
-            sep_loss = mixit_loss(est_sources, mix1, mix2)
+        elif X.shape[0] >= 2:
+            # no drawn MoM (validation): pair samples WITHIN the batch,
+            # mom = even + odd — the reference common_step:905-940 recipe
+            even = X.shape[0] - X.shape[0] % 2
+            mix1 = X[0:even:2, 0]
+            mix2 = X[1:even:2, 0]
         else:
-            sep_loss = 0.0
-        return diar_loss + self.separation_loss_weight * sep_loss
+            return diar_loss
+        mom = (mix1 + mix2)[:, None, :]
+        _, est_sources = model.apply_fn(params, mom)
+        sep_loss = mixit_loss(est_sources, mix1, mix2)
+        w = self.separation_loss_weight
+        return (1.0 - w) * diar_loss + w * sep_loss

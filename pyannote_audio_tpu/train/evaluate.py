@@ -62,6 +62,8 @@ def make_eval_step(
 
     def components_fn(params, X, y, valid):
         preds = apply_fn(params, X)
+        if isinstance(preds, (tuple, list)):
+            preds = preds[0]      # multi-spec models (PixIT): diarization
         if powerset is not None:
             hard = powerset.to_multilabel(preds).astype(jnp.float32)
             soft = powerset.to_multilabel(preds, soft=True)

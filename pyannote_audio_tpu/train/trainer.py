@@ -207,7 +207,10 @@ class Trainer:
                     cb.on_train_epoch_start(self, model, epoch)
             step_fn = get_step_fn()
             losses = []
-            for i, batch in enumerate(task.train_batches(epoch=epoch)):
+            batches = task.train_batches_parallel(epoch=epoch) \
+                if hasattr(task, "train_batches_parallel") \
+                else task.train_batches(epoch=epoch)
+            for i, batch in enumerate(batches):
                 if self.limit_train_batches is not None and \
                         i >= self.limit_train_batches:
                     break
@@ -361,7 +364,12 @@ class Trainer:
                 return           # nothing to score without targets
             X = np.stack(batch_X)
             y = np.stack(batch_y).astype(np.float32)
-            if powerset is not None:
+            # non-powerset permutation-invariant tasks (PixIT) opt into
+            # the same DER eval step over their raw sigmoid multilabels
+            # (reference default_metric: Optimal* family,
+            # tasks/separation/PixIT.py:1030-1042)
+            if powerset is not None or getattr(task, "val_optimal_der",
+                                               False):
                 Xp, yp, valid = pad_eval_batch(X, y, eval_batch_size)
                 hard4, softp = self._val_eval_step(
                     model_params, jnp.asarray(Xp), jnp.asarray(yp),
@@ -374,7 +382,11 @@ class Trainer:
                 have_der = True
                 if plot_pred is None:
                     preds = self._val_apply(model_params, jnp.asarray(X))
-                    plot_pred = np.asarray(powerset.to_multilabel(preds))
+                    if isinstance(preds, (tuple, list)):
+                        preds = preds[0]
+                    plot_pred = np.asarray(
+                        powerset.to_multilabel(preds)
+                        if powerset is not None else preds)
                     plot_y = y
             else:
                 preds = np.asarray(

@@ -70,3 +70,84 @@ def default_two_speaker_file(path: Path, duration: float = 30.0) -> Dict:
         ("bob", 25.0, 29.0),
     ]
     return make_file(path, turns, duration)
+
+
+def build_debug_corpus(root) -> str:
+    """Materialize corpus + RTTM/UEM + database.yml + a debug pipeline
+    checkpoint under ``root``; returns the protocol name.
+
+    This is the dry-run entry point of the real-checkpoint parity
+    harness (docs/REAL_CHECKPOINT_PARITY.md §0): after this,
+    ``python -m pyannote_audio_tpu benchmark {root}/pipeline
+    Debug.SpeakerDiarization.Debug out --registry {root}/database.yml``
+    runs end to end.
+    """
+    import yaml
+
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.embedding.debug import \
+        SimpleEmbeddingModel
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    files = [default_two_speaker_file(root / "f0.wav"),
+             make_file(root / "f1.wav",
+                       [("carol", 1.0, 6.0), ("dave", 7.0, 12.0)],
+                       duration=14.0, seed=3)]
+    with open(root / "all.rttm", "w") as f:
+        for file in files:
+            file["annotation"].write_rttm(f)
+    with open(root / "all.uem", "w") as f:
+        for file in files:
+            for seg in file["annotated"]:
+                f.write(f"{file['uri']} 1 {seg.start:.3f} "
+                        f"{seg.end:.3f}\n")
+    (root / "database.yml").write_text(f"""
+Databases:
+  Debug: {root}/{{uri}}.wav
+Protocols:
+  Debug:
+    SpeakerDiarization:
+      Debug:
+        test:
+          annotation: {root}/all.rttm
+          annotated: {root}/all.uem
+        development:
+          annotation: {root}/all.rttm
+          annotated: {root}/all.uem
+""")
+
+    ckpt = root / "pipeline"
+    seg = SimpleSegmentationModel()
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["s0", "s1", "s2"], powerset_max_classes=2)
+    seg.build()
+    seg.save_checkpoint(ckpt / "segmentation")
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    emb.save_checkpoint(ckpt / "embedding")
+    config = {
+        "pipeline": {
+            "name": "pyannote_audio_tpu.pipelines.SpeakerDiarization",
+            "params": {
+                "segmentation": "$model/segmentation",
+                "embedding": "$model/embedding",
+                "clustering": "AgglomerativeClustering",
+                "segmentation_batch_size": 8,
+                "embedding_batch_size": 8,
+            },
+        },
+        "params": {
+            "segmentation": {"min_duration_off": 0.0},
+            "clustering": {"method": "centroid", "threshold": 0.6,
+                           "min_cluster_size": 1},
+        },
+    }
+    with open(ckpt / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+    return "Debug.SpeakerDiarization.Debug"

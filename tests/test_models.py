@@ -27,7 +27,8 @@ def test_mfcc_features_shape():
     wav = jnp.asarray(np.random.default_rng(0).standard_normal(
         (1, 8000)).astype(np.float32))
     out = np.asarray(mfcc_features(wav))
-    assert out.shape == (1, 48, 40)
+    # torchaudio MFCC framing: center=True, hop 200 -> 1 + 8000 // 200
+    assert out.shape == (1, 41, 40)
     assert np.isfinite(out).all()
 
 

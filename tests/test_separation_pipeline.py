@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
@@ -126,6 +127,48 @@ def test_pixit_task_loss(tmp_path):
     assert batch.meta is not None and "mix1" in batch.meta
     loss = float(task.loss(model, model.params, batch))
     assert np.isfinite(loss)
+
+
+def test_pixit_optimizer_separate_wavlm_lr():
+    """pixit_optimizer routes 'wavlm' params to their own learning rate
+    (reference manual-optimization parity, PixIT.py:1011-1026)."""
+    import optax
+
+    from pyannote_audio_tpu.tasks.separation import pixit_optimizer
+    params = {"wavlm": {"w": jnp.ones((4,))},
+              "masker": {"w": jnp.ones((4,))}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    tx = pixit_optimizer(lr=1e-1, wavlm_lr=1e-3, gradient_clip_val=1e9)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert abs(float(updates["masker"]["w"][0])) == \
+        pytest.approx(1e-1, rel=1e-3)
+    assert abs(float(updates["wavlm"]["w"][0])) == \
+        pytest.approx(1e-3, rel=1e-3)
+
+
+def test_pixit_validation_metrics(tmp_path):
+    """PixIT validation: optimal-DER family over sigmoid multilabels +
+    within-batch MoM separation loss (reference common_step:905-940,
+    default_metric:1030-1042)."""
+    from pyannote_audio_tpu.train import Trainer
+
+    protocol = Protocol(
+        name="d",
+        subsets={"train": [default_two_speaker_file(tmp_path / "v.wav")],
+                 "development": [
+                     default_two_speaker_file(tmp_path / "v2.wav")]})
+    task = PixIT(protocol, duration=2.0, batch_size=2)
+    model = _tiny_totatonet()
+    model.task = task
+    task.setup(model)
+    trainer = Trainer(max_epochs=1, limit_train_batches=1)
+    trainer.fit(model, task)
+    record = trainer.history[0]
+    assert "der/val/optimal" in record
+    assert np.isfinite(record["der/val/optimal"])
+    assert "loss/val" in record and np.isfinite(record["loss/val"])
+    assert task.val_monitor == ("der/val/optimal", "min")
 
 
 def test_sources_are_peak_normalized(tmp_path):

@@ -401,6 +401,256 @@ def test_xvector_sincnet_matches_torch_replica():
     np.testing.assert_allclose(ours, expected, atol=5e-3)
 
 
+# ----------------------------------------------------------- SSL encoders
+
+def _ssl_golden(hf_model, our_cfg, layers, atol):
+    """Drive a real HF transformer (ground truth for the reference's SSL
+    trunks) and our converted SSLEncoder on the same waveform."""
+    from pyannote_audio_tpu.models.blocks.ssl import (SSLEncoder,
+                                                      convert_torch_wav2vec2)
+    hf_model.eval()
+    wav = torch.randn(2, 6400) * 0.1
+    with torch.no_grad():
+        expected = hf_model(wav).last_hidden_state.numpy()
+    state = {k: v.detach().numpy() for k, v in
+             hf_model.state_dict().items()}
+    trunk = convert_torch_wav2vec2(state, layers=layers)
+    enc = SSLEncoder(**our_cfg)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, trunk)}
+    states = enc.apply(variables, jnp.asarray(wav.numpy()))
+    ours = np.asarray(states[-1])
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=atol)
+
+
+_TINY = dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+             intermediate_size=128, conv_dim=(32,) * 7,
+             conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+             conv_stride=(5, 2, 2, 2, 2, 2, 2),
+             hidden_dropout=0.0, attention_dropout=0.0,
+             feat_proj_dropout=0.0, layerdrop=0.0)
+
+
+def test_ssl_wavlm_base_matches_hf():
+    """WavLM post-norm + group-norm trunk + per-layer gated rel-pos bias
+    (the reference's default SSeRiouSS trunk, SSeRiouSS.py:96-128)."""
+    from transformers import WavLMConfig, WavLMModel
+    torch.manual_seed(5)
+    config = WavLMConfig(do_stable_layer_norm=False,
+                         feat_extract_norm="group", **_TINY)
+    hf = WavLMModel(config)
+    _ssl_golden(hf, dict(hidden=64, layers=2, heads=4, ffn=128,
+                         conv_channels=32, rel_pos_bias=True,
+                         pre_ln=False, conv_norm_mode="group"),
+                layers=2, atol=2e-4)
+
+
+def test_ssl_wavlm_large_style_matches_hf():
+    """WavLM pre-norm (stable layer norm) + layer-norm conv trunk."""
+    from transformers import WavLMConfig, WavLMModel
+    torch.manual_seed(6)
+    config = WavLMConfig(do_stable_layer_norm=True,
+                         feat_extract_norm="layer", conv_bias=True,
+                         **_TINY)
+    hf = WavLMModel(config)
+    _ssl_golden(hf, dict(hidden=64, layers=2, heads=4, ffn=128,
+                         conv_channels=32, rel_pos_bias=True,
+                         pre_ln=True, conv_norm_mode="layer"),
+                layers=2, atol=2e-4)
+
+
+def test_ssl_wav2vec2_base_matches_hf():
+    """wav2vec2 post-norm + group-norm trunk, no position bias."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+    torch.manual_seed(7)
+    config = Wav2Vec2Config(do_stable_layer_norm=False,
+                            feat_extract_norm="group", **_TINY)
+    hf = Wav2Vec2Model(config)
+    _ssl_golden(hf, dict(hidden=64, layers=2, heads=4, ffn=128,
+                         conv_channels=32, rel_pos_bias=False,
+                         pre_ln=False, conv_norm_mode="group"),
+                layers=2, atol=2e-4)
+
+
+# --------------------------------------------------------------- ToTaToNet
+
+class TorchGlobLN(tnn.Module):
+    """asteroid GlobLN: stats over all non-batch dims, (C,) gamma/beta."""
+
+    def __init__(self, chan):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(chan))
+        self.beta = tnn.Parameter(torch.zeros(chan))
+
+    def forward(self, x):          # (B, C, ...)
+        dims = tuple(range(1, x.dim()))
+        mean = x.mean(dim=dims, keepdim=True)
+        var = x.var(dim=dims, keepdim=True, unbiased=False)
+        shape = (1, -1) + (1,) * (x.dim() - 2)
+        return (x - mean) / torch.sqrt(var + 1e-8) \
+            * self.gamma.view(shape) + self.beta.view(shape)
+
+
+class TorchSingleRNN(tnn.Module):
+    def __init__(self, in_chan, hid, bidirectional=True):
+        super().__init__()
+        self.rnn = tnn.LSTM(in_chan, hid, batch_first=True,
+                            bidirectional=bidirectional)
+
+    def forward(self, x):
+        return self.rnn(x)[0]
+
+
+class TorchDPRNNBlock(tnn.Module):
+    """asteroid masknn.recurrent.DPRNNBlock, verbatim semantics."""
+
+    def __init__(self, bn_chan, hid):
+        super().__init__()
+        self.intra_RNN = TorchSingleRNN(bn_chan, hid)
+        self.inter_RNN = TorchSingleRNN(bn_chan, hid)
+        self.intra_linear = tnn.Linear(hid * 2, bn_chan)
+        self.inter_linear = tnn.Linear(hid * 2, bn_chan)
+        self.intra_norm = TorchGlobLN(bn_chan)
+        self.inter_norm = TorchGlobLN(bn_chan)
+
+    def forward(self, x):          # (B, N, K, L)
+        B, N, K, L = x.size()
+        output = x
+        x = x.transpose(1, -1).reshape(B * L, K, N)
+        x = self.intra_linear(self.intra_RNN(x))
+        x = x.reshape(B, L, K, N).transpose(1, -1)
+        output = output + self.intra_norm(x)
+        x = output.transpose(1, 2).transpose(2, -1).reshape(B * K, L, N)
+        x = self.inter_linear(self.inter_RNN(x))
+        x = x.reshape(B, K, L, N).transpose(1, -1).transpose(2, -1)
+        return output + self.inter_norm(x)
+
+
+class TorchDPRNN(tnn.Module):
+    """asteroid masknn.recurrent.DPRNN, verbatim semantics."""
+
+    def __init__(self, in_chan, out_chan, n_src, bn_chan, hid, chunk,
+                 n_repeats):
+        super().__init__()
+        self.n_src, self.bn_chan = n_src, bn_chan
+        self.out_chan, self.chunk_size = out_chan, chunk
+        self.hop_size = chunk // 2
+        self.bottleneck = tnn.Sequential(
+            TorchGlobLN(in_chan), tnn.Conv1d(in_chan, bn_chan, 1))
+        self.net = tnn.Sequential(*[TorchDPRNNBlock(bn_chan, hid)
+                                    for _ in range(n_repeats)])
+        self.first_out = tnn.Sequential(
+            tnn.PReLU(), tnn.Conv2d(bn_chan, n_src * bn_chan, 1))
+        self.net_out = tnn.Sequential(tnn.Conv1d(bn_chan, out_chan, 1),
+                                      tnn.Tanh())
+        self.net_gate = tnn.Sequential(tnn.Conv1d(bn_chan, out_chan, 1),
+                                       tnn.Sigmoid())
+
+    def forward(self, mixture_w):  # (B, in_chan, T)
+        batch, _, n_frames = mixture_w.size()
+        output = self.bottleneck(mixture_w)
+        output = F.unfold(output.unsqueeze(-1),
+                          kernel_size=(self.chunk_size, 1),
+                          padding=(self.chunk_size, 0),
+                          stride=(self.hop_size, 1))
+        n_chunks = output.shape[-1]
+        output = output.reshape(batch, self.bn_chan, self.chunk_size,
+                                n_chunks)
+        output = self.net(output)
+        output = self.first_out(output)
+        output = output.reshape(batch * self.n_src, self.bn_chan,
+                                self.chunk_size, n_chunks)
+        to_unfold = self.bn_chan * self.chunk_size
+        output = F.fold(output.reshape(batch * self.n_src, to_unfold,
+                                       n_chunks),
+                        (n_frames, 1), kernel_size=(self.chunk_size, 1),
+                        padding=(self.chunk_size, 0),
+                        stride=(self.hop_size, 1))
+        output = output.reshape(batch * self.n_src, self.bn_chan, -1)
+        output = self.net_out(output) * self.net_gate(output)
+        score = output.reshape(batch, self.n_src, self.out_chan, n_frames)
+        return F.relu(score)
+
+
+class TorchToTaToNet(tnn.Module):
+    """Reference-shaped ToTaToNet (no WavLM), asteroid enc/dec + DPRNN +
+    avg-pool diarization head (reference ToTaToNet.py:175-237,316-360)."""
+
+    def __init__(self, n_filters=16, kernel=32, stride=16, n_src=2,
+                 bn_chan=32, hid=16, chunk=20, n_repeats=2, scaling=8):
+        super().__init__()
+        self.stride, self.n_src, self.scaling = stride, n_src, scaling
+        self.enc_filters = tnn.Parameter(
+            torch.randn(n_filters, 1, kernel) * 0.3)
+        self.dec_filters = tnn.Parameter(
+            torch.randn(n_filters, 1, kernel) * 0.3)
+        self.masker = TorchDPRNN(n_filters, n_filters, n_src, bn_chan,
+                                 hid, chunk, n_repeats)
+        self.linear = tnn.ModuleList([tnn.Linear(n_filters, 64),
+                                      tnn.Linear(64, 64)])
+        self.classifier = tnn.Linear(64, 1)
+
+    def forward(self, waveforms):  # (B, 1, S)
+        bsz = waveforms.shape[0]
+        tf_rep = F.conv1d(waveforms, self.enc_filters, stride=self.stride)
+        masks = self.masker(tf_rep)
+        masked = masks * tf_rep.unsqueeze(1)     # (B, n_src, F, T')
+        flat = masked.flatten(0, 1)              # (B*n_src, F, T')
+        decoded = F.conv_transpose1d(flat, self.dec_filters,
+                                     stride=self.stride)
+        pad = waveforms.shape[-1] - decoded.shape[-1]
+        decoded = F.pad(decoded, (0, pad)) if pad >= 0 \
+            else decoded[..., :waveforms.shape[-1]]
+        sources = decoded.reshape(bsz, self.n_src, -1).transpose(1, 2)
+        out = F.avg_pool1d(flat, self.scaling, stride=self.scaling)
+        out = out.transpose(1, 2)                # (B*n_src, Td, F)
+        for lin in self.linear:
+            out = F.leaky_relu(lin(out))
+        out = self.classifier(out)
+        out = out.reshape(bsz, self.n_src, -1).transpose(1, 2)
+        return torch.sigmoid(out), sources
+
+    def reference_state_dict(self):
+        sd = {"encoder.filterbank._filters": self.enc_filters,
+              "decoder.filterbank._filters": self.dec_filters,
+              "classifier.weight": self.classifier.weight,
+              "classifier.bias": self.classifier.bias}
+        for i, lin in enumerate(self.linear):
+            sd[f"linear.{i}.weight"] = lin.weight
+            sd[f"linear.{i}.bias"] = lin.bias
+        for k, v in self.masker.state_dict().items():
+            sd[f"masker.{k}"] = v
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_totatonet_matches_torch_replica():
+    from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+
+    torch.manual_seed(4)
+    ref = TorchToTaToNet()
+    ref.eval()
+    wav = torch.randn(2, 1, 8000) * 0.1
+    with torch.no_grad():
+        exp_diar, exp_sources = ref(wav)
+
+    model = ToTaToNet(
+        encoder_decoder={"n_filters": 16, "kernel_size": 32, "stride": 16},
+        dprnn={"n_repeats": 2, "bn_chan": 32, "hid_size": 16,
+               "chunk_size": 20},
+        n_sources=2, use_wavlm=False)
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray,
+        model.convert_torch_state_dict(ref.reference_state_dict()))
+    model._jitted_apply = None
+    diar, sources = model(jnp.asarray(wav.numpy()))
+    diar, sources = np.asarray(diar), np.asarray(sources)
+    assert diar.shape == tuple(exp_diar.shape)
+    assert sources.shape == tuple(exp_sources.shape)
+    np.testing.assert_allclose(diar, exp_diar.numpy(), atol=2e-4)
+    np.testing.assert_allclose(sources, exp_sources.numpy(), atol=2e-4)
+
+
 def test_pyannet_seg_bf16_gate(monkeypatch):
     """PYANNOTE_TPU_SEG_BF16 halves SincNet MXU precision but not its
     decisions: outputs stay close to the f32 path (log-softmax scores),

@@ -145,6 +145,27 @@ def test_vad_task_batches(protocol):
     assert batch.y.shape[-1] == 1
 
 
+def test_threaded_input_pipeline(protocol):
+    """num_workers > 1 round-robins deterministic per-worker streams:
+    same count as inline and reproducible across runs."""
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              seed=7, num_workers=2)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    run1 = [b.X for b in task.train_batches_parallel(epoch=0)]
+    run2 = [b.X for b in task.train_batches_parallel(epoch=0)]
+    assert len(run1) == max(1, task.train__len__() // task.batch_size)
+    for a, b in zip(run1, run2):
+        np.testing.assert_array_equal(a, b)
+    # batch i comes from worker i % num_workers's deterministic stream
+    w0 = list(task.train_batches(epoch=0, worker_id=0))
+    w1 = list(task.train_batches(epoch=0, worker_id=1))
+    np.testing.assert_array_equal(run1[0], w0[0].X)
+    np.testing.assert_array_equal(run1[1], w1[0].X)
+    if len(run1) > 2:
+        np.testing.assert_array_equal(run1[2], w0[1].X)
+
+
 def test_task_reproducibility(protocol):
     task = SpeakerDiarization(protocol, duration=2.0, batch_size=2, seed=7)
     model = SimpleSegmentationModel(task=task)
