@@ -37,6 +37,15 @@ def main():
 
     audio_minutes = float(os.environ.get("BENCH_AUDIO_MINUTES", "10"))
     num_files = int(os.environ.get("BENCH_NUM_FILES", "3"))
+    # file-LENGTH diversity (round-2 review): the batch exercises several
+    # shape buckets (10/7.5/5 min -> distinct 30 s padded-length buckets
+    # + a half-size tail batch), not 3x the same length. Override with
+    # BENCH_FILE_MINUTES="10,10,10" for the legacy uniform batch.
+    lengths_env = os.environ.get("BENCH_FILE_MINUTES", "10,7.5,5")
+    file_minutes = [float(x) for x in lengths_env.split(",") if x]
+    while len(file_minutes) < num_files:
+        file_minutes.append(audio_minutes)
+    file_minutes = file_minutes[:num_files]
     sr = 16000
 
     def synth(minutes: float, seed: int) -> np.ndarray:
@@ -66,7 +75,7 @@ def main():
     from pyannote_audio_tpu.core.io import write_wav
     paths = []
     for k in range(num_files):
-        wav = synth(audio_minutes, seed=k)
+        wav = synth(file_minutes[k], seed=k)
         path = f"/tmp/pyannote_tpu_bench_{k}.wav"
         write_wav(path, wav[None], sr)
         paths.append(path)
@@ -97,7 +106,7 @@ def main():
     # pre-synthesize in-memory waveforms OUTSIDE the timed loop; timed
     # passes only rebuild the (shallow) file dicts so per-pass state
     # (device-buffer cache entries) never leaks between passes
-    mem_waves = [synth(audio_minutes, seed=k)[None]
+    mem_waves = [synth(file_minutes[k], seed=k)[None]
                  for k in range(num_files)] \
         if os.environ.get("BENCH_IN_MEMORY", "0") == "1" else None
 
@@ -127,7 +136,7 @@ def main():
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
-    audio_hours = num_files * audio_minutes / 60.0
+    audio_hours = sum(file_minutes) / 60.0
     hours_per_minute = audio_hours / (elapsed / 60.0)
     # reference community-1 on H100: 31 s per audio-hour
     baseline_hours_per_minute = 60.0 / 31.0
@@ -138,7 +147,7 @@ def main():
         "vs_baseline": round(hours_per_minute / baseline_hours_per_minute,
                              3),
         "detail": {
-            "audio_minutes": audio_minutes,
+            "file_minutes": file_minutes,
             "num_files": num_files,
             "wall_seconds": round(elapsed, 3),
             "seconds_per_audio_hour": round(elapsed / audio_hours, 2),

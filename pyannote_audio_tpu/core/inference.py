@@ -121,7 +121,8 @@ def _upload_quant_mode() -> str:
 
 
 def _upload_waveform(waveform: np.ndarray,
-                     quant: Optional[str] = None) -> jnp.ndarray:
+                     quant: Optional[str] = None,
+                     padded_len: Optional[int] = None) -> jnp.ndarray:
     """Host->device waveform transfer, quantized to cut link bytes.
 
     The axon relay moves ~40-100 MB/s and transfers do NOT overlap device
@@ -133,16 +134,32 @@ def _upload_waveform(waveform: np.ndarray,
     the env-resolved mode — pipelines whose *product is the audio
     itself* (speech separation) pass "int16" so transport can never cap
     output fidelity.
+
+    ``padded_len`` zero-pads the time axis AFTER encoding (encode-then-
+    pad): the silence padding of the 30 s length bucket is appended as
+    1-byte codes instead of being copied and scanned as f32 — the
+    pad/copy/encode work tracks the true file length, not the bucket.
     """
     mode = quant if quant is not None else _upload_quant_mode()
+    n = waveform.shape[-1]
+    pad = (padded_len - n) if padded_len is not None and padded_len > n \
+        else 0
+
+    def padded(arr, fill):
+        if pad == 0:
+            return arr
+        return np.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+
     if mode == "mulaw" and waveform.dtype == np.float32:
-        return jnp.asarray(_mulaw_encode(waveform))
+        # mu-law code for digital silence is 128 ((0+1)*127.5 rounded
+        # half-to-even), the exact value the LUT/formula give for 0.0
+        return jnp.asarray(padded(_mulaw_encode(waveform), 128))
     if mode != "f32" and waveform.dtype == np.float32:
         scaled = waveform * np.float32(32768.0)
         if scaled.size and np.all(scaled == np.rint(scaled)) and \
                 scaled.min() >= -32768.0 and scaled.max() <= 32767.0:
-            return jnp.asarray(scaled.astype(np.int16))
-    return jnp.asarray(waveform)
+            return jnp.asarray(padded(scaled.astype(np.int16), 0))
+    return jnp.asarray(padded(waveform, 0))
 
 
 def _dequantize(chunks: jnp.ndarray) -> jnp.ndarray:
@@ -200,7 +217,9 @@ def _chunk_grid(num_samples: int, window_size: int, step_size: int,
 
 
 def _upload_waveform_cached(waveform: np.ndarray, cache,
-                            quant: Optional[str] = None) -> jnp.ndarray:
+                            quant: Optional[str] = None,
+                            padded_len: Optional[int] = None
+                            ) -> jnp.ndarray:
     """Per-file device-buffer reuse across pipeline stages.
 
     The diarization pipeline uploads the same (padded) waveform twice —
@@ -214,17 +233,18 @@ def _upload_waveform_cached(waveform: np.ndarray, cache,
     """
     mode = quant if quant is not None else _upload_quant_mode()
     if cache is None:
-        return _upload_waveform(waveform, quant=mode)
+        return _upload_waveform(waveform, quant=mode,
+                                padded_len=padded_len)
     n = waveform.shape[-1]
     stride = max(1, n // 4096)
     probe = (float(waveform.sum(dtype=np.float64)),
              float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
              float(waveform[0, 0]), float(waveform[0, n - 1]))
-    key = (waveform.shape, str(waveform.dtype), probe, mode)
+    key = (waveform.shape, str(waveform.dtype), probe, mode, padded_len)
     hit = cache.get("_device_waveform")
     if hit is not None and hit[0] == key:
         return hit[1]
-    buf = _upload_waveform(waveform, quant=mode)
+    buf = _upload_waveform(waveform, quant=mode, padded_len=padded_len)
     try:
         cache["_device_waveform"] = (key, buf)
     except TypeError:
@@ -383,10 +403,8 @@ class Inference:
         starts, padded_len = _chunk_grid(num_samples, window_size,
                                          step_size, sample_rate)
         num_chunks = len(starts)
-        if padded_len > num_samples:
-            waveform = np.pad(
-                waveform, ((0, 0), (0, padded_len - num_samples)))
-        device_waveform = _upload_waveform_cached(waveform, cache)
+        device_waveform = _upload_waveform_cached(
+            waveform, cache, padded_len=padded_len)
 
         if self._jitted_batch is None:
             self._jitted_batch = self._make_batch_fn(window_size)
@@ -398,8 +416,20 @@ class Inference:
         for b in range(num_batches):
             batch_starts = starts[b * B:(b + 1) * B]
             n_real = len(batch_starts)
-            if n_real < B:
-                batch_starts = np.pad(batch_starts, (0, B - n_real))
+            # half-size tail executable: a <= B/2 tail pads to B/2, not B
+            # (jit specializes per starts shape, so this is ONE extra
+            # compile that halves the wasted tail compute — e.g. a
+            # 591-chunk file runs 256+256+128 instead of 3x256). Under a
+            # mesh the half batch must still divide the data axis.
+            # PYANNOTE_TPU_TAIL_HALF_BATCH=0 restores single-shape
+            # batching (e.g. to cap remote-compile count).
+            half_ok = B // 2 >= 1 and (
+                self.mesh is None or (B // 2) % self.mesh.size == 0) \
+                and os.environ.get("PYANNOTE_TPU_TAIL_HALF_BATCH",
+                                   "1") == "1"
+            pad_to = B // 2 if (n_real <= B // 2 and half_ok) else B
+            if n_real < pad_to:
+                batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
             try:
                 out = self._jitted_batch(self.model.params,
                                          device_waveform,
@@ -494,11 +524,7 @@ class Inference:
         step_size = round(self.step * sample_rate)
         _, padded_len = _chunk_grid(waveform.shape[-1], window_size,
                                     step_size, sample_rate)
-        if padded_len > waveform.shape[-1]:
-            waveform = np.pad(
-                waveform,
-                ((0, 0), (0, padded_len - waveform.shape[-1])))
-        _upload_waveform_cached(waveform, file)
+        _upload_waveform_cached(waveform, file, padded_len=padded_len)
 
     def __call__(self, file: AudioFile, hook: Optional[Callable] = None):
         """Run inference on a whole file (reference inference.py:375-415)."""

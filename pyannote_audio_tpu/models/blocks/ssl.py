@@ -179,6 +179,11 @@ class SSLEncoder(nn.Module):
     rel_pos_bias: bool = False    # True for WavLM
     pre_ln: bool = True           # HF do_stable_layer_norm
     conv_norm_mode: str = "group"
+    #: apply the encoder LayerNorm to the LAST returned state in pre_ln
+    #: mode (HF last_hidden_state convention). torchaudio's
+    #: extract_features returns RAW layer outputs — layer-averaging
+    #: consumers (SSeRiouSS) pass False for that parity.
+    normalize_last: bool = True
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> List[jnp.ndarray]:
@@ -204,7 +209,7 @@ class SSLEncoder(nn.Module):
                                  name=f"layer_{i}")(
                                      h, position_bias=position_bias)
             states.append(h)
-        if self.pre_ln:
+        if self.pre_ln and self.normalize_last:
             states[-1] = nn.LayerNorm(epsilon=1e-5, name="final_norm")(states[-1])
         return states
 
@@ -227,12 +232,36 @@ class SSLEncoder(nn.Module):
             stride=list(CONV_STRIDES), padding=[0] * 7, dilation=[1] * 7)
 
 
+def _normalize_ssl_keys(state: Dict[str, np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+    """Fold torchaudio ``wav2vec2_model`` naming onto the HF layout.
+
+    torchaudio (the reference's SSL runtime, SSeRiouSS.py:96-123) nests
+    the projection and transformer one level deeper:
+    ``encoder.feature_projection.*`` -> ``feature_projection.*`` and
+    ``encoder.transformer.*`` -> ``encoder.*``; per-layer module names
+    (attention.{q,k,v,out}_proj, layer_norm, final_layer_norm,
+    feed_forward.*) already coincide.
+    """
+    out = {}
+    for key, value in state.items():
+        if key.startswith("encoder.transformer."):
+            key = "encoder." + key[len("encoder.transformer."):]
+        elif key.startswith("encoder.feature_projection."):
+            key = "feature_projection." \
+                + key[len("encoder.feature_projection."):]
+        out[key] = value
+    return out
+
+
 def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
                            layers: int = 12) -> Dict:
     """Map an HF torch Wav2Vec2Model/WavLMModel state dict to SSLEncoder.
 
-    Handles the ``wav2vec2.`` / bare prefixes of HF checkpoints.
+    Handles the ``wav2vec2.`` / bare prefixes of HF checkpoints and the
+    torchaudio ``wav2vec2_model`` layout (_normalize_ssl_keys).
     """
+    state = _normalize_ssl_keys(state)
     def get(*names):
         for n in names:
             for prefix in ("", "wav2vec2.", "wavlm."):

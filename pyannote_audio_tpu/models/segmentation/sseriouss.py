@@ -126,13 +126,22 @@ class SSeRiouSSModule(nn.Module):
                             rel_pos_bias=self.rel_pos_bias,
                             pre_ln=self.ssl_pre_ln,
                             conv_norm_mode=self.ssl_conv_norm,
+                            # torchaudio extract_features parity: RAW
+                            # per-layer outputs feed the averaging/head
+                            normalize_last=False,
                             name="wav2vec")(waveforms)
         if self.wav2vec_layer < 0:
-            weights = self.param("layer_weights", nn.initializers.zeros,
-                                 (len(states),))
+            # learnable average over the num_layers TRANSFORMER outputs
+            # (reference wav2vec_weights has length num_layers,
+            # SSeRiouSS.py:125-128 — the embedding state is excluded)
+            layer_states = states[1:]
+            weights = self.param("layer_weights", nn.initializers.ones,
+                                 (len(layer_states),))
             w = jax.nn.softmax(weights)
-            x = sum(wi * si for wi, si in zip(w, states))
+            x = sum(wi * si for wi, si in zip(w, layer_states))
         else:
+            # extract_features(num_layers=k)[-1] == output of layer k-1
+            # == states[k] (states[0] is the pre-layer embedding)
             x = states[self.wav2vec_layer]
         x = LSTM(hidden_size=self.lstm_hidden, num_layers=self.lstm_layers,
                  bidirectional=self.bidirectional, name="lstm")(x)
@@ -182,6 +191,23 @@ class SSeRiouSS(Model):
             self._ssl_state = _load_torch_ssl_state(path)
             self.ssl_config = _infer_ssl_config(self._ssl_state)
             self.wav2vec_name = str(wav2vec)
+        elif isinstance(wav2vec, dict) and "encoder_embed_dim" in wav2vec:
+            # reference checkpoints persist the torchaudio
+            # ``wav2vec2_model``/``wavlm_model`` kwargs as hparams
+            # (SSeRiouSS.py:118-123); translate them to our config
+            conv_cfg = wav2vec.get("extractor_conv_layer_config") or []
+            self.ssl_config = dict(
+                hidden=wav2vec["encoder_embed_dim"],
+                layers=wav2vec["encoder_num_layers"],
+                heads=wav2vec["encoder_num_heads"],
+                ffn=wav2vec["encoder_ff_interm_features"],
+                conv_channels=conv_cfg[0][0] if conv_cfg else 512,
+                rel_pos_bias="encoder_num_buckets" in wav2vec,
+                pre_ln=wav2vec.get("encoder_layer_norm_first", False),
+                conv_norm="layer"
+                if wav2vec.get("extractor_mode") == "layer_norm"
+                else "group")
+            self.wav2vec_name = dict(wav2vec)
         else:
             self.ssl_config = dict(wav2vec)
             self.wav2vec_name = "custom"
@@ -241,6 +267,43 @@ class SSeRiouSS(Model):
 
     def receptive_field_center(self, frame: int = 0) -> int:
         return SSLEncoder.receptive_field_center(frame)
+
+    def convert_torch_state_dict(self, state: Dict[str, np.ndarray]):
+        """Map a FULL reference SSeRiouSS state_dict onto our pytree.
+
+        Reference layout (SSeRiouSS.py:96-150): ``wav2vec.*`` is a
+        torchaudio wav2vec2_model (normalized to HF keys by the SSL
+        converter), ``wav2vec_weights`` the per-layer averaging logits,
+        plus the monolithic ``lstm.*``, ``linear.{i}.*`` and
+        ``classifier`` head.
+        """
+
+        def get(name):
+            return np.asarray(state[name], dtype=np.float32)
+
+        p: Dict = {"lstm": {}}
+        ssl_state = {k[len("wav2vec."):]: v for k, v in state.items()
+                     if k.startswith("wav2vec.")}
+        p["wav2vec"] = convert_torch_wav2vec2(
+            ssl_state, layers=self.ssl_config["layers"])
+        if "wav2vec_weights" in state:
+            p["layer_weights"] = get("wav2vec_weights").reshape(-1)
+        for i in range(self.lstm["num_layers"]):
+            for suffix in ("", "_reverse"):
+                if suffix and not self.lstm["bidirectional"]:
+                    continue
+                for kind in ("weight_ih", "weight_hh", "bias_ih",
+                             "bias_hh"):
+                    ours = kind.replace("weight_", "w_").replace(
+                        "bias_", "b_")
+                    p["lstm"][f"{ours}_l{i}{suffix}"] = get(
+                        f"lstm.{kind}_l{i}{suffix}")
+        for i in range(self.linear["num_layers"]):
+            p[f"linear_{i}"] = {"kernel": get(f"linear.{i}.weight").T,
+                                "bias": get(f"linear.{i}.bias")}
+        p["classifier"] = {"kernel": get("classifier.weight").T,
+                           "bias": get("classifier.bias")}
+        return {"params": p}
 
     def load_ssl_weights(self, state: Dict[str, np.ndarray]) -> None:
         """Load a torch wav2vec2/WavLM state dict into the trunk."""

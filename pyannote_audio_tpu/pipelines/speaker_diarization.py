@@ -115,8 +115,10 @@ class EmbeddingHotPathMixin:
 
         if device_masks:
             def gather(waveform, starts, all_masks, batch_start):
+                # slice size follows the starts shape so the half-size
+                # tail executable sees matching (B', ...) masks
                 masks = jax.lax.dynamic_slice_in_dim(
-                    all_masks, batch_start, batch_size, axis=0)
+                    all_masks, batch_start, starts.shape[0], axis=0)
                 return gather_chunks(waveform, starts), masks
         else:
             def gather(waveform, starts, masks, batch_start):
@@ -190,8 +192,9 @@ class EmbeddingHotPathMixin:
 
         if device_masks:
             def gather(feats, frame_starts, all_masks, batch_start):
+                # slice size follows the starts shape (half-size tail)
                 masks = jax.lax.dynamic_slice_in_dim(
-                    all_masks, batch_start, batch_size, axis=0)
+                    all_masks, batch_start, frame_starts.shape[0], axis=0)
                 return gather_chunks(feats, frame_starts), masks
         else:
             def gather(feats, frame_starts, masks, batch_start):
@@ -342,8 +345,9 @@ class EmbeddingHotPathMixin:
         if device_masks:
             def gather_pool(params, trunk_frames, starts, all_masks,
                             batch_start):
+                # slice size follows the starts shape (half-size tail)
                 masks = jax.lax.dynamic_slice_in_dim(
-                    all_masks, batch_start, batch_size, axis=0)
+                    all_masks, batch_start, starts.shape[0], axis=0)
                 def get(s):
                     return jax.lax.dynamic_slice(
                         trunk_frames, (s, 0), (trunk_frames_per_chunk, dim))
@@ -416,10 +420,8 @@ class EmbeddingHotPathMixin:
         # slide — ONE source of truth so the stash key always matches
         _, padded_len = _chunk_grid(real_samples, window_samples,
                                     step_samples, sample_rate)
-        if padded_len > waveform.shape[1]:
-            waveform = np.pad(
-                waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
-        device_waveform = _upload_waveform_cached(waveform, file)
+        device_waveform = _upload_waveform_cached(
+            waveform, file, padded_len=padded_len)
 
         cache_attr = "_jitted_shared_trunk_dev" if device_masks \
             else "_jitted_shared_trunk"
@@ -518,13 +520,11 @@ class EmbeddingHotPathMixin:
         _, padded_len = _chunk_grid(waveform.shape[1], window_samples,
                                     step_samples, sample_rate)
         padded_len = max(padded_len, int(starts[-1]) + window_samples)
-        if padded_len > waveform.shape[1]:
-            waveform = np.pad(
-                waveform, ((0, 0), (0, padded_len - waveform.shape[1])))
         from collections.abc import MutableMapping
         from ..core.inference import _upload_waveform_cached
         cache = file if isinstance(file, MutableMapping) else None
-        device_waveform = _upload_waveform_cached(waveform, cache)
+        device_waveform = _upload_waveform_cached(
+            waveform, cache, padded_len=padded_len)
 
         if self._embedding.module is None:
             self._embedding.build()
@@ -604,8 +604,18 @@ class EmbeddingHotPathMixin:
         for b in range(num_batches):
             batch_starts = starts_for_batch[b * B:(b + 1) * B]
             n_real = len(batch_starts)
-            if n_real < B:
-                batch_starts = np.pad(batch_starts, (0, B - n_real))
+            # half-size tail executable (one extra jit specialization
+            # instead of padding a small tail to the full batch); under
+            # a mesh the half batch must still divide the data axis.
+            # PYANNOTE_TPU_TAIL_HALF_BATCH=0 restores single-shape.
+            import os as _os
+            half_ok = B // 2 >= 1 and (
+                self.mesh is None or (B // 2) % self.mesh.size == 0) \
+                and _os.environ.get("PYANNOTE_TPU_TAIL_HALF_BATCH",
+                                    "1") == "1"
+            pad_to = B // 2 if (n_real <= B // 2 and half_ok) else B
+            if n_real < pad_to:
+                batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
             if device_masks:
                 emb = batch_fn(
                     self._embedding.params, device_input,
@@ -613,9 +623,10 @@ class EmbeddingHotPathMixin:
                     np.int32(b * B))
             else:
                 batch_masks = masks[b * B:(b + 1) * B]
-                if n_real < B:
+                if n_real < pad_to:
                     batch_masks = np.pad(
-                        batch_masks, ((0, B - n_real), (0, 0), (0, 0)))
+                        batch_masks,
+                        ((0, pad_to - n_real), (0, 0), (0, 0)))
                 emb = batch_fn(
                     self._embedding.params, device_input,
                     jnp.asarray(batch_starts), jnp.asarray(batch_masks),

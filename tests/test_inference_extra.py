@@ -118,6 +118,26 @@ def test_speaker_embedding_pipeline(seg_model, corpus_file):
     assert np.isfinite(vector).all()
 
 
+def test_encode_then_pad_matches_pad_then_encode(monkeypatch):
+    """padded_len appends the SAME codes the old pad-then-encode f32
+    path produced, for every transport mode."""
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.core.inference import _upload_waveform
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.integers(-32768, 32768, size=(1, 1000))
+           .astype(np.float32) / 32768.0)
+    arbitrary = rng.normal(size=(1, 1000)).astype(np.float32) * 0.1
+    for wav in (pcm, arbitrary):
+        padded_f32 = np.pad(wav, ((0, 0), (0, 240)))
+        for mode in ("mulaw", "int16", "f32"):
+            new = np.asarray(_upload_waveform(wav, quant=mode,
+                                              padded_len=1240))
+            old = np.asarray(_upload_waveform(padded_f32, quant=mode))
+            assert new.dtype == old.dtype
+            np.testing.assert_array_equal(new, old)
+
+
 def test_int16_upload_fast_path(seg_model, corpus_file, monkeypatch):
     """PCM16-decoded waveforms ship as int16 (half the relay bytes) with
     bit-exact results; float-valued waveforms fall back to f32."""

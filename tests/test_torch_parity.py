@@ -472,6 +472,75 @@ def test_ssl_wav2vec2_base_matches_hf():
                 layers=2, atol=2e-4)
 
 
+def test_sseriouss_full_checkpoint_matches_torch():
+    """Full reference-shaped SSeRiouSS state dict (torchaudio key layout
+    + wav2vec_weights + LSTM/linear/classifier head) loads through
+    convert_torch_state_dict and matches the torch composition:
+    uniform-softmax average of the num_layers transformer outputs
+    (reference SSeRiouSS.py:125-128, extract_features semantics)."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.sseriouss import SSeRiouSS
+
+    torch.manual_seed(8)
+    hf = Wav2Vec2Model(Wav2Vec2Config(do_stable_layer_norm=False,
+                                      feat_extract_norm="group", **_TINY))
+    hf.eval()
+    lstm = tnn.LSTM(64, 16, num_layers=2, batch_first=True,
+                    bidirectional=True)
+    lin0, lin1 = tnn.Linear(32, 24), tnn.Linear(24, 24)
+    classifier = tnn.Linear(24, 7)
+
+    wav = torch.randn(2, 1, 16000) * 0.1
+    with torch.no_grad():
+        hs = hf(wav[:, 0], output_hidden_states=True).hidden_states
+        x = torch.stack(hs[1:], dim=-1).mean(-1)   # softmax(ones) = mean
+        x, _ = lstm(x)
+        x = F.leaky_relu(lin0(x))
+        x = F.leaky_relu(lin1(x))
+        expected = F.log_softmax(classifier(x), dim=-1).numpy()
+
+    # rename the HF trunk to the torchaudio layout the reference saves
+    state = {}
+    for k, v in hf.state_dict().items():
+        if k.startswith("encoder."):
+            k = "encoder.transformer." + k[len("encoder."):]
+        if k.startswith("feature_projection."):
+            k = "encoder." + k
+        state[f"wav2vec.{k}"] = v.detach().numpy()
+    state["wav2vec_weights"] = np.ones(2, np.float32)
+    for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+        for i in range(2):
+            for sfx in ("", "_reverse"):
+                state[f"lstm.{kind}_l{i}{sfx}"] = getattr(
+                    lstm, f"{kind}_l{i}{sfx}").detach().numpy()
+    for i, lin in enumerate((lin0, lin1)):
+        state[f"linear.{i}.weight"] = lin.weight.detach().numpy()
+        state[f"linear.{i}.bias"] = lin.bias.detach().numpy()
+    state["classifier.weight"] = classifier.weight.detach().numpy()
+    state["classifier.bias"] = classifier.bias.detach().numpy()
+
+    model = SSeRiouSS(
+        wav2vec=dict(hidden=64, layers=2, heads=4, ffn=128,
+                     conv_channels=32, rel_pos_bias=False, pre_ln=False,
+                     conv_norm="group"),
+        lstm={"hidden_size": 16, "num_layers": 2},
+        linear={"hidden_size": 24, "num_layers": 2})
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=1.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray, model.convert_torch_state_dict(state))
+    model._jitted_apply = None
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=5e-4)
+
+
 # --------------------------------------------------------------- ToTaToNet
 
 class TorchGlobLN(tnn.Module):
