@@ -69,17 +69,21 @@ def main() -> int:
 
     optimizer = optax.adam(1e-3)
     step_fn = make_train_step(task, model, optimizer)
-    params = jax.tree_util.tree_map(jnp.array, model.params)
-    opt_state = optimizer.init(params)
 
-    def run(batches, label, params, opt_state):
+    from pyannote_audio_tpu.core.inference import _upload_waveform
+
+    def run(batches, label):
+        # fresh per-run state: the train step DONATES params/opt_state,
+        # so each run must start from un-aliased copies
+        params = jax.tree_util.tree_map(jnp.array, model.params)
+        opt_state = optimizer.init(params)
         # warmup (compile) on the first batch
         first = next(batches)
         y = first.y
         w = None if first.weight is None else jnp.asarray(first.weight)
-        params, opt_state, loss = step_fn(params, opt_state,
-                                          jnp.asarray(first.X),
-                                          jnp.asarray(y), w)
+        params, opt_state, loss = step_fn(
+            params, opt_state, _upload_waveform(first.X, quant="int16"),
+            jnp.asarray(y), w)
         np.asarray(loss)            # sync
         n = 0
         t0 = time.perf_counter()
@@ -89,9 +93,10 @@ def main() -> int:
                 break
             w = None if batch.weight is None \
                 else jnp.asarray(batch.weight)
-            params, opt_state, last = step_fn(params, opt_state,
-                                              jnp.asarray(batch.X),
-                                              jnp.asarray(batch.y), w)
+            params, opt_state, last = step_fn(
+                params, opt_state,
+                _upload_waveform(batch.X, quant="int16"),
+                jnp.asarray(batch.y), w)
             n += 1
         np.asarray(last)            # host sync closes the async chain
         dt = time.perf_counter() - t0
@@ -114,10 +119,9 @@ def main() -> int:
         while True:
             yield one
 
-    ceiling = run(repeat_one(), "prematerialized", params, opt_state)
-    inline = run(endless(0), "num_workers=0", params, opt_state)
-    threaded = run(endless(args.workers), f"num_workers={args.workers}",
-                   params, opt_state)
+    ceiling = run(repeat_one(), "prematerialized")
+    inline = run(endless(0), "num_workers=0")
+    threaded = run(endless(args.workers), f"num_workers={args.workers}")
     verdict = {
         "compute_bound": threaded["steps_per_s"]
         >= 0.9 * ceiling["steps_per_s"],

@@ -98,6 +98,13 @@ def _decode_wav_bytes(raw: bytes, frame_offset: int = 0,
     num_frames = max(0, min(num_frames, meta.num_samples - frame_offset))
     start = data_offset + frame_offset * stride
     buf = raw[start:start + num_frames * stride]
+    return _decode_pcm_frames(buf, meta), meta.sample_rate
+
+
+def _decode_pcm_frames(buf: bytes, meta: "AudioMetadata") -> np.ndarray:
+    """Raw PCM frame bytes → (channel, time) f32 (layout from ``meta``)."""
+    bps = meta.bits_per_sample // 8
+    stride = bps * meta.num_channels
     buf = buf[:(len(buf) // stride) * stride]  # tolerate truncated files
     if meta.encoding == "float":
         dtype = {4: "<f4", 8: "<f8"}[bps]
@@ -119,7 +126,7 @@ def _decode_wav_bytes(raw: bytes, frame_offset: int = 0,
     else:
         raise ValueError(f"unsupported bit depth {meta.bits_per_sample}")
     x = x.reshape(-1, meta.num_channels).T  # (channel, time)
-    return np.ascontiguousarray(x), meta.sample_rate
+    return np.ascontiguousarray(x)
 
 
 def _read_bytes(file: Union[str, Path, IO]) -> bytes:
@@ -333,24 +340,41 @@ class Audio:
             total = waveform.shape[1]
         else:
             raw = file.get("_bytes")
-            if raw is None:
-                raw = _read_bytes(file["audio"])
-            try:
-                meta, _, _ = _parse_wav_header(raw)
-                sample_rate, total = meta.sample_rate, meta.num_samples
-                waveform = None
-            except ValueError:
-                if not isinstance(file["audio"], (str, Path)):
-                    raise
-                # non-WAV: compressed formats have no cheap random access
-                # -> decode once, cache in the file dict, slice from memory
-                waveform, sample_rate = _codec_decode_or_raise(
-                    str(file["audio"]))
-                total = waveform.shape[1]
+            meta = ranged_path = None
+            if raw is None and isinstance(file["audio"], (str, Path)):
+                # ranged access: read only the header now and seek to the
+                # requested frames later — a 5 s training crop of a long
+                # WAV costs ~160 KB of IO instead of reading + decoding
+                # the whole file (the dominant cost of batch preparation)
                 try:
-                    file["_codec_waveform"] = (waveform, sample_rate)
-                except TypeError:
-                    pass
+                    with open(file["audio"], "rb") as f:
+                        header = f.read(65536)
+                    meta, data_offset, _ = _parse_wav_header(header)
+                    sample_rate, total = meta.sample_rate, meta.num_samples
+                    waveform = None
+                    ranged_path = file["audio"]
+                except ValueError:
+                    meta = None
+            if meta is None:
+                if raw is None:
+                    raw = _read_bytes(file["audio"])
+                try:
+                    meta, _, _ = _parse_wav_header(raw)
+                    sample_rate, total = meta.sample_rate, meta.num_samples
+                    waveform = None
+                except ValueError:
+                    if not isinstance(file["audio"], (str, Path)):
+                        raise
+                    # non-WAV: compressed formats have no cheap random
+                    # access -> decode once, cache in the file dict,
+                    # slice from memory
+                    waveform, sample_rate = _codec_decode_or_raise(
+                        str(file["audio"]))
+                    total = waveform.shape[1]
+                    try:
+                        file["_codec_waveform"] = (waveform, sample_rate)
+                    except TypeError:
+                        pass
 
         start_frame = int(round(segment.start * sample_rate))
         if duration is None:
@@ -372,6 +396,12 @@ class Audio:
         hi = min(total, start_frame + num_frames)
         if waveform is not None:
             data = waveform[:, lo:hi].astype(np.float32)
+        elif ranged_path is not None:
+            stride = (meta.bits_per_sample // 8) * meta.num_channels
+            with open(ranged_path, "rb") as f:
+                f.seek(data_offset + lo * stride)
+                buf = f.read(max(0, hi - lo) * stride)
+            data = _decode_pcm_frames(buf, meta)
         else:
             data, _ = _decode_wav_bytes(raw, frame_offset=lo,
                                         num_frames=hi - lo)

@@ -2,9 +2,11 @@ from .auroc import BinnedAUROC
 from .der import (DiarizationErrorRate, GreedyDiarizationErrorRate,
                   detection_error_rate, diarization_error_rate,
                   optimal_mapping)
-from .streaming import (DetectionErrorRate, EqualErrorRate, FalseAlarmRate,
+from .streaming import (DetectionErrorRate, DiarizationPrecision,
+                        DiarizationRecall, EqualErrorRate, FalseAlarmRate,
                         MissedDetectionRate, OptimalDiarizationErrorRate,
-                        SpeakerConfusionRate)
+                        SpeakerConfusionRate, der_update, det_curve,
+                        merge_psum)
 from .streaming import DiarizationErrorRate as StreamingDiarizationErrorRate
 
 __all__ = [
@@ -19,6 +21,11 @@ __all__ = [
     "SpeakerConfusionRate",
     "DetectionErrorRate",
     "OptimalDiarizationErrorRate",
+    "DiarizationPrecision",
+    "DiarizationRecall",
     "EqualErrorRate",
     "BinnedAUROC",
+    "der_update",
+    "det_curve",
+    "merge_psum",
 ]

@@ -98,9 +98,10 @@ class SincConv(nn.Module):
     """Learnable sinc filterbank as a strided conv. Input (B, T, 1).
 
     ``compute_dtype=bfloat16`` runs the big strided contraction on the
-    MXU in bf16 with f32 accumulation (the sinc parameters and kernel
-    materialization stay f32; only the conv operands are cast). The
-    input is instance-normalized (unit variance) so bf16's 8-bit
+    MXU in bf16 (f32 partial-sum accumulation on TPU; the sinc
+    parameters and kernel materialization stay f32, the bf16 output is
+    cast back to f32 — AD-safe, unlike a mixed preferred_element_type).
+    The input is instance-normalized (unit variance) so bf16's 8-bit
     mantissa costs ~1e-2 relative error — gated off by default, see
     SincNet.
     """
@@ -123,14 +124,20 @@ class SincConv(nn.Module):
         kernels = sinc_filters(low_hz, band_hz, self.kernel_size,
                                self.sample_rate, self.min_low_hz,
                                self.min_band_hz)
-        return jax.lax.conv_general_dilated(
+        # output stays in compute_dtype, cast back explicitly: mixing a
+        # bf16 operand with preferred_element_type=f32 breaks the conv's
+        # VJP (f32 cotangent vs bf16 operand dtypes in the transpose
+        # conv). The MXU still accumulates partial sums in f32; bf16
+        # costs one extra rounding of the OUTPUT only — matching the
+        # flax nn.Conv(dtype=bf16) layers below.
+        out = jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
             kernels[:, None, :].astype(self.compute_dtype),
             window_strides=(self.stride,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
         )
+        return out.astype(jnp.float32)
 
 
 class SincNet(nn.Module):

@@ -69,6 +69,13 @@ def make_train_step(task: Task, model: Model, optimizer,
         return jax.tree_util.tree_map_with_path(mask, updates)
 
     def step_fn(params, opt_state, X, y, w):
+        # int16 batch transport (Trainer.fit uploads PCM16-representable
+        # crops as int16 — half the relay bytes; transfers don't overlap
+        # compute, so upload is a hard serial per-step cost): expand back
+        # to f32 on device before the forward
+        from ..core.inference import _dequantize
+        X = _dequantize(X)
+
         def loss_fn(p):
             return task.loss(model, p, TrainingBatch(X=X, y=y, weight=w))
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -218,8 +225,10 @@ class Trainer:
                     (len(batch.X), 1), np.float32)
                 w = None if batch.weight is None \
                     else jnp.asarray(batch.weight)
+                from ..core.inference import _upload_waveform
                 params, opt, loss = step_fn(params, opt,
-                                            jnp.asarray(batch.X),
+                                            _upload_waveform(
+                                                batch.X, quant="int16"),
                                             jnp.asarray(y), w)
                 loss = float(loss)
                 if math.isfinite(loss):
@@ -310,7 +319,10 @@ class Trainer:
         chunks = getattr(task, "prepare_validation", lambda: [])()
         if not chunks:
             return {}
-        from ..metrics.streaming import (DiarizationErrorRate,
+        from ..metrics.streaming import (DetectionErrorRate,
+                                         DiarizationErrorRate,
+                                         DiarizationPrecision,
+                                         DiarizationRecall,
                                          FalseAlarmRate,
                                          MissedDetectionRate,
                                          OptimalDiarizationErrorRate,
@@ -344,11 +356,16 @@ class Trainer:
             n_dev = int(np.prod([s for s in self.mesh.devices.shape]))
             eval_batch_size = max(eval_batch_size // n_dev, 1) * n_dev
 
+        # the reference's full default_metric family at threshold 0.5
+        # (tasks/segmentation/speaker_diarization.py:487-501)
         metrics = {
             "der/val": DiarizationErrorRate(),
             "der/val/false_alarm": FalseAlarmRate(),
             "der/val/missed_detection": MissedDetectionRate(),
             "der/val/confusion": SpeakerConfusionRate(),
+            "der/val/precision": DiarizationPrecision(),
+            "der/val/recall": DiarizationRecall(),
+            "der/val/detection": DetectionErrorRate(),
         }
         optimal = OptimalDiarizationErrorRate()
         from ..metrics.auroc import BinnedAUROC

@@ -45,6 +45,8 @@ def test_dryrun_multichip_from_single_device_process():
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "dp training ok" in proc.stdout, proc.stdout
     assert "tp+dp SSL forward ok" in proc.stdout, proc.stdout
+    assert "sharded SpeakerDiarization apply ok" in proc.stdout, \
+        proc.stdout
 
 
 def test_entry_compiles_and_runs():

@@ -66,6 +66,25 @@ def test_optimal_der_meaningful_on_soft_scores():
     assert np.std(ders) > 0.01
 
 
+def test_optimal_der_is_one_dispatch_per_batch(monkeypatch):
+    """The 51-threshold sweep runs ONE der-components evaluation per
+    update (round-2 review: it used to be 51 dispatches + 204 syncs)."""
+    import pyannote_audio_tpu.metrics.streaming as streaming
+
+    calls = []
+    real = streaming.der_components
+
+    def counting(preds, target, thresholds):
+        calls.append(np.asarray(thresholds).shape)
+        return real(preds, target, thresholds)
+
+    monkeypatch.setattr(streaming, "der_components", counting)
+    preds, target = _random_batch(seed=6)
+    metric = streaming.OptimalDiarizationErrorRate()
+    metric.update(preds, target)
+    assert calls == [(51,)]
+
+
 # ------------------------------------------- torchmetrics forward contract
 
 def test_forward_returns_batch_value_compute_returns_aggregate():
