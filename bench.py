@@ -41,7 +41,12 @@ def main():
     # shape buckets (10/7.5/5 min -> distinct 30 s padded-length buckets
     # + a half-size tail batch), not 3x the same length. Override with
     # BENCH_FILE_MINUTES="10,10,10" for the legacy uniform batch.
-    lengths_env = os.environ.get("BENCH_FILE_MINUTES", "10,7.5,5")
+    # explicit BENCH_AUDIO_MINUTES (the legacy knob) without
+    # BENCH_FILE_MINUTES keeps its old meaning: uniform-length files
+    lengths_env = os.environ.get("BENCH_FILE_MINUTES")
+    if lengths_env is None:
+        lengths_env = ",".join([str(audio_minutes)] * num_files) \
+            if "BENCH_AUDIO_MINUTES" in os.environ else "10,7.5,5"
     file_minutes = [float(x) for x in lengths_env.split(",") if x]
     while len(file_minutes) < num_files:
         file_minutes.append(audio_minutes)

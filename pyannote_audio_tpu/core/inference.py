@@ -182,6 +182,21 @@ def _to_pcm16_scale(x: jnp.ndarray) -> jnp.ndarray:
 
 
 
+def _tail_pad_to(batch_size: int, n_real: int, mesh=None) -> int:
+    """Padded size for a batch of ``n_real`` items: a <= B/2 tail pads to
+    B/2 instead of B — ONE extra jit specialization per stage that halves
+    wasted tail compute (e.g. a 591-chunk file runs 256+256+128 instead
+    of 3x256). Guards: the half batch must still divide a mesh's data
+    axis, and PYANNOTE_TPU_TAIL_HALF_BATCH=0 restores single-shape
+    batching (e.g. to cap remote-compile count). Shared by the
+    segmentation and embedding batch loops so their gates never
+    desynchronize from the shape-following mask slices."""
+    half = batch_size // 2
+    half_ok = half >= 1 and (mesh is None or half % mesh.size == 0) \
+        and os.environ.get("PYANNOTE_TPU_TAIL_HALF_BATCH", "1") == "1"
+    return half if (n_real <= half and half_ok) else batch_size
+
+
 def _is_oom_error(exception: BaseException) -> bool:
     """XLA out-of-HBM detection (parity role: reference
     inference.py:201-206 / lightning's is_oom_error). XLA surfaces OOM as
@@ -416,18 +431,7 @@ class Inference:
         for b in range(num_batches):
             batch_starts = starts[b * B:(b + 1) * B]
             n_real = len(batch_starts)
-            # half-size tail executable: a <= B/2 tail pads to B/2, not B
-            # (jit specializes per starts shape, so this is ONE extra
-            # compile that halves the wasted tail compute — e.g. a
-            # 591-chunk file runs 256+256+128 instead of 3x256). Under a
-            # mesh the half batch must still divide the data axis.
-            # PYANNOTE_TPU_TAIL_HALF_BATCH=0 restores single-shape
-            # batching (e.g. to cap remote-compile count).
-            half_ok = B // 2 >= 1 and (
-                self.mesh is None or (B // 2) % self.mesh.size == 0) \
-                and os.environ.get("PYANNOTE_TPU_TAIL_HALF_BATCH",
-                                   "1") == "1"
-            pad_to = B // 2 if (n_real <= B // 2 and half_ok) else B
+            pad_to = _tail_pad_to(B, n_real, self.mesh)
             if n_real < pad_to:
                 batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
             try:

@@ -345,16 +345,31 @@ class Audio:
                 # ranged access: read only the header now and seek to the
                 # requested frames later — a 5 s training crop of a long
                 # WAV costs ~160 KB of IO instead of reading + decoding
-                # the whole file (the dominant cost of batch preparation)
-                try:
-                    with open(file["audio"], "rb") as f:
-                        header = f.read(65536)
-                    meta, data_offset, _ = _parse_wav_header(header)
+                # the whole file (the dominant cost of batch preparation).
+                # The parsed header is cached on mutable file dicts so
+                # repeated crops skip the 64 KB read + parse.
+                cached = file.get("_wav_header")
+                if cached is not None and cached[0] == str(file["audio"]):
+                    _, meta, data_offset = cached
                     sample_rate, total = meta.sample_rate, meta.num_samples
                     waveform = None
                     ranged_path = file["audio"]
-                except ValueError:
-                    meta = None
+                else:
+                    try:
+                        with open(file["audio"], "rb") as f:
+                            header = f.read(65536)
+                        meta, data_offset, _ = _parse_wav_header(header)
+                        sample_rate, total = (meta.sample_rate,
+                                              meta.num_samples)
+                        waveform = None
+                        ranged_path = file["audio"]
+                        try:
+                            file["_wav_header"] = (str(file["audio"]),
+                                                   meta, data_offset)
+                        except TypeError:
+                            pass      # immutable mapping: skip caching
+                    except ValueError:
+                        meta = None
             if meta is None:
                 if raw is None:
                     raw = _read_bytes(file["audio"])

@@ -428,16 +428,24 @@ class Task:
         stop = threading.Event()
 
         def run(w: int) -> None:
-            for batch in self.train_batches(epoch=epoch, worker_id=w,
-                                            rank=rank):
+            def push(item) -> bool:
                 while not stop.is_set():
                     try:
-                        queues[w].put(batch, timeout=0.1)
-                        break
+                        queues[w].put(item, timeout=0.1)
+                        return True
                     except queue.Full:
                         continue
-                if stop.is_set():
-                    return
+                return False
+
+            try:
+                for batch in self.train_batches(epoch=epoch, worker_id=w,
+                                                rank=rank):
+                    if not push(batch):
+                        return
+            except BaseException as exc:  # noqa: BLE001 — re-raised in
+                # the consumer: a dead worker must fail the training run
+                # like the inline path would, not stall it forever
+                push(exc)
 
         threads = [threading.Thread(target=run, args=(w,), daemon=True)
                    for w in range(workers)]
@@ -445,7 +453,10 @@ class Task:
             t.start()
         try:
             for i in range(num_batches):
-                yield queues[i % workers].get()
+                item = queues[i % workers].get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
             for q in queues:        # unblock producers stuck on put()

@@ -604,16 +604,8 @@ class EmbeddingHotPathMixin:
         for b in range(num_batches):
             batch_starts = starts_for_batch[b * B:(b + 1) * B]
             n_real = len(batch_starts)
-            # half-size tail executable (one extra jit specialization
-            # instead of padding a small tail to the full batch); under
-            # a mesh the half batch must still divide the data axis.
-            # PYANNOTE_TPU_TAIL_HALF_BATCH=0 restores single-shape.
-            import os as _os
-            half_ok = B // 2 >= 1 and (
-                self.mesh is None or (B // 2) % self.mesh.size == 0) \
-                and _os.environ.get("PYANNOTE_TPU_TAIL_HALF_BATCH",
-                                    "1") == "1"
-            pad_to = B // 2 if (n_real <= B // 2 and half_ok) else B
+            from ..core.inference import _tail_pad_to
+            pad_to = _tail_pad_to(B, n_real, self.mesh)
             if n_real < pad_to:
                 batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
             if device_masks:

@@ -257,7 +257,10 @@ class PixIT(Task):
             mix1 = X[0:even:2, 0]
             mix2 = X[1:even:2, 0]
         else:
-            return diar_loss
+            # single-sample batch: no MoM possible (reference common_step
+            # skips these). Keep the (1-w) weighting so the value stays
+            # on the same scale as every other batch.
+            return (1.0 - self.separation_loss_weight) * diar_loss
         mom = (mix1 + mix2)[:, None, :]
         _, est_sources = model.apply_fn(params, mom)
         sep_loss = mixit_loss(est_sources, mix1, mix2)

@@ -38,7 +38,6 @@ DEFAULT_THRESHOLDS = np.linspace(0.0, 1.0, 51)
 def make_eval_step(
     apply_fn: Callable,
     powerset=None,
-    num_target_frames: Optional[int] = None,
     thresholds: np.ndarray = DEFAULT_THRESHOLDS,
     mesh: Optional[Mesh] = None,
 ) -> Callable:

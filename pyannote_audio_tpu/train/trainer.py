@@ -344,13 +344,15 @@ class Trainer:
         else:
             selected = chunks
 
-        # jitted callables are keyed on the module instance: a rebuilt
-        # model (new head) must not reuse a stale executable
-        if getattr(self, "_val_apply_key", None) is not model.module:
+        # jitted callables are keyed on (module, powerset, mesh): a
+        # rebuilt model (new head), a task swap (different powerset /
+        # none), or a mesh change must not reuse a stale executable
+        val_key = (model.module, powerset, self.mesh)
+        if getattr(self, "_val_apply_key", None) != val_key:
             self._val_apply = jax.jit(model.apply_fn)
             self._val_eval_step = make_eval_step(
                 model.apply_fn, powerset=powerset, mesh=self.mesh)
-            self._val_apply_key = model.module
+            self._val_apply_key = val_key
 
         if self.mesh is not None:
             n_dev = int(np.prod([s for s in self.mesh.devices.shape]))

@@ -166,6 +166,22 @@ def test_threaded_input_pipeline(protocol):
         np.testing.assert_array_equal(run1[2], w0[1].X)
 
 
+def test_threaded_input_pipeline_propagates_worker_errors(protocol):
+    """A dying worker must FAIL the consumer (like the inline path),
+    not stall queue.get() forever."""
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2,
+                              num_workers=2)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+
+    def boom(*a, **k):
+        raise RuntimeError("corrupt training file")
+
+    task.prepare_chunk = boom
+    with pytest.raises(RuntimeError, match="corrupt training file"):
+        list(task.train_batches_parallel(epoch=0))
+
+
 def test_task_reproducibility(protocol):
     task = SpeakerDiarization(protocol, duration=2.0, batch_size=2, seed=7)
     model = SimpleSegmentationModel(task=task)
