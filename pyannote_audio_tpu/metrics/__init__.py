@@ -5,8 +5,10 @@ from .der import (DiarizationErrorRate, GreedyDiarizationErrorRate,
 from .streaming import (DetectionErrorRate, DiarizationPrecision,
                         DiarizationRecall, EqualErrorRate, FalseAlarmRate,
                         MissedDetectionRate, OptimalDiarizationErrorRate,
-                        SpeakerConfusionRate, der_update, det_curve,
-                        merge_psum)
+                        OptimalDiarizationErrorRateThreshold,
+                        OptimalFalseAlarmRate, OptimalMissedDetectionRate,
+                        OptimalSpeakerConfusionRate, SpeakerConfusionRate,
+                        der_update, det_curve, merge_psum)
 from .streaming import DiarizationErrorRate as StreamingDiarizationErrorRate
 
 __all__ = [
@@ -21,6 +23,10 @@ __all__ = [
     "SpeakerConfusionRate",
     "DetectionErrorRate",
     "OptimalDiarizationErrorRate",
+    "OptimalDiarizationErrorRateThreshold",
+    "OptimalFalseAlarmRate",
+    "OptimalMissedDetectionRate",
+    "OptimalSpeakerConfusionRate",
     "DiarizationPrecision",
     "DiarizationRecall",
     "EqualErrorRate",

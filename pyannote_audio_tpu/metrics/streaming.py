@@ -292,6 +292,60 @@ class OptimalDiarizationErrorRate(_StreamingMetric):
                 + self.speaker_confusion) / max(self.speech_total, 1e-8)
         return float(self.thresholds[int(np.argmin(ders))])
 
+    def _optimal_index(self, fa, miss, conf, total) -> int:
+        ders = (np.asarray(fa) + np.asarray(miss) + np.asarray(conf)) \
+            / max(float(total), 1e-8)
+        return int(np.argmin(ders))
+
+
+class OptimalDiarizationErrorRateThreshold(OptimalDiarizationErrorRate):
+    """The DER-optimal threshold itself (reference torchmetrics :364)."""
+
+    @staticmethod
+    def _from_components(fa, miss, conf, total) -> float:
+        raise NotImplementedError     # threshold needs self.thresholds
+
+    def compute(self) -> float:
+        return self.optimal_threshold
+
+    def __call__(self, preds, target) -> float:
+        fa, miss, conf, total = self.update(preds, target)
+        return float(self.thresholds[
+            self._optimal_index(fa, miss, conf, total)])
+
+
+class _OptimalComponent(OptimalDiarizationErrorRate):
+    """A DER component evaluated AT the DER-optimal threshold
+    (reference torchmetrics :380-419)."""
+
+    _component = "false_alarm"
+
+    def _value(self, fa, miss, conf, total) -> float:
+        i = self._optimal_index(fa, miss, conf, total)
+        parts = {"false_alarm": fa, "missed_detection": miss,
+                 "speaker_confusion": conf}
+        return float(np.asarray(parts[self._component])[i]) \
+            / max(float(total), 1e-8)
+
+    def compute(self) -> float:
+        return self._value(self.false_alarm, self.missed_detection,
+                           self.speaker_confusion, self.speech_total)
+
+    def __call__(self, preds, target) -> float:
+        return self._value(*self.update(preds, target))
+
+
+class OptimalFalseAlarmRate(_OptimalComponent):
+    _component = "false_alarm"
+
+
+class OptimalMissedDetectionRate(_OptimalComponent):
+    _component = "missed_detection"
+
+
+class OptimalSpeakerConfusionRate(_OptimalComponent):
+    _component = "speaker_confusion"
+
 
 def det_curve(scores: np.ndarray, labels: np.ndarray
               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -85,6 +85,28 @@ def test_optimal_der_is_one_dispatch_per_batch(monkeypatch):
     assert calls == [(51,)]
 
 
+def test_optimal_component_family():
+    """Optimal{FalseAlarm,MissedDetection,SpeakerConfusion}Rate and
+    OptimalDiarizationErrorRateThreshold evaluate at the DER-optimal
+    threshold and decompose the optimal DER exactly (reference
+    torchmetrics :364-419)."""
+    from pyannote_audio_tpu.metrics.streaming import (
+        OptimalDiarizationErrorRateThreshold, OptimalFalseAlarmRate,
+        OptimalMissedDetectionRate, OptimalSpeakerConfusionRate)
+
+    preds, target = _random_batch(seed=9)
+    der = OptimalDiarizationErrorRate()
+    thr = OptimalDiarizationErrorRateThreshold()
+    fa = OptimalFalseAlarmRate()
+    miss = OptimalMissedDetectionRate()
+    conf = OptimalSpeakerConfusionRate()
+    for m in (der, thr, fa, miss, conf):
+        m.update(preds, target)
+    assert thr.compute() == pytest.approx(der.optimal_threshold)
+    assert fa.compute() + miss.compute() + conf.compute() \
+        == pytest.approx(der.compute(), abs=1e-6)
+
+
 # ------------------------------------------- torchmetrics forward contract
 
 def test_forward_returns_batch_value_compute_returns_aggregate():
