@@ -120,6 +120,11 @@ class Task:
             return
         if self.cache is not None:
             from pathlib import Path
+            # multi-host parity: the reference broadcasts the cache path
+            # prepared by rank 0 (core/task.py:620-622); here host 0's
+            # path wins over DCN (no-op for single-process runs)
+            from ..parallel.mesh import broadcast_from_host0
+            self.cache = broadcast_from_host0(str(self.cache))
             cache_path = Path(self.cache)
             if cache_path.exists() and cache_path.stat().st_size > 0:
                 prepared = _load_prepared_data(cache_path)

@@ -52,3 +52,27 @@ def shard_batch(batch, mesh: Mesh):
 def pad_to_devices(n: int, num_devices: int) -> int:
     """Smallest multiple of num_devices >= n (batch divisibility)."""
     return -(-n // num_devices) * num_devices
+
+
+def broadcast_from_host0(value: str) -> str:
+    """Host-0 -> all-hosts string broadcast over DCN.
+
+    Parity role: the reference's ``trainer.strategy.broadcast`` of the
+    prepared-data cache path across DDP ranks (reference
+    core/task.py:620-622; SURVEY.md §2.8 maps it to
+    ``multihost_utils.broadcast_one_to_all``). Single-process runs
+    return the value unchanged, so callers need no process-count
+    branches.
+    """
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    data = np.frombuffer(value.encode("utf-8"), dtype=np.uint8)
+    # fixed-length frame: agree on host 0's length first, then ship the
+    # bytes (every host must contribute a same-shape buffer)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray(len(data), dtype=np.int32)))
+    buf = np.zeros(max(n, 1), dtype=np.uint8)
+    buf[:min(len(data), n)] = data[:n]
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out[:n])).decode("utf-8")
