@@ -224,6 +224,19 @@ def test_trainer_fit_multidevice_dp(protocol):
     trainer = Trainer(max_epochs=1, limit_train_batches=2, mesh=mesh)
     trainer.fit(model, task)
     assert np.isfinite(trainer.history[0]["loss"])
+    # XLA's inserted gradient all-reduce must reproduce the
+    # single-device run exactly: same seed, same batches -> same losses
+    # and same validation metrics
+    task1 = SpeakerDiarization(protocol, duration=2.0, batch_size=8)
+    model1 = SimpleSegmentationModel(task=task1)
+    trainer1 = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer1.fit(model1, task1)
+    rec8, rec1 = trainer.history[0], trainer1.history[0]
+    assert rec8["loss"] == pytest.approx(rec1["loss"], rel=1e-4)
+    for key in ("der/val", "der/val/optimal", "loss/val"):
+        if key in rec1:
+            assert rec8[key] == pytest.approx(rec1[key],
+                                              rel=1e-4, abs=1e-5), key
 
 
 def test_trainer_checkpoint_roundtrip(protocol, tmp_path):
