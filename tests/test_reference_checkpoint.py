@@ -113,6 +113,103 @@ def test_load_reference_style_checkpoint(tmp_path):
     np.testing.assert_allclose(ours, expected, atol=2e-4)
 
 
+def test_load_reference_sseriouss_checkpoint(tmp_path):
+    """A reference-style SSeRiouSS checkpoint (torchaudio wav2vec2_model
+    hparams dict + torchaudio key layout) loads through
+    Model.from_pretrained and matches the torch composition."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from test_torch_parity import _TINY
+    from pyannote_audio_tpu.core.model import Model
+
+    created, Spec, Problem, Resolution = _install_fake_reference_modules()
+    try:
+        torch.manual_seed(10)
+        hf = Wav2Vec2Model(Wav2Vec2Config(do_stable_layer_norm=False,
+                                          feat_extract_norm="group",
+                                          **_TINY))
+        hf.eval()
+        lstm = tnn.LSTM(64, 16, num_layers=1, batch_first=True,
+                        bidirectional=True)
+        lin0 = tnn.Linear(32, 24)
+        classifier = tnn.Linear(24, 7)
+
+        state = {}
+        for k, v in hf.state_dict().items():
+            if k.startswith("encoder."):
+                k = "encoder.transformer." + k[len("encoder."):]
+            if k.startswith("feature_projection."):
+                k = "encoder." + k
+            state[f"wav2vec.{k}"] = v
+        state["wav2vec_weights"] = torch.ones(2)
+        for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            state[f"lstm.{kind}_l0"] = getattr(lstm, f"{kind}_l0")
+            state[f"lstm.{kind}_l0_reverse"] = getattr(
+                lstm, f"{kind}_l0_reverse")
+        state["linear.0.weight"] = lin0.weight
+        state["linear.0.bias"] = lin0.bias
+        state["classifier.weight"] = classifier.weight
+        state["classifier.bias"] = classifier.bias
+
+        specs = Spec(
+            problem=Problem.MONO_LABEL_CLASSIFICATION,
+            resolution=Resolution.FRAME, duration=2.0,
+            classes=["speaker#1", "speaker#2", "speaker#3"],
+            powerset_max_classes=2, permutation_invariant=True)
+        ckpt = {
+            "state_dict": {k: v.detach() for k, v in state.items()},
+            "hyper_parameters": {
+                # torchaudio wav2vec2_model kwargs, as the reference
+                # persists them (SSeRiouSS.py:118-123)
+                "wav2vec": {
+                    "extractor_mode": "group_norm",
+                    "extractor_conv_layer_config": [
+                        [32, 10, 5], [32, 3, 2], [32, 3, 2], [32, 3, 2],
+                        [32, 3, 2], [32, 2, 2], [32, 2, 2]],
+                    "extractor_conv_bias": False,
+                    "encoder_embed_dim": 64,
+                    "encoder_num_layers": 2,
+                    "encoder_num_heads": 4,
+                    "encoder_ff_interm_features": 128,
+                    "encoder_layer_norm_first": False,
+                },
+                "wav2vec_layer": -1,
+                "lstm": {"hidden_size": 16, "num_layers": 1,
+                         "bidirectional": True, "monolithic": True,
+                         "dropout": 0.0, "batch_first": True},
+                "linear": {"hidden_size": 24, "num_layers": 1},
+            },
+            "pyannote.audio": {
+                "architecture": {
+                    "module": "pyannote.audio.models.segmentation",
+                    "class": "SSeRiouSS",
+                },
+                "specifications": specs,
+            },
+        }
+        path = tmp_path / "pytorch_model.bin"
+        torch.save(ckpt, path)
+
+        wav = torch.randn(1, 1, 16000) * 0.1
+        with torch.no_grad():
+            hs = hf(wav[:, 0], output_hidden_states=True).hidden_states
+            x = torch.stack(hs[1:], dim=-1).mean(-1)
+            x, _ = lstm(x)
+            x = F.leaky_relu(lin0(x))
+            expected = F.log_softmax(classifier(x), dim=-1).numpy()
+    finally:
+        for name in created:
+            del sys.modules[name]
+
+    model = Model.from_pretrained(path)
+    assert type(model).__name__ == "SSeRiouSS"
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=5e-4)
+
+
 def test_load_reference_snapshot_directory(tmp_path):
     """A directory holding only pytorch_model.bin loads transparently."""
     from test_torch_parity import TorchPyanNet, _sinc_weights_np
