@@ -86,7 +86,19 @@ def _infer_ssl_config(state: Dict[str, np.ndarray]) -> Dict:
     ffn = state[ffn_keys[0]].shape[0]
     rel_pos_bias = any("rel_attn_embed" in k or "gru_rel_pos" in k
                       for k in state)
-    heads = {768: 12, 1024: 16}.get(hidden, max(1, hidden // 64))
+    # WavLM states carry the head count explicitly (gru_rel_pos_const is
+    # (1, H, 1, 1); rel_attn_embed is (num_buckets, H)); otherwise fall
+    # back to the 64-dim-per-head convention of the released models
+    heads = None
+    for key, value in state.items():
+        if key.endswith("gru_rel_pos_const"):
+            heads = int(np.asarray(value).shape[1])
+            break
+        if key.endswith("rel_attn_embed.weight"):
+            heads = int(np.asarray(value).shape[-1])
+            break
+    if heads is None:
+        heads = {768: 12, 1024: 16}.get(hidden, max(1, hidden // 64))
     conv_channels = state[
         "feature_extractor.conv_layers.0.conv.weight"].shape[0]
     # feat_extract_norm="layer" (per-conv LayerNorm) pairs with

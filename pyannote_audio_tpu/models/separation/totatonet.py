@@ -276,6 +276,23 @@ class ToTaToNet(Model):
         def get(name):
             return np.asarray(state[name], dtype=np.float32)
 
+        # a real PixIT checkpoint embeds the fine-tuned WavLM itself
+        # (reference default use_wavlm=True; AutoModel weights live under
+        # "wavlm." in HF layout). Reconstruct the branch from the
+        # checkpoint: infer the config, rebuild the module with the
+        # wider masker, and convert the embedded weights — no external
+        # WavLM download needed.
+        wavlm_state = {k[len("wavlm."):]: v for k, v in state.items()
+                       if k.startswith("wavlm.")}
+        if wavlm_state and not self.use_wavlm:
+            from ..segmentation.sseriouss import _infer_ssl_config
+            self.wavlm_config = _infer_ssl_config(wavlm_state)
+            self.use_wavlm = True
+            self.hparams["use_wavlm"] = True
+            self.module = self.build_module()
+            self.params = None
+            self._jitted_apply = None
+
         params: Dict = {}
         # asteroid Encoder: conv1d(waveform, _filters, stride), no bias.
         # torch (out=n_filters, in=1, k) -> flax kernel (k, 1, n_filters)
@@ -338,7 +355,11 @@ class ToTaToNet(Model):
                 "bias": get(f"linear.{i}.bias")}
         params["classifier"] = {"kernel": get("classifier.weight").T,
                                 "bias": get("classifier.bias")}
-        if self.use_wavlm and self.params is not None:
+        if wavlm_state and self.use_wavlm:
+            from ..blocks.ssl import convert_torch_wav2vec2
+            params["wavlm"] = convert_torch_wav2vec2(
+                wavlm_state, layers=self.wavlm_config["layers"])
+        elif self.use_wavlm and self.params is not None:
             # keep the WavLM branch loaded by build() from the local SSL
             # checkpoint (reference downloads microsoft/wavlm-large)
             params["wavlm"] = self.params["params"]["wavlm"]

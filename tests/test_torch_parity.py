@@ -720,6 +720,71 @@ def test_totatonet_matches_torch_replica():
     np.testing.assert_allclose(sources, exp_sources.numpy(), atol=2e-4)
 
 
+def test_totatonet_with_embedded_wavlm_matches_torch():
+    """A PixIT checkpoint carrying its fine-tuned WavLM (reference
+    default use_wavlm=True, HF keys under "wavlm.") reconstructs the
+    branch from the checkpoint alone and matches the torch composition
+    (reference ToTaToNet.py:179-196, 330-340)."""
+    from transformers import WavLMConfig, WavLMModel
+
+    from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+
+    torch.manual_seed(11)
+    wavlm = WavLMModel(WavLMConfig(do_stable_layer_norm=False,
+                                   feat_extract_norm="group", **_TINY))
+    wavlm.eval()
+    hidden = 64
+    ref = TorchToTaToNet(n_filters=16, kernel=32, stride=16, n_src=2,
+                         bn_chan=32, hid=16, chunk=20, n_repeats=2)
+    # widen the masker input for the concatenated WavLM features
+    ref.masker = TorchDPRNN(16 + hidden, 16, 2, 32, 16, 20, 2)
+    ref.eval()
+    scaling = 320 // 16
+
+    wav = torch.randn(2, 1, 8000) * 0.1
+    with torch.no_grad():
+        tf_rep = F.conv1d(wav, ref.enc_filters, stride=16)
+        w = wavlm(wav[:, 0]).last_hidden_state.transpose(1, 2)
+        w = w.repeat_interleave(scaling, dim=-1)
+        pad = tf_rep.shape[-1] - w.shape[-1]
+        w = F.pad(w, (0, pad)) if pad >= 0 else w[..., :tf_rep.shape[-1]]
+        masks = ref.masker(torch.cat((tf_rep, w), dim=1))
+        masked = masks * tf_rep.unsqueeze(1)
+        flat = masked.flatten(0, 1)
+        decoded = F.conv_transpose1d(flat, ref.dec_filters, stride=16)
+        pad = wav.shape[-1] - decoded.shape[-1]
+        decoded = F.pad(decoded, (0, pad)) if pad >= 0 \
+            else decoded[..., :wav.shape[-1]]
+        exp_sources = decoded.reshape(2, 2, -1).transpose(1, 2)
+        out = F.avg_pool1d(flat, ref.scaling, stride=ref.scaling)
+        out = out.transpose(1, 2)
+        for lin in ref.linear:
+            out = F.leaky_relu(lin(out))
+        out = ref.classifier(out)
+        exp_diar = torch.sigmoid(
+            out.reshape(2, 2, -1).transpose(1, 2))
+
+    state = ref.reference_state_dict()
+    for k, v in wavlm.state_dict().items():
+        state[f"wavlm.{k}"] = v.detach().numpy()
+
+    model = ToTaToNet(
+        encoder_decoder={"n_filters": 16, "kernel_size": 32, "stride": 16},
+        dprnn={"n_repeats": 2, "bn_chan": 32, "hid_size": 16,
+               "chunk_size": 20},
+        n_sources=2, use_wavlm=False)     # branch comes from the ckpt
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray, model.convert_torch_state_dict(state))
+    model._jitted_apply = None
+    assert model.use_wavlm
+    diar, sources = model(jnp.asarray(wav.numpy()))
+    np.testing.assert_allclose(np.asarray(sources),
+                               exp_sources.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(diar), exp_diar.numpy(),
+                               atol=5e-4)
+
+
 def test_pyannet_seg_bf16_gate(monkeypatch):
     """PYANNOTE_TPU_SEG_BF16 halves SincNet MXU precision but not its
     decisions: outputs stay close to the f32 path (log-softmax scores),
