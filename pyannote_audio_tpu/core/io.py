@@ -15,6 +15,7 @@ convention.
 from __future__ import annotations
 
 import io as _io
+import os
 import struct
 import warnings
 from dataclasses import dataclass
@@ -348,8 +349,17 @@ class Audio:
                 # the whole file (the dominant cost of batch preparation).
                 # The parsed header is cached on mutable file dicts so
                 # repeated crops skip the 64 KB read + parse.
+                # cache key includes (mtime_ns, size) so a file rewritten
+                # at the same path never serves a stale header
+                try:
+                    stat = os.stat(file["audio"])
+                    stat_key = (str(file["audio"]), stat.st_mtime_ns,
+                                stat.st_size)
+                except OSError:
+                    stat_key = None
                 cached = file.get("_wav_header")
-                if cached is not None and cached[0] == str(file["audio"]):
+                if cached is not None and stat_key is not None \
+                        and cached[0] == stat_key:
                     _, meta, data_offset = cached
                     sample_rate, total = meta.sample_rate, meta.num_samples
                     waveform = None
@@ -363,11 +373,12 @@ class Audio:
                                               meta.num_samples)
                         waveform = None
                         ranged_path = file["audio"]
-                        try:
-                            file["_wav_header"] = (str(file["audio"]),
-                                                   meta, data_offset)
-                        except TypeError:
-                            pass      # immutable mapping: skip caching
+                        if stat_key is not None:
+                            try:
+                                file["_wav_header"] = (stat_key, meta,
+                                                       data_offset)
+                            except TypeError:
+                                pass  # immutable mapping: skip caching
                     except ValueError:
                         meta = None
             if meta is None:

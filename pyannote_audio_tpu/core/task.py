@@ -118,13 +118,17 @@ class Task:
         """
         if self._prepared:
             return
+        # multi-host parity: the reference broadcasts the cache path
+        # prepared by rank 0 (core/task.py:620-622); here host 0's path
+        # wins over DCN. Called UNCONDITIONALLY — a collective gated on a
+        # host-local condition would deadlock the fleet if hosts disagree
+        # on whether a cache is configured. No-op for single-process runs.
+        from ..parallel.mesh import broadcast_from_host0
+        agreed = broadcast_from_host0(
+            str(self.cache) if self.cache is not None else "")
+        self.cache = agreed or None
         if self.cache is not None:
             from pathlib import Path
-            # multi-host parity: the reference broadcasts the cache path
-            # prepared by rank 0 (core/task.py:620-622); here host 0's
-            # path wins over DCN (no-op for single-process runs)
-            from ..parallel.mesh import broadcast_from_host0
-            self.cache = broadcast_from_host0(str(self.cache))
             cache_path = Path(self.cache)
             if cache_path.exists() and cache_path.stat().st_size > 0:
                 prepared = _load_prepared_data(cache_path)

@@ -281,21 +281,25 @@ class OptimalDiarizationErrorRate(_StreamingMetric):
         self.speech_total += float(speech_total)
 
     @staticmethod
-    def _from_components(fa, miss, conf, total) -> float:
-        ders = (np.asarray(fa) + np.asarray(miss) + np.asarray(conf)) \
+    def _ders(fa, miss, conf, total) -> np.ndarray:
+        """Per-threshold DER vector — the single source for the family's
+        compute / optimal_threshold / component-at-optimum variants."""
+        return (np.asarray(fa) + np.asarray(miss) + np.asarray(conf)) \
             / max(float(total), 1e-8)
-        return float(np.min(ders))
+
+    @classmethod
+    def _from_components(cls, fa, miss, conf, total) -> float:
+        return float(np.min(cls._ders(fa, miss, conf, total)))
 
     @property
     def optimal_threshold(self) -> float:
-        ders = (self.false_alarm + self.missed_detection
-                + self.speaker_confusion) / max(self.speech_total, 1e-8)
-        return float(self.thresholds[int(np.argmin(ders))])
+        return float(self.thresholds[self._optimal_index(
+            self.false_alarm, self.missed_detection,
+            self.speaker_confusion, self.speech_total)])
 
-    def _optimal_index(self, fa, miss, conf, total) -> int:
-        ders = (np.asarray(fa) + np.asarray(miss) + np.asarray(conf)) \
-            / max(float(total), 1e-8)
-        return int(np.argmin(ders))
+    @classmethod
+    def _optimal_index(cls, fa, miss, conf, total) -> int:
+        return int(np.argmin(cls._ders(fa, miss, conf, total)))
 
 
 class OptimalDiarizationErrorRateThreshold(OptimalDiarizationErrorRate):

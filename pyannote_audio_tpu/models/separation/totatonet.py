@@ -152,20 +152,24 @@ class ToTaToNet(Model):
                  sample_rate: int = 16000, num_channels: int = 1,
                  task=None, n_sources: int = 3,
                  use_wavlm=False, wavlm_frozen: bool = False,
+                 wavlm_config: Optional[dict] = None,
                  gradient_clip_val: float = 5.0, **kwargs):
         super().__init__(sample_rate=sample_rate,
                          num_channels=num_channels, task=task)
         # use_wavlm: False, or a local torch WavLM checkpoint path/dir
         # (reference downloads microsoft/wavlm-large, ToTaToNet.py:180;
-        # no egress here, so the weights must be local)
+        # no egress here, so the weights must be local). use_wavlm=True
+        # is valid only with an explicit wavlm_config — the layout our
+        # own checkpoints persist after reconstructing the branch from a
+        # real PixIT checkpoint (weights then come from params.msgpack).
         self._wavlm_state = None
-        self.wavlm_config = None
-        if use_wavlm is True:
+        self.wavlm_config = dict(wavlm_config) if wavlm_config else None
+        if use_wavlm is True and self.wavlm_config is None:
             raise NotImplementedError(
                 "the WavLM branch needs a local WavLM checkpoint "
                 "(no model downloads in this environment); pass "
                 "use_wavlm=<path to torch checkpoint> or use_wavlm=False")
-        if use_wavlm:
+        if use_wavlm and use_wavlm is not True:
             from ..segmentation.sseriouss import (_infer_ssl_config,
                                                   _load_torch_ssl_state)
             self._wavlm_state = _load_torch_ssl_state(use_wavlm)
@@ -183,6 +187,11 @@ class ToTaToNet(Model):
                         "diar": self.diar, "n_sources": n_sources,
                         "use_wavlm": self.use_wavlm,
                         "wavlm_frozen": wavlm_frozen}
+        if self.wavlm_config is not None:
+            # persisted so save_checkpoint -> from_pretrained can rebuild
+            # the WavLM branch without any external checkpoint (weights
+            # live in params.msgpack)
+            self.hparams["wavlm_config"] = dict(self.wavlm_config)
         self.diarization_scaling = int(
             sample_rate / self.diar["frames_per_second"]
             / self.encoder_decoder["stride"])
@@ -289,6 +298,7 @@ class ToTaToNet(Model):
             self.wavlm_config = _infer_ssl_config(wavlm_state)
             self.use_wavlm = True
             self.hparams["use_wavlm"] = True
+            self.hparams["wavlm_config"] = dict(self.wavlm_config)
             self.module = self.build_module()
             self.params = None
             self._jitted_apply = None
@@ -357,8 +367,18 @@ class ToTaToNet(Model):
                                 "bias": get("classifier.bias")}
         if wavlm_state and self.use_wavlm:
             from ..blocks.ssl import convert_torch_wav2vec2
-            params["wavlm"] = convert_torch_wav2vec2(
+            from ..segmentation.sseriouss import _merge_trunk
+            trunk = convert_torch_wav2vec2(
                 wavlm_state, layers=self.wavlm_config["layers"])
+            # graft onto an initialized tree so module-declared params
+            # the converter has no source for (unusual conv-bias / gate
+            # combinations) keep their init instead of crashing apply
+            if self.params is None:
+                super().build()
+            params["wavlm"] = _merge_trunk(
+                jax.tree_util.tree_map(np.asarray,
+                                       self.params["params"]["wavlm"]),
+                trunk)
         elif self.use_wavlm and self.params is not None:
             # keep the WavLM branch loaded by build() from the local SSL
             # checkpoint (reference downloads microsoft/wavlm-large)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.annotation import Annotation
-from ..core.inference import Inference
+from ..core.inference import Inference, _tail_pad_to
 from ..core.io import Audio, AudioFile
 from ..core.model import Model, Specifications
 from ..core.pipeline import Pipeline
@@ -604,7 +604,6 @@ class EmbeddingHotPathMixin:
         for b in range(num_batches):
             batch_starts = starts_for_batch[b * B:(b + 1) * B]
             n_real = len(batch_starts)
-            from ..core.inference import _tail_pad_to
             pad_to = _tail_pad_to(B, n_real, self.mesh)
             if n_real < pad_to:
                 batch_starts = np.pad(batch_starts, (0, pad_to - n_real))

@@ -344,10 +344,12 @@ class Trainer:
         else:
             selected = chunks
 
-        # jitted callables are keyed on (module, powerset, mesh): a
-        # rebuilt model (new head), a task swap (different powerset /
-        # none), or a mesh change must not reuse a stale executable
-        val_key = (model.module, powerset, self.mesh)
+        # jitted callables are keyed on (model identity, module, powerset,
+        # mesh): a rebuilt model (new head), a DIFFERENT model of equal
+        # config (flax modules compare by value — reusing the old closure
+        # would pin the previous model's params alive), a task swap, or a
+        # mesh change must not reuse a stale executable
+        val_key = (id(model), model.module, powerset, self.mesh)
         if getattr(self, "_val_apply_key", None) != val_key:
             self._val_apply = jax.jit(model.apply_fn)
             self._val_eval_step = make_eval_step(

@@ -720,6 +720,47 @@ def test_totatonet_matches_torch_replica():
     np.testing.assert_allclose(sources, exp_sources.numpy(), atol=2e-4)
 
 
+def test_totatonet_wavlm_checkpoint_roundtrip(tmp_path):
+    """A ToTaToNet whose WavLM branch was reconstructed from a PixIT
+    checkpoint must save_checkpoint -> from_pretrained cleanly (the
+    wavlm_config is persisted; weights ride params.msgpack)."""
+    from transformers import WavLMConfig, WavLMModel
+
+    from pyannote_audio_tpu.core.model import Model
+    from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+
+    torch.manual_seed(13)
+    wavlm = WavLMModel(WavLMConfig(do_stable_layer_norm=False,
+                                   feat_extract_norm="group", **_TINY))
+    ref = TorchToTaToNet(n_filters=16, kernel=32, stride=16, n_src=2,
+                         bn_chan=32, hid=16, chunk=20, n_repeats=2)
+    ref.masker = TorchDPRNN(16 + 64, 16, 2, 32, 16, 20, 2)
+    state = ref.reference_state_dict()
+    for k, v in wavlm.state_dict().items():
+        state[f"wavlm.{k}"] = v.detach().numpy()
+
+    model = ToTaToNet(
+        encoder_decoder={"n_filters": 16, "kernel_size": 32, "stride": 16},
+        dprnn={"n_repeats": 2, "bn_chan": 32, "hid_size": 16,
+               "chunk_size": 20},
+        n_sources=2, use_wavlm=False)
+    model.specifications = model._specifications
+    model.build()
+    model.params = jax.tree_util.tree_map(
+        jnp.asarray, model.convert_torch_state_dict(state))
+    model._jitted_apply = None
+    wav = np.random.default_rng(0).normal(
+        size=(1, 1, 8000)).astype(np.float32) * 0.1
+    before = [np.asarray(o) for o in model(jnp.asarray(wav))]
+
+    model.save_checkpoint(tmp_path / "ckpt")
+    loaded = Model.from_pretrained(tmp_path / "ckpt")
+    assert loaded.use_wavlm and loaded.wavlm_config is not None
+    after = [np.asarray(o) for o in loaded(jnp.asarray(wav))]
+    for b, a in zip(before, after):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_totatonet_with_embedded_wavlm_matches_torch():
     """A PixIT checkpoint carrying its fine-tuned WavLM (reference
     default use_wavlm=True, HF keys under "wavlm.") reconstructs the
