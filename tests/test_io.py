@@ -200,3 +200,34 @@ def test_unreadable_format_raises_actionable_error(tmp_path):
     audio = Audio(sample_rate=16000)
     with pytest.raises(ValueError):
         audio(str(path))
+
+
+def test_unicode_filenames(tmp_path):
+    """Decode + ranged crop + sliding inference on a unicode path
+    (parity: the reference corpus deliberately includes trñ00.wav)."""
+    import pyannote_audio_tpu as pat
+    from pyannote_audio_tpu.core.io import write_wav
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = np.round(0.2 * rng.standard_normal((1, sr * 6)) * 32768) / 32768
+    path = tmp_path / "trñ00 — tést.wav"
+    write_wav(path, wav.astype(np.float32), sr)
+
+    audio = Audio(sample_rate=sr, mono="downmix")
+    crop, _ = audio.crop({"audio": str(path)}, Segment(1.0, 2.0))
+    np.testing.assert_allclose(crop[0], wav[0, sr:2 * sr], atol=2e-5)
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    out = pat.Inference(model, duration=5.0, step=1.0,
+                        batch_size=4)(str(path))
+    assert np.isfinite(out.data).all()
