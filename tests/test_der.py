@@ -241,3 +241,92 @@ def test_skip_overlap_mapping_excludes_overlap_regions():
     # scored region: [0,4] (A) + [12,20] (B)
     assert comp.total == 12.0
     assert comp.der >= 0.0
+
+
+# ------------------------------------------------- discretized-oracle fuzz
+
+def _random_annotation(rng, labels, total=20.0, n=10):
+    """Random annotation on a 10 ms grid; same-label segments never
+    overlap (so track-overlap == label-overlap for skip_overlap)."""
+    ann = Annotation(uri="f")
+    last_end = {l: 0.0 for l in labels}
+    for _ in range(n):
+        lbl = labels[int(rng.integers(len(labels)))]
+        start = round(float(rng.uniform(last_end[lbl],
+                                        max(last_end[lbl] + 4.0,
+                                            total - 2.0))), 2)
+        dur = round(float(rng.uniform(0.2, 3.0)), 2)
+        seg = Segment(start, min(round(start + dur, 2), total))
+        if seg.duration <= 0:
+            continue
+        ann[seg, ann.new_track(seg)] = lbl
+        last_end[lbl] = seg.end
+    return ann
+
+
+def _oracle_der(reference, hypothesis, collar=0.0, skip_overlap=False,
+                dt=0.005, horizon=30.0):
+    """Brute-force 5 ms frame DER with the same semantics as the
+    interval sweep (Hungarian mapping on co-occurrence, collar-extruded
+    scoring region). Boundaries sit on a 10 ms grid and frame midpoints
+    on odd 2.5 ms multiples, so discretization is exact."""
+    from scipy.optimize import linear_sum_assignment
+
+    t = np.arange(int(horizon / dt)) * dt + dt / 2
+
+    def activity(ann, labels):
+        act = np.zeros((len(labels), len(t)), bool)
+        for seg, _, lbl in ann.itertracks(yield_label=True):
+            act[labels.index(lbl)] |= (t >= seg.start) & (t < seg.end)
+        return act
+
+    rl, hl = reference.labels(), hypothesis.labels()
+    R, H = activity(reference, rl), activity(hypothesis, hl)
+    mask = np.ones(len(t), bool)
+    half = collar / 2.0
+    if collar > 0:
+        for seg in reference.itersegments():
+            for b in (seg.start, seg.end):
+                mask &= ~((t > b - half) & (t < b + half))
+    if skip_overlap:
+        overlap = R.sum(axis=0) >= 2
+        if collar > 0:
+            k = int(round(half / dt))
+            overlap = np.convolve(overlap, np.ones(2 * k + 1),
+                                  "same") > 0
+        mask &= ~overlap
+    Rm, Hm = R[:, mask], H[:, mask]
+    O = (Rm.astype(float) @ Hm.T.astype(float)) * dt
+    n_correct = np.zeros(Rm.shape[1])
+    if O.size:
+        rows, cols = linear_sum_assignment(-O)
+        for i, j in zip(rows, cols):
+            if O[i, j] > 0:
+                n_correct += Rm[i] & Hm[j]
+    n_ref = Rm.sum(axis=0)
+    n_hyp = Hm.sum(axis=0)
+    miss = np.maximum(n_ref - n_hyp, 0).sum() * dt
+    fa = np.maximum(n_hyp - n_ref, 0).sum() * dt
+    conf = (np.minimum(n_ref, n_hyp) - n_correct).sum() * dt
+    total = n_ref.sum() * dt
+    return (miss + fa + conf) / total if total else 0.0
+
+
+@pytest.mark.parametrize("collar,skip_overlap",
+                         [(0.0, False), (0.5, False), (0.0, True)])
+def test_der_matches_discretized_oracle(collar, skip_overlap):
+    """The exact interval sweep agrees with a brute-force 5 ms frame
+    oracle on random annotations (20 seeds per config)."""
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        ref = _random_annotation(rng, ["A", "B", "C"])
+        hyp = _random_annotation(rng, ["x", "y", "z", "w"])
+        if not ref.labels():
+            continue
+        metric = DiarizationErrorRate(collar=collar,
+                                      skip_overlap=skip_overlap)
+        ours = metric(ref, hyp)
+        oracle = _oracle_der(ref, hyp, collar=collar,
+                             skip_overlap=skip_overlap)
+        assert ours == pytest.approx(oracle, abs=2e-3), \
+            (seed, ours, oracle)
