@@ -230,3 +230,30 @@ def test_permutate_more_speakers():
     permutated, perms = permutate(y1, y2)
     assert [tuple(p) for p in perms] == actual
     assert permutated.shape == y1.shape
+
+
+def test_hysteresis_matches_loop_oracle():
+    """Device associative-scan hysteresis == trivial sequential loop on
+    random scores (with NaNs), random onset/offset bands."""
+    from pyannote_audio_tpu.ops.binarize import hysteresis
+
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        scores = rng.uniform(size=(60, 3)).astype(np.float32)
+        scores[rng.uniform(size=scores.shape) < 0.05] = np.nan
+        onset = float(rng.uniform(0.55, 0.8))
+        offset = float(rng.uniform(0.2, 0.45))
+
+        got = np.asarray(hysteresis(jnp.asarray(scores), onset, offset))
+
+        s = np.nan_to_num(scores)
+        expect = np.zeros(s.shape, bool)
+        for k in range(s.shape[1]):
+            on = s[0, k] >= 0.5 * (onset + offset)
+            for t in range(s.shape[0]):
+                if s[t, k] > onset:
+                    on = True
+                elif s[t, k] < offset:
+                    on = False
+                expect[t, k] = on
+        np.testing.assert_array_equal(got, expect), seed
