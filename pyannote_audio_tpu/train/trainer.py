@@ -213,7 +213,11 @@ class Trainer:
                 if hasattr(cb, "on_train_epoch_start"):
                     cb.on_train_epoch_start(self, model, epoch)
             step_fn = get_step_fn()
-            losses = []
+            # device losses accumulate WITHOUT per-step host syncs: a
+            # float(loss) each step would stall dispatch until the step
+            # finishes, serializing host batch prep with device compute.
+            # One stacked transfer at epoch end closes the async chain.
+            device_losses = []
             batches = task.train_batches_parallel(epoch=epoch) \
                 if hasattr(task, "train_batches_parallel") \
                 else task.train_batches(epoch=epoch)
@@ -230,17 +234,20 @@ class Trainer:
                                             _upload_waveform(
                                                 batch.X, quant="int16"),
                                             jnp.asarray(y), w)
-                loss = float(loss)
-                if math.isfinite(loss):
-                    losses.append(loss)
-                else:
-                    # params/opt were left untouched by the jitted step
-                    import warnings
-                    warnings.warn(
-                        f"skipped batch {i} of epoch {epoch}: "
-                        f"non-finite loss {loss}")
+                device_losses.append(loss)
+            loss_values = np.asarray(jnp.stack(device_losses)) \
+                if device_losses else np.zeros(0)
+            losses = loss_values[np.isfinite(loss_values)]
+            if len(losses) < len(loss_values):
+                # params/opt were left untouched by the jitted step
+                import warnings
+                bad = np.nonzero(~np.isfinite(loss_values))[0]
+                warnings.warn(
+                    f"skipped {len(bad)} batch(es) of epoch {epoch} "
+                    f"with non-finite loss (indices {bad.tolist()})")
             record = {"epoch": epoch,
-                      "loss": float(np.mean(losses)) if losses else np.nan}
+                      "loss": float(np.mean(losses)) if len(losses)
+                      else np.nan}
             record.update(self.validate(
                 model, task, params, max_chunks=self.limit_val_chunks,
                 epoch=epoch))
