@@ -289,3 +289,66 @@ class SpeakerDiarization(SegmentationTaskMixin):
                                         batch, log_probs.shape[1]),
                                     class_weight=class_weight)
         return loss
+
+
+def evaluate(protocol, subset: str = "test", model=None,
+             registry: Optional[str] = None, onset: float = 0.5,
+             display: bool = True) -> float:
+    """Evaluate a segmentation model with frame-level DER.
+
+    Parity: the reference task module's typer ``evaluate`` helper
+    (tasks/segmentation/speaker_diarization.py:639-677): sliding
+    inference -> hysteresis binarization -> DiscreteDiarizationErrorRate
+    accumulated over the subset, with a per-file report. Returns the
+    aggregate DER.
+
+    ``model`` may be a Model instance or a checkpoint path; ``protocol``
+    a protocol instance or name (``registry`` = database.yml to load).
+    """
+    from ..core.inference import Inference
+    from ..core.model import Model
+    from ..utils.database import get_protocol, register_database
+    from ..utils.metric import DiscreteDiarizationErrorRate
+    from ..utils.signal import binarize_swf
+
+    if registry:
+        register_database(registry)
+    if isinstance(protocol, str):
+        protocol = get_protocol(protocol)
+    if not isinstance(model, Model):
+        model = Model.from_pretrained(model)
+    inference = Inference(model)
+    metric = DiscreteDiarizationErrorRate()
+    rows = []
+    for file in getattr(protocol, subset)():
+        scores = inference(file)
+        hyp = binarize_swf(scores, onset=onset)
+        support = Segment(0.0, hyp.sliding_window[
+            len(hyp.data) - 1].middle + 0.5 * hyp.sliding_window.step)
+        ref = file["annotation"].discretize(
+            support=support, resolution=hyp.sliding_window,
+            duration=support.duration)
+        n = min(len(ref.data), len(hyp.data))
+        der = metric(ref.data[:n], hyp.data[:n])
+        rows.append((file.get("uri", "?"), der))
+    aggregate = metric.compute()
+    if display:
+        for uri, der in rows:
+            print(f"{uri}: DER={100 * der:.2f}%")
+        print(f"TOTAL DER = {100 * aggregate:.2f}%")
+    return aggregate
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Evaluate a segmentation model (frame-level DER)")
+    parser.add_argument("protocol")
+    parser.add_argument("model")
+    parser.add_argument("--subset", default="test")
+    parser.add_argument("--registry", default=None)
+    parser.add_argument("--onset", type=float, default=0.5)
+    args = parser.parse_args()
+    evaluate(args.protocol, subset=args.subset, model=args.model,
+             registry=args.registry, onset=args.onset)

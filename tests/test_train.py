@@ -725,3 +725,20 @@ def test_nan_loss_batch_skip():
     # optimizer state (including step count) is also untouched
     for a, b in zip(o1_host, jax.tree_util.tree_leaves(o2)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_evaluate_helper(protocol):
+    """tasks.segmentation.evaluate (reference typer helper parity):
+    frame-level DER over a subset with a per-file report."""
+    from pyannote_audio_tpu.tasks.segmentation import evaluate
+    model = SimpleSegmentationModel()
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    der = evaluate(protocol, subset="development", model=model,
+                   display=False)
+    assert np.isfinite(der) and der >= 0.0
