@@ -337,8 +337,90 @@ class Inference:
                                       spec.powerset_max_classes)
 
         self._jitted_batch = None
+        self._jitted_shared = None      # (precompute_fn, batch_fn)
 
     # -- device compute ----------------------------------------------------
+
+    def _shared_frontend(self, window_size: int, step_size: int) -> bool:
+        """Use the shared whole-file front-end conv for this grid?
+
+        Models advertising ``FRONTEND_SHARED`` (PyanNet) compute their
+        first conv once per file; chunks gather aligned frames instead
+        of re-convolving 90%-overlapping windows (~10x less MXU work on
+        the front-end). Requires every chunk start to land on the conv
+        stride; accelerator default, PYANNOTE_TPU_SHARED_SINC=0 reverts
+        to per-chunk forwards.
+        """
+        module = self.model.module
+        if not getattr(module, "FRONTEND_SHARED", False):
+            return False
+        from ..utils.runtime import device_flag
+        if not device_flag("PYANNOTE_TPU_SHARED_SINC"):
+            return False
+        return step_size % module.frontend_stride == 0
+
+    def _make_shared_batch_fn(self, window_samples: int):
+        """Shared-frontend variants of (precompute, gather+forward).
+
+        ``precompute`` runs the raw whole-file sinc conv (one executable
+        per padded-length bucket — same cost model as the embedding
+        stage's whole-file fbank); ``batch_fn`` gathers each chunk's
+        conv frames plus its raw-waveform instance-norm statistics and
+        finishes the model from there (SincNet.from_conv fold).
+        """
+        module = self.model.module
+        powerset = self._powerset
+        skip_conversion = self.skip_conversion
+        stride = module.frontend_stride
+        num_conv_frames = module.frontend_num_frames(window_samples)
+
+        def precompute(params, waveform):
+            return module.apply(params, _dequantize(waveform),
+                                method="precompute_frontend")
+
+        def gather(waveform, conv_whole, starts):
+            def get(start):
+                frames = jax.lax.dynamic_slice(
+                    conv_whole, (0, start // stride, 0),
+                    (1, num_conv_frames, conv_whole.shape[-1]))[0]
+                raw = _dequantize(jax.lax.dynamic_slice(
+                    waveform, (0, start),
+                    (waveform.shape[0], window_samples)))
+                return frames, jnp.mean(raw[0]), jnp.var(raw[0])
+            return jax.vmap(get)(starts)
+
+        def forward(params, frames, mean, var):
+            out = module.apply(params, frames, mean, var,
+                               method="forward_from_frontend")
+            if powerset is not None and not skip_conversion:
+                out = powerset.to_multilabel(out)
+            return out
+
+        if self.mesh is None:
+            precompute_fn = jax.jit(precompute)
+            gather_fn = jax.jit(gather)
+            forward_fn = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            sharded = NamedSharding(self.mesh, P("data"))
+            precompute_fn = jax.jit(precompute,
+                                    in_shardings=(replicated, replicated),
+                                    out_shardings=replicated)
+            gather_fn = jax.jit(
+                gather,
+                in_shardings=(replicated, replicated, sharded),
+                out_shardings=(sharded, sharded, sharded))
+            forward_fn = jax.jit(
+                forward,
+                in_shardings=(replicated, sharded, sharded, sharded),
+                out_shardings=sharded)
+
+        def batch_fn(params, waveform, conv_whole, starts):
+            return forward_fn(params,
+                              *gather_fn(waveform, conv_whole, starts))
+
+        return precompute_fn, batch_fn
 
     def _make_batch_fn(self, window_samples: int):
         """Two compiled pieces: per-length chunk gather (cheap compile) and
@@ -421,7 +503,14 @@ class Inference:
         device_waveform = _upload_waveform_cached(
             waveform, cache, padded_len=padded_len)
 
-        if self._jitted_batch is None:
+        shared = waveform.shape[0] == 1 and \
+            self._shared_frontend(window_size, step_size)
+        if shared:
+            if self._jitted_shared is None:
+                self._jitted_shared = self._make_shared_batch_fn(window_size)
+            precompute_fn, shared_batch_fn = self._jitted_shared
+            conv_whole = precompute_fn(self.model.params, device_waveform)
+        elif self._jitted_batch is None:
             self._jitted_batch = self._make_batch_fn(window_size)
 
         # batched forward with a fixed batch shape (single executable)
@@ -435,9 +524,14 @@ class Inference:
             if n_real < pad_to:
                 batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
             try:
-                out = self._jitted_batch(self.model.params,
-                                         device_waveform,
-                                         jnp.asarray(batch_starts))
+                if shared:
+                    out = shared_batch_fn(self.model.params,
+                                          device_waveform, conv_whole,
+                                          jnp.asarray(batch_starts))
+                else:
+                    out = self._jitted_batch(self.model.params,
+                                             device_waveform,
+                                             jnp.asarray(batch_starts))
             except Exception as exception:
                 if _is_oom_error(exception):
                     raise MemoryError(

@@ -17,17 +17,22 @@ class InstanceNorm1d(nn.Module):
     affine: bool = True
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so siblings can read the affine
+        # parameters — SincNet.from_conv folds them into the shared
+        # whole-file sinc convolution.
+        if self.affine:
+            self.scale = self.param("scale", nn.initializers.ones,
+                                    (self.features,))
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.var(x, axis=1, keepdims=True)
         y = (x - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
-            scale = self.param("scale", nn.initializers.ones,
-                               (self.features,))
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,))
-            y = y * scale + bias
+            y = y * self.scale + self.bias
         return y
 
 

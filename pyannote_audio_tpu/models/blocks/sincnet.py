@@ -114,30 +114,39 @@ class SincConv(nn.Module):
     min_band_hz: float = 50.0
     compute_dtype: object = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         init_low, init_band = mel_initialized_bands(
             self.n_filters, self.sample_rate, self.min_low_hz,
             self.min_band_hz)
-        low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
-        band_hz = self.param("band_hz", lambda _: jnp.asarray(init_band))
-        kernels = sinc_filters(low_hz, band_hz, self.kernel_size,
-                               self.sample_rate, self.min_low_hz,
-                               self.min_band_hz)
-        # output stays in compute_dtype, cast back explicitly: mixing a
-        # bf16 operand with preferred_element_type=f32 breaks the conv's
-        # VJP (f32 cotangent vs bf16 operand dtypes in the transpose
-        # conv). The MXU still accumulates partial sums in f32; bf16
-        # costs one extra rounding of the OUTPUT only — matching the
-        # flax nn.Conv(dtype=bf16) layers below.
-        out = jax.lax.conv_general_dilated(
+        self.low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
+        self.band_hz = self.param("band_hz",
+                                  lambda _: jnp.asarray(init_band))
+
+    def kernels(self) -> jnp.ndarray:
+        """Materialized (kernel_size, n_filters) filterbank (f32)."""
+        return sinc_filters(self.low_hz, self.band_hz, self.kernel_size,
+                            self.sample_rate, self.min_low_hz,
+                            self.min_band_hz)
+
+    def raw_conv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The strided conv itself, output left in compute_dtype."""
+        kernels = self.kernels()
+        # output stays in compute_dtype, cast back by the caller: mixing
+        # a bf16 operand with preferred_element_type=f32 breaks the
+        # conv's VJP (f32 cotangent vs bf16 operand dtypes in the
+        # transpose conv). The MXU still accumulates partial sums in
+        # f32; bf16 costs one extra rounding of the OUTPUT only —
+        # matching the flax nn.Conv(dtype=bf16) layers below.
+        return jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
             kernels[:, None, :].astype(self.compute_dtype),
             window_strides=(self.stride,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return out.astype(jnp.float32)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.raw_conv(x).astype(jnp.float32)
 
 
 class SincNet(nn.Module):
@@ -155,30 +164,79 @@ class SincNet(nn.Module):
     stride: int = 10
     sample_rate: int = 16000
 
-    @nn.compact
-    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         from ...utils.runtime import device_flag
         dtype = jnp.bfloat16 if device_flag("PYANNOTE_TPU_SEG_BF16") \
             else jnp.float32
+        self.wav_norm1d = InstanceNorm1d(1)
+        self.sinc_conv = SincConv(stride=self.stride,
+                                  sample_rate=self.sample_rate,
+                                  compute_dtype=dtype)
+        self.norm1d_0 = InstanceNorm1d(80)
+        self.conv1d_1 = nn.Conv(60, (5,), padding="VALID", dtype=dtype)
+        self.norm1d_1 = InstanceNorm1d(60)
+        self.conv1d_2 = nn.Conv(60, (5,), padding="VALID", dtype=dtype)
+        self.norm1d_2 = InstanceNorm1d(60)
+
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
         x = jnp.swapaxes(waveforms, 1, 2)  # (B, T, C)
-        x = InstanceNorm1d(1, name="wav_norm1d")(x)
-        x = SincConv(stride=self.stride, sample_rate=self.sample_rate,
-                     compute_dtype=dtype, name="sinc_conv")(x)
+        x = self.wav_norm1d(x)
+        x = self.sinc_conv(x)
+        return self.post_conv(x)
+
+    def post_conv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Everything after the sinc conv: abs + 3x(pool, norm, relu/conv)."""
         x = jnp.abs(x)
         x = _max_pool3(x)
-        x = InstanceNorm1d(80, name="norm1d_0")(x)
+        x = self.norm1d_0(x)
         x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(60, (5,), padding="VALID", dtype=dtype,
-                    name="conv1d_1")(x).astype(jnp.float32)
+        x = self.conv1d_1(x).astype(jnp.float32)
         x = _max_pool3(x)
-        x = InstanceNorm1d(60, name="norm1d_1")(x)
+        x = self.norm1d_1(x)
         x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(60, (5,), padding="VALID", dtype=dtype,
-                    name="conv1d_2")(x).astype(jnp.float32)
+        x = self.conv1d_2(x).astype(jnp.float32)
         x = _max_pool3(x)
-        x = InstanceNorm1d(60, name="norm1d_2")(x)
+        x = self.norm1d_2(x)
         x = nn.leaky_relu(x, 0.01)
         return x
+
+    # -- shared whole-file front-end ---------------------------------------
+    #
+    # The sinc conv is linear, so conv(norm(chunk)) is an affine function
+    # of conv(raw waveform): with per-chunk instance-norm statistics
+    # (m, v) and affine (gamma, beta),
+    #   conv(gamma * (x - m) / sqrt(v+eps) + beta)
+    #     = gamma/sqrt(v+eps) * conv(x) + (beta - gamma*m/sqrt(v+eps)) * K1
+    # where K1[f] = sum of filter f's taps (its DC gain). Computing
+    # conv(x) ONCE over the whole file and gathering per-chunk frames
+    # removes the ~10x redundant MXU work of 90%-overlapping chunks
+    # (chunk starts must align to the conv stride for frames to be
+    # gatherable — the sliding grid's step is 1 s = 16000 samples,
+    # divisible by stride 10).
+
+    def whole_conv(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """Sinc conv of the raw (un-normalized) waveform.
+
+        waveform: (B, T, 1) -> (B, F_all, n_filters), kept in the
+        compute dtype (bf16 on accelerators) to halve the HBM buffer.
+        """
+        return self.sinc_conv.raw_conv(waveform)
+
+    def from_conv(self, frames: jnp.ndarray, mean: jnp.ndarray,
+                  var: jnp.ndarray) -> jnp.ndarray:
+        """Finish the block from gathered raw-conv frames.
+
+        frames: (B, F_c, n_filters) slices of ``whole_conv`` output;
+        mean/var: (B,) per-chunk raw-waveform statistics (mono).
+        """
+        gamma = self.wav_norm1d.scale[0]
+        beta = self.wav_norm1d.bias[0]
+        k1 = jnp.sum(self.sinc_conv.kernels(), axis=0)  # (n_filters,)
+        inv = gamma / jnp.sqrt(var + self.wav_norm1d.eps)  # (B,)
+        shift = beta - mean * inv                          # (B,)
+        x = frames.astype(jnp.float32) * inv[:, None, None] \
+            + shift[:, None, None] * k1[None, None, :]
+        return self.post_conv(x)
 
     @staticmethod
     def num_frames(num_samples: int, stride: int = 10) -> int:

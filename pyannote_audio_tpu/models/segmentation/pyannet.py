@@ -70,16 +70,26 @@ class PyanNetModule(nn.Module):
     dimension: int = 7
     activation: str = "log_softmax"
 
-    @nn.compact
-    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
-        x = SincNet(stride=self.sincnet_stride,
-                    sample_rate=self.sample_rate, name="sincnet")(waveforms)
-        x = LSTM(hidden_size=self.lstm_hidden, num_layers=self.lstm_layers,
-                 bidirectional=self.bidirectional, name="lstm")(x)
+    # Inference.slide may compute the sinc conv ONCE per file and gather
+    # per-chunk frames (see SincNet.from_conv) instead of re-convolving
+    # every 90%-overlapping chunk.
+    FRONTEND_SHARED = True
+
+    def setup(self):
+        self.sincnet = SincNet(stride=self.sincnet_stride,
+                               sample_rate=self.sample_rate)
+        self.lstm = LSTM(hidden_size=self.lstm_hidden,
+                         num_layers=self.lstm_layers,
+                         bidirectional=self.bidirectional)
         for i in range(self.linear_layers):
-            x = nn.leaky_relu(
-                nn.Dense(self.linear_hidden, name=f"linear_{i}")(x), 0.01)
-        x = nn.Dense(self.dimension, name="classifier")(x)
+            setattr(self, f"linear_{i}", nn.Dense(self.linear_hidden))
+        self.classifier = nn.Dense(self.dimension)
+
+    def _head(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = self.lstm(x)
+        for i in range(self.linear_layers):
+            x = nn.leaky_relu(getattr(self, f"linear_{i}")(x), 0.01)
+        x = self.classifier(x)
         if self.activation == "log_softmax":
             return nn.log_softmax(x, axis=-1)
         if self.activation == "sigmoid":
@@ -87,6 +97,30 @@ class PyanNetModule(nn.Module):
         if self.activation == "softmax":
             return nn.softmax(x, axis=-1)
         raise ValueError(f"unknown activation {self.activation}")
+
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        return self._head(self.sincnet(waveforms))
+
+    # -- shared front-end protocol (duck-typed by Inference.slide) ---------
+
+    @property
+    def frontend_stride(self) -> int:
+        return self.sincnet_stride
+
+    def frontend_num_frames(self, window_samples: int) -> int:
+        """Sinc-conv output frames for one chunk (static python int)."""
+        from ...utils.receptive_field import conv1d_num_frames
+        return conv1d_num_frames(window_samples, kernel_size=251,
+                                 stride=self.sincnet_stride)
+
+    def precompute_frontend(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """Whole-file raw sinc conv: (C=1, T) -> (1, F_all, n_filters)."""
+        return self.sincnet.whole_conv(waveform[:, :, None])
+
+    def forward_from_frontend(self, frames: jnp.ndarray, mean: jnp.ndarray,
+                              var: jnp.ndarray) -> jnp.ndarray:
+        """Forward from gathered conv frames + per-chunk raw stats."""
+        return self._head(self.sincnet.from_conv(frames, mean, var))
 
 
 class PyanNet(Model):
