@@ -359,6 +359,26 @@ class Inference:
             return False
         return step_size % module.frontend_stride == 0
 
+    def _jit_sharded(self, fn, in_specs: str, out_specs):
+        """jit ``fn`` with mesh shardings when a mesh is set.
+
+        Spec letters, one per argument: "r" replicated, "s" sharded on
+        the chunk/data axis; ``out_specs`` may be a tuple for
+        multi-output functions. Single source of truth for the
+        mesh-vs-single-device branching shared by the per-chunk and
+        shared-frontend paths.
+        """
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        named = {"r": NamedSharding(self.mesh, P()),
+                 "s": NamedSharding(self.mesh, P("data"))}
+        out = tuple(named[s] for s in out_specs) \
+            if isinstance(out_specs, tuple) else named[out_specs]
+        return jax.jit(fn,
+                       in_shardings=tuple(named[s] for s in in_specs),
+                       out_shardings=out)
+
     def _make_shared_batch_fn(self, window_samples: int):
         """Shared-frontend variants of (precompute, gather+forward).
 
@@ -396,25 +416,9 @@ class Inference:
                 out = powerset.to_multilabel(out)
             return out
 
-        if self.mesh is None:
-            precompute_fn = jax.jit(precompute)
-            gather_fn = jax.jit(gather)
-            forward_fn = jax.jit(forward)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            replicated = NamedSharding(self.mesh, P())
-            sharded = NamedSharding(self.mesh, P("data"))
-            precompute_fn = jax.jit(precompute,
-                                    in_shardings=(replicated, replicated),
-                                    out_shardings=replicated)
-            gather_fn = jax.jit(
-                gather,
-                in_shardings=(replicated, replicated, sharded),
-                out_shardings=(sharded, sharded, sharded))
-            forward_fn = jax.jit(
-                forward,
-                in_shardings=(replicated, sharded, sharded, sharded),
-                out_shardings=sharded)
+        precompute_fn = self._jit_sharded(precompute, "rr", "r")
+        gather_fn = self._jit_sharded(gather, "rrs", ("s", "s", "s"))
+        forward_fn = self._jit_sharded(forward, "rsss", "s")
 
         def batch_fn(params, waveform, conv_whole, starts):
             return forward_fn(params,
@@ -447,19 +451,8 @@ class Inference:
                 out = powerset.to_multilabel(out)
             return out
 
-        if self.mesh is None:
-            gather_fn = jax.jit(gather)
-            forward_fn = jax.jit(forward)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            replicated = NamedSharding(self.mesh, P())
-            sharded = NamedSharding(self.mesh, P("data"))
-            gather_fn = jax.jit(gather,
-                                in_shardings=(replicated, sharded),
-                                out_shardings=sharded)
-            forward_fn = jax.jit(forward,
-                                 in_shardings=(replicated, sharded),
-                                 out_shardings=sharded)
+        gather_fn = self._jit_sharded(gather, "rs", "s")
+        forward_fn = self._jit_sharded(forward, "rs", "s")
 
         def batch_fn(params, waveform, starts):
             return forward_fn(params, gather_fn(waveform, starts))
@@ -509,7 +502,17 @@ class Inference:
             if self._jitted_shared is None:
                 self._jitted_shared = self._make_shared_batch_fn(window_size)
             precompute_fn, shared_batch_fn = self._jitted_shared
-            conv_whole = precompute_fn(self.model.params, device_waveform)
+            try:
+                conv_whole = precompute_fn(self.model.params,
+                                           device_waveform)
+            except Exception as exception:
+                if _is_oom_error(exception):
+                    raise MemoryError(
+                        "the whole-file front-end conv buffer does not "
+                        "fit in device memory for this file length; set "
+                        "PYANNOTE_TPU_SHARED_SINC=0 to fall back to "
+                        "per-chunk forwards.") from exception
+                raise
         elif self._jitted_batch is None:
             self._jitted_batch = self._make_batch_fn(window_size)
 
@@ -534,10 +537,17 @@ class Inference:
                                              jnp.asarray(batch_starts))
             except Exception as exception:
                 if _is_oom_error(exception):
-                    raise MemoryError(
+                    message = (
                         f"batch_size ({self.batch_size: d}) is probably "
                         f"too large. Try with a smaller value until "
-                        f"memory error disappears.") from exception
+                        f"memory error disappears.")
+                    if shared:
+                        message += (
+                            " The shared front-end also holds a "
+                            "whole-file conv buffer that batch_size "
+                            "cannot shrink; PYANNOTE_TPU_SHARED_SINC=0 "
+                            "reverts to per-chunk forwards.")
+                    raise MemoryError(message) from exception
                 raise
             outputs.append(jax.tree_util.tree_map(
                 lambda o: o[:n_real], out))

@@ -31,10 +31,15 @@ from ...utils.receptive_field import (
 )
 from .norm import InstanceNorm1d
 
+# 251-tap sinc filterbank — single source of truth for the first conv's
+# kernel size (SincConv default, _ladder, PyanNet.frontend_num_frames)
+SINC_KERNEL_SIZE = 251
+
+
 # conv/pool ladder of the block: [sinc, pool, conv, pool, conv, pool]
 def _ladder(stride: int):
     return dict(
-        kernel_size=[251, 3, 5, 3, 5, 3],
+        kernel_size=[SINC_KERNEL_SIZE, 3, 5, 3, 5, 3],
         stride=[stride, 3, 1, 3, 1, 3],
         padding=[0, 0, 0, 0, 0, 0],
         dilation=[1, 1, 1, 1, 1, 1],
@@ -107,7 +112,7 @@ class SincConv(nn.Module):
     """
 
     n_filters: int = 80
-    kernel_size: int = 251
+    kernel_size: int = SINC_KERNEL_SIZE
     stride: int = 10
     sample_rate: int = 16000
     min_low_hz: float = 50.0

@@ -110,7 +110,9 @@ class PyanNetModule(nn.Module):
     def frontend_num_frames(self, window_samples: int) -> int:
         """Sinc-conv output frames for one chunk (static python int)."""
         from ...utils.receptive_field import conv1d_num_frames
-        return conv1d_num_frames(window_samples, kernel_size=251,
+        from ..blocks.sincnet import SINC_KERNEL_SIZE
+        return conv1d_num_frames(window_samples,
+                                 kernel_size=SINC_KERNEL_SIZE,
                                  stride=self.sincnet_stride)
 
     def precompute_frontend(self, waveform: jnp.ndarray) -> jnp.ndarray:

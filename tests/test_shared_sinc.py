@@ -59,6 +59,25 @@ def test_shared_frontend_matches_per_chunk(pyannet, waveform, monkeypatch):
     np.testing.assert_allclose(shared, baseline, atol=1e-4)
 
 
+@pytest.mark.parametrize("quant", ["int16", "mulaw"])
+def test_shared_frontend_matches_with_quantized_transport(
+        pyannet, waveform, monkeypatch, quant):
+    """The shared gather/precompute dequantize int16 and mu-law uploads.
+
+    On CPU the default transport ships raw f32, so the _dequantize
+    branches inside the shared precompute/gather only run when forced —
+    this pins both quantized modes off-TPU."""
+    # PCM16-representable so the int16 fast path actually engages
+    pcm = (np.round(waveform * np.float32(32768.0)).clip(-32768, 32767)
+           / np.float32(32768.0)).astype(np.float32)
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", quant)
+    monkeypatch.setenv("PYANNOTE_TPU_SHARED_SINC", "0")
+    baseline = _slide(pyannet, pcm)
+    monkeypatch.setenv("PYANNOTE_TPU_SHARED_SINC", "1")
+    shared = _slide(pyannet, pcm)
+    np.testing.assert_allclose(shared, baseline, atol=1e-4)
+
+
 def test_shared_frontend_matches_on_mesh(pyannet, waveform, monkeypatch):
     from pyannote_audio_tpu.parallel import make_mesh
     monkeypatch.setenv("PYANNOTE_TPU_SHARED_SINC", "0")
