@@ -47,3 +47,49 @@ def apply_augmentations(X, y, when: str = "input"):
         if spec.when == when:
             X, y = spec.transform(X, y)
     return X, y
+
+
+class TorchAudiomentationsWaveformTransformWrapper:
+    """Adapt a torch-audiomentations waveform transform to this registry.
+
+    Parity: TorchAudiomentationsWaveformTransformWrapper (reference
+    augmentation/registry.py:162-199). The reference attaches the
+    transform as a forward pre-hook on the torch model; here the wrapped
+    callable plugs into :func:`apply_augmentations` — numpy batches are
+    converted to torch, transformed, converted back, and targets pass
+    through untouched (waveform transforms are input-only).
+    """
+
+    def __init__(self, augmentation, model=None, when: str = "input",
+                 sample_rate: int = 16000):
+        if when != "input":
+            raise ValueError(
+                "waveform transforms can only be applied to the model "
+                f"input, not {when!r}")
+        self.augmentation = augmentation
+        self.sample_rate = getattr(model, "sample_rate", sample_rate)
+
+    def __call__(self, X, y):
+        import numpy as np
+        import torch
+        samples = torch.from_numpy(np.ascontiguousarray(X))
+        out = self.augmentation(samples=samples,
+                                sample_rate=self.sample_rate)
+        # torch-audiomentations may return an ObjectDict or a tensor
+        samples = getattr(out, "samples", out)
+        return samples.detach().cpu().numpy(), y
+
+
+def wrap_augmentation(augmentation, model=None, when: str = "input"):
+    """Adapt a reference-style augmentation for Task.collate.
+
+    Parity: wrap_augmentation (reference augmentation/registry.py:
+    153-154). (X, y) -> (X, y) callables pass through; objects exposing
+    the torch-audiomentations ``(samples=..., sample_rate=...)`` call
+    convention are wrapped so they consume/produce numpy batches.
+    """
+    if hasattr(augmentation, "sample_rate") or hasattr(
+            augmentation, "supported_modes"):
+        return TorchAudiomentationsWaveformTransformWrapper(
+            augmentation, model=model, when=when)
+    return augmentation

@@ -267,7 +267,13 @@ def _upload_waveform_cached(waveform: np.ndarray, cache,
     return buf
 
 
-class Inference:
+class BaseInference:
+    """Common base of inference engines (parity: reference
+    core/inference.py:42-43; PretrainedSpeakerEmbedding backends also
+    derive from it)."""
+
+
+class Inference(BaseInference):
     """Run a model over a file with a sliding (or whole-file) window.
 
     Parameters mirror the reference (inference.py:78-181).

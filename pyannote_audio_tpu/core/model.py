@@ -114,6 +114,23 @@ CHECKPOINT_CONFIG = "config.yaml"
 CHECKPOINT_PARAMS = "params.msgpack"
 
 
+class Introspection:
+    """Empty legacy-compat class.
+
+    Parity: Introspection (reference core/model.py:58-59) — kept only so
+    old pickled checkpoints referencing it can unpickle."""
+
+
+@dataclass
+class Output:
+    """Frame-level output description.
+
+    Parity: Output (reference core/model.py:62-66)."""
+    num_frames: int
+    dimension: int
+    frames: SlidingWindow
+
+
 class Model:
     """Base class for all architectures.
 

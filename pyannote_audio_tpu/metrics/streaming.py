@@ -203,6 +203,42 @@ class DiarizationErrorRate(_StreamingMetric):
         return (fa + miss + conf) / max(total, 1e-8)
 
 
+class SegmentationErrorRate(DiarizationErrorRate):
+    """Local DER on a sliding window of frames.
+
+    Parity: SegmentationErrorRate (reference
+    torchmetrics/audio/diarization_error_rate.py:103-163): each window
+    becomes its own batch item, so speaker confusion is judged locally
+    (the optimal mapping is per window, matching the reference's
+    windowed update through the permutation-free DER components).
+    ``window_size``/``step_size`` are frame counts; step defaults to
+    half the window; incomplete tail windows are dropped (torch
+    ``unfold`` semantics). preds/target follow this module's
+    (batch, frames, speakers) layout — the reference is
+    (batch, speakers, frames).
+    """
+
+    def __init__(self, window_size: int, step_size: Optional[int] = None,
+                 threshold: float = 0.5):
+        super().__init__(threshold=threshold)
+        self.window_size = window_size
+        self.step_size = step_size or window_size // 2
+
+    def _windowed(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        num_frames = x.shape[1]
+        if num_frames <= self.window_size:
+            return x
+        starts = range(0, num_frames - self.window_size + 1,
+                       self.step_size)
+        return np.concatenate(
+            [x[:, s:s + self.window_size] for s in starts], axis=0)
+
+    def update(self, preds, target):
+        return super().update(self._windowed(preds),
+                              self._windowed(target))
+
+
 class FalseAlarmRate(_StreamingMetric):
     @staticmethod
     def _from_components(fa, miss, conf, total) -> float:

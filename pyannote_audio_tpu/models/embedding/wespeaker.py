@@ -129,6 +129,22 @@ class ResNetTrunk(nn.Module):
         return x
 
 
+class TSTP(nn.Module):
+    """Temporal statistics pooling: concat(mean, std) over frames.
+
+    Parity: TSTP (reference wespeaker/resnet.py:37-63). WeSpeakerModule
+    pools through :func:`stats_pool` directly; this module exposes the
+    reference's layer name for standalone use.
+    """
+
+    in_dim: int = 0
+
+    def __call__(self, frames: jnp.ndarray,
+                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(B, T, D) frames -> (B, 2*D) pooled statistics."""
+        return stats_pool(jnp.swapaxes(frames, 1, 2), weights=weights)
+
+
 class WeSpeakerModule(nn.Module):
     """fbank -> ResNet -> TSTP -> seg_1 linear."""
 
@@ -332,9 +348,24 @@ class BaseWeSpeakerResNet(Model):
         return {"params": params, "batch_stats": stats}
 
 
+class WeSpeakerResNet18(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (2, 2, 2, 2)
+    BOTTLENECK = False
+
+
 class WeSpeakerResNet34(BaseWeSpeakerResNet):
     NUM_BLOCKS = (3, 4, 6, 3)
     BOTTLENECK = False
+
+
+class WeSpeakerResNet50(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (3, 4, 6, 3)
+    BOTTLENECK = True
+
+
+class WeSpeakerResNet101(BaseWeSpeakerResNet):
+    NUM_BLOCKS = (3, 4, 23, 3)
+    BOTTLENECK = True
 
 
 class WeSpeakerResNet152(BaseWeSpeakerResNet):
@@ -350,3 +381,15 @@ class WeSpeakerResNet221(BaseWeSpeakerResNet):
 class WeSpeakerResNet293(BaseWeSpeakerResNet):
     NUM_BLOCKS = (10, 20, 64, 3)
     BOTTLENECK = True
+
+
+# the reference's bare-module builder names (wespeaker/resnet.py:433-498);
+# here every depth is the same flax Model parameterized by block config
+ResNet = BaseWeSpeakerResNet
+ResNet18 = WeSpeakerResNet18
+ResNet34 = WeSpeakerResNet34
+ResNet50 = WeSpeakerResNet50
+ResNet101 = WeSpeakerResNet101
+ResNet152 = WeSpeakerResNet152
+ResNet221 = WeSpeakerResNet221
+ResNet293 = WeSpeakerResNet293

@@ -32,6 +32,21 @@ def interpolate_weight(weight: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     return weight[:, idx]
 
 
+def interpolate(target: jnp.ndarray,
+                weight: Optional[jnp.ndarray] = None
+                ) -> Optional[jnp.ndarray]:
+    """Reference-signature weight interpolation.
+
+    Parity: interpolate (reference utils/loss.py:32-56): resample a
+    (batch, frames', 1) frame weight to ``target``'s frame axis; None
+    passes through. Thin wrapper over :func:`interpolate_weight`, which
+    the losses below call directly.
+    """
+    if weight is None:
+        return None
+    return interpolate_weight(weight, target.shape[1])
+
+
 def binary_cross_entropy(prediction: jnp.ndarray, target: jnp.ndarray,
                          weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Frame-weighted BCE on probabilities (batch, frames, classes)."""

@@ -65,6 +65,44 @@ def permutate_jax(
     return permutated, perm
 
 
+def mse_cost_func(Y, y, **kwargs) -> np.ndarray:
+    """Class-wise mean-squared error, (frames, classes) -> (classes,).
+
+    Parity: mse_cost_func (reference utils/permutation.py:69-81)."""
+    return np.mean(np.square(np.asarray(Y) - np.asarray(y)), axis=0)
+
+
+def mae_cost_func(Y, y, **kwargs) -> np.ndarray:
+    """Class-wise mean absolute error, (frames, classes) -> (classes,).
+
+    Parity: mae_cost_func (reference utils/permutation.py:84-96)."""
+    return np.mean(np.abs(np.asarray(Y) - np.asarray(y)), axis=0)
+
+
+def _resolve_cost(cost_func) -> Tuple[Optional[str], Optional[object]]:
+    """Map a reference-style cost_func to a builtin name or a callable."""
+    if cost_func is None or cost_func == "mse" or cost_func is mse_cost_func:
+        return "mse", None
+    if cost_func == "mae" or cost_func is mae_cost_func:
+        return "mae", None
+    if callable(cost_func):
+        return None, cost_func
+    raise ValueError(f"unknown cost_func {cost_func!r}")
+
+
+def _callable_cost_matrix(y1: np.ndarray, y2: np.ndarray,
+                          cost_func) -> np.ndarray:
+    """(B, K, K) cost via a user callable with (frames, classes) -> (classes,)
+    semantics (reference utils/permutation.py:126-140)."""
+    B, _, K = y1.shape
+    C = np.zeros((B, K, K), dtype=np.float32)
+    for b in range(B):
+        for i in range(K):
+            column = np.repeat(y1[b, :, i:i + 1], K, axis=1)
+            C[b, i] = np.asarray(cost_func(column, y2[b]))
+    return C
+
+
 def permutate(
     y1: np.ndarray,
     y2: np.ndarray,
@@ -73,7 +111,10 @@ def permutate(
 ):
     """Host API mirroring the reference's ``permutate`` (numpy in/out).
 
-    Falls back to scipy's Hungarian for K > 6 where K! blows up.
+    ``cost_func`` accepts "mse" (default) / "mae", the module's
+    mse_cost_func/mae_cost_func, or any callable with their
+    (frames, classes) -> (classes,) contract. Falls back to scipy's
+    Hungarian for K > 6 where K! blows up.
     """
     y1 = np.asarray(y1, dtype=np.float32)
     y2 = np.asarray(y2, dtype=np.float32)
@@ -92,8 +133,17 @@ def permutate(
     if K2 < K:
         y2 = np.pad(y2, ((0, 0), (0, 0), (0, K - K2)))
 
-    if K <= 6:
-        permutated, perm = permutate_jax(jnp.asarray(y1), jnp.asarray(y2))
+    cost_name, cost_callable = _resolve_cost(cost_func)
+
+    def cost_matrix() -> np.ndarray:
+        if cost_callable is not None:
+            return _callable_cost_matrix(y1, y2, cost_callable)
+        return np.asarray(pairwise_cost(jnp.asarray(y1), jnp.asarray(y2),
+                                        cost=cost_name))
+
+    if K <= 6 and cost_callable is None:
+        permutated, perm = permutate_jax(jnp.asarray(y1), jnp.asarray(y2),
+                                         cost=cost_name)
         permutated = np.asarray(permutated)
         perm = np.asarray(perm)
     else:
@@ -101,7 +151,7 @@ def permutate(
         B = y1.shape[0]
         perm = np.zeros((B, K), dtype=np.int32)
         permutated = np.zeros_like(y2)
-        C = np.asarray(pairwise_cost(jnp.asarray(y1), jnp.asarray(y2)))
+        C = cost_matrix()
         for b in range(B):
             _, cols = linear_sum_assignment(C[b])
             perm[b] = cols
@@ -113,9 +163,28 @@ def permutate(
     if squeeze:
         permutated = permutated[0]
     if return_cost:
-        C = np.asarray(pairwise_cost(jnp.asarray(y1), jnp.asarray(y2)))
-        return permutated, perms, C
+        return permutated, perms, cost_matrix()
     return permutated, perms
+
+
+def permutate_numpy(y1, y2, cost_func="mse", return_cost: bool = False):
+    """Parity alias (reference utils/permutation.py:177-192)."""
+    return permutate(y1, y2, cost_func=cost_func, return_cost=return_cost)
+
+
+def permutate_torch(y1, y2, cost_func="mse", return_cost: bool = False):
+    """torch-tensor adapter (reference utils/permutation.py:100-174):
+    converts to numpy, permutates on host, returns torch tensors."""
+    import torch
+    out = permutate(y1.detach().cpu().numpy(),
+                    y2.detach().cpu().numpy(),
+                    cost_func=cost_func, return_cost=return_cost)
+    if return_cost:
+        permutated, perms, C = out
+        return (torch.from_numpy(np.ascontiguousarray(permutated)), perms,
+                torch.from_numpy(np.ascontiguousarray(C)))
+    permutated, perms = out
+    return torch.from_numpy(np.ascontiguousarray(permutated)), perms
 
 
 def build_permutation_graph(

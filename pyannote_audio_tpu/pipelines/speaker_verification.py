@@ -21,14 +21,14 @@ from typing import Mapping, Optional, Text, Union
 
 import numpy as np
 
-from ..core.inference import Inference
+from ..core.inference import BaseInference, Inference
 from ..core.io import Audio, AudioFile
 from ..core.model import Model
 from ..core.pipeline import Pipeline
 from .utils.getter import PipelineModel, get_model
 
 
-class PyannoteAudioPretrainedSpeakerEmbedding:
+class PyannoteAudioPretrainedSpeakerEmbedding(BaseInference):
     """Masked whole-chunk embedding extraction over a native Model."""
 
     def __init__(self, embedding: PipelineModel, device=None):
@@ -136,6 +136,35 @@ class ONNXWeSpeakerPretrainedSpeakerEmbedding(
         super().__init__(model, device=device)
 
 
+class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
+    """Parity: SpeechBrainPretrainedSpeakerEmbedding (reference
+    speaker_verification.py:202-383). The speechbrain runtime is not
+    part of this stack; construction raises the same actionable
+    ImportError the reference raises when speechbrain is absent."""
+
+    def __init__(self, embedding: Text = "speechbrain/spkrec-ecapa-voxceleb",
+                 device=None, token=None, cache_dir=None):
+        raise ImportError(
+            f"'speechbrain' must be installed to use {embedding!r} "
+            "embeddings, and this framework does not bundle it; convert "
+            "the checkpoint to a native model instead.")
+
+
+class NeMoPretrainedSpeakerEmbedding(BaseInference):
+    """Parity: NeMoPretrainedSpeakerEmbedding (reference
+    speaker_verification.py:65-199). The NeMo runtime is not part of
+    this stack; construction raises the same actionable ImportError the
+    reference raises when NeMo is absent."""
+
+    def __init__(self,
+                 embedding: Text = "nvidia/speakerverification_en_titanet_large",
+                 device=None):
+        raise ImportError(
+            f"'NeMo' must be installed to use {embedding!r} embeddings, "
+            "and this framework does not bundle it; convert the "
+            "checkpoint to a native model instead.")
+
+
 def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                                token=None, cache_dir=None):
     """Dispatch factory (parity: speaker_verification.py:719-778).
@@ -147,12 +176,11 @@ def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
     """
     if isinstance(embedding, str):
         lowered = embedding.lower()
-        for vendor in ("speechbrain", "nvidia", "nemo"):
-            if vendor in lowered:
-                raise ValueError(
-                    f"{vendor} embedding backends require external "
-                    "runtimes that are not part of this framework; "
-                    "convert the checkpoint to a native model instead.")
+        if "speechbrain" in lowered:
+            return SpeechBrainPretrainedSpeakerEmbedding(
+                embedding, device=device, token=token, cache_dir=cache_dir)
+        if "nvidia" in lowered or "nemo" in lowered:
+            return NeMoPretrainedSpeakerEmbedding(embedding, device=device)
         # native checkpoint DIRECTORIES (even ones named *wespeaker*)
         # stay on the native path; files / hub names go through ONNX
         if ("wespeaker" in lowered or lowered.endswith(".onnx")) \

@@ -33,6 +33,15 @@ from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
 from .utils.getter import PipelineModel, get_model
 
 
+def batchify(iterable, batch_size: int = 32, fillvalue=None):
+    """Group an iterable into fixed-size batches (last one fill-padded).
+
+    Parity: batchify (reference pipelines/speech_separation.py:54-58)."""
+    import itertools
+    args = [iter(iterable)] * batch_size
+    return itertools.zip_longest(*args, fillvalue=fillvalue)
+
+
 class SeparationOutput(DiarizeOutput):
     """DiarizeOutput + per-speaker sources (num_samples, num_speakers)."""
 

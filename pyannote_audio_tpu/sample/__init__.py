@@ -68,6 +68,28 @@ def _build_sample_file() -> dict:
     }
 
 
+def load_stm(file_stm) -> dict:
+    """Parse an STM transcription file into per-session word entries.
+
+    Parity: load_stm (reference sample/__init__.py:32-49): returns
+    {session_id: [{"start", "end", "text", "speaker"}, ...]}.
+    """
+    session_ids: dict = {}
+    with open(file_stm, "r") as stm:
+        for line in stm:
+            infos = line.strip().split()
+            if not infos:
+                continue
+            session_id, _, speaker, start, end, *words = infos
+            session_ids.setdefault(session_id, []).append({
+                "start": float(start),
+                "end": float(end),
+                "text": " ".join(words),
+                "speaker": speaker,
+            })
+    return session_ids
+
+
 SAMPLE_FILE = _build_sample_file()
 
-__all__ = ["SAMPLE_FILE"]
+__all__ = ["SAMPLE_FILE", "load_stm"]

@@ -147,3 +147,10 @@ class SupervisedRepresentationLearningWithArcFace(Task):
         return arcface_loss(embeddings, jnp.asarray(batch.y),
                             params["arcface"],
                             margin_deg=self.margin, scale=self.scale)
+
+
+# the reference splits the class-balanced sampling mixin
+# (tasks/embedding/mixins.py:43) from the ArcFace task; here they are one
+# class, exported under both names
+SupervisedRepresentationLearningTaskMixin = \
+    SupervisedRepresentationLearningWithArcFace

@@ -352,3 +352,8 @@ if __name__ == "__main__":
     args = parser.parse_args()
     evaluate(args.protocol, subset=args.subset, model=args.model,
              registry=args.registry, onset=args.onset)
+
+
+# the reference's name for the shared segmentation-task base
+# (tasks/segmentation/mixins.py:45)
+SegmentationTask = SegmentationTaskMixin

@@ -65,3 +65,20 @@ def track_pipeline_apply(pipeline, file, duration: Optional[float] = None,
     _emit("pipeline_apply", pipeline=type(pipeline).__name__,
           duration=duration, num_speakers=num_speakers,
           min_speakers=min_speakers, max_speakers=max_speakers)
+
+
+def is_metrics_enabled() -> bool:
+    """Parity alias (reference telemetry/metrics.py:143-151)."""
+    return telemetry_enabled()
+
+
+def set_opentelemetry_log_level(level: str) -> None:
+    """Quiet the telemetry backend's own logging.
+
+    Parity: set_opentelemetry_log_level (reference telemetry/metrics.py:
+    194-210). This build spools events to local JSONL instead of OTLP
+    (no egress), so the knob maps to the spool's logger level.
+    """
+    import logging
+    logging.getLogger(__name__).setLevel(
+        getattr(logging, str(level).upper(), logging.ERROR))

@@ -16,6 +16,18 @@ class DependencyError(Exception):
     pass
 
 
+class MissingDependency(DependencyError):
+    """A recorded dependency is not installed at all.
+
+    Parity: MissingDependency (reference utils/dependencies.py)."""
+
+
+class WrongDependencyVersion(DependencyError):
+    """A recorded dependency is installed at an incompatible version.
+
+    Parity: WrongDependencyVersion (reference utils/dependencies.py)."""
+
+
 def installed_version(package: str) -> Optional[str]:
     if package == "pyannote_audio_tpu":
         from .. import __version__
@@ -36,11 +48,11 @@ def check_dependencies(dependencies: Dict[str, str],
             msg = (f"{what} was created with {package}=={expected} which "
                    f"is not installed.")
             if strict:
-                raise DependencyError(msg)
+                raise MissingDependency(msg)
             warnings.warn(msg)
         elif current != expected:
             msg = (f"{what} was created with {package}=={expected}; "
                    f"found {current}. Results may differ.")
             if strict and current.split(".")[0] != expected.split(".")[0]:
-                raise DependencyError(msg)
+                raise WrongDependencyVersion(msg)
             warnings.warn(msg)

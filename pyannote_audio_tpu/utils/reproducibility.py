@@ -57,3 +57,47 @@ def fix_reproducibility(precision=None) -> None:
 def lower_precision_for_speed() -> None:
     """Opt back into fast bf16 MXU matmuls (benchmarking)."""
     jax.config.update("jax_default_matmul_precision", "default")
+
+
+def _low_precision_matmuls(device=None) -> bool:
+    """Is the default matmul precision below full f32 on an accelerator?
+
+    ``device`` accepts a jax.Device, a backend name string, or None
+    (default backend) — the analogue of the reference's torch.device
+    argument.
+    """
+    backend = getattr(device, "platform", device) or jax.default_backend()
+    if backend == "cpu":
+        return False
+    return jax.config.jax_default_matmul_precision in (None, "default",
+                                                       "fastest", "low")
+
+
+_GUIDANCE = (
+    "The accelerator backend defaults to reduced-precision (bf16-input) "
+    "matmul passes, the JAX analogue of TF32. Call\n"
+    "   >>> from pyannote_audio_tpu.utils.reproducibility import "
+    "fix_reproducibility\n"
+    "   >>> fix_reproducibility('highest')\n"
+    "or set PYANNOTE_TPU_STRICT_REPRO=1 for bit-reproducible math "
+    "(slower), or you might face reproducibility issues and obtain "
+    "slightly different results across backends.")
+
+
+def raise_reproducibility(device=None) -> None:
+    """Raise when reduced-precision matmuls are active on an accelerator.
+
+    Parity: raise_reproducibility (reference utils/reproducibility.py:
+    38-49, the TF32 guard), re-targeted at the JAX default-matmul-
+    precision knob."""
+    if _low_precision_matmuls(device):
+        raise ReproducibilityError(_GUIDANCE)
+
+
+def warn_reproducibility(device=None) -> None:
+    """Warn when reduced-precision matmuls are active on an accelerator.
+
+    Parity: warn_reproducibility (reference utils/reproducibility.py:
+    52-64)."""
+    if _low_precision_matmuls(device):
+        warnings.warn(ReproducibilityWarning(_GUIDANCE))

@@ -158,3 +158,84 @@ def cluster_vbx(
     gamma, pi, _ = vbx_em(features, phi, fa=fa, fb=fb, gamma=gamma0,
                           max_iters=max_iters)
     return gamma, pi
+
+
+# -- reference-signature API (utils/vbx.py:27-218) -------------------------
+
+def l2_norm(vec_or_matrix: np.ndarray) -> np.ndarray:
+    """L2-normalize one vector or each row of a matrix.
+
+    Parity: l2_norm (reference utils/vbx.py:158-177)."""
+    vec_or_matrix = np.asarray(vec_or_matrix)
+    if vec_or_matrix.ndim == 1:
+        return vec_or_matrix / np.linalg.norm(vec_or_matrix)
+    if vec_or_matrix.ndim == 2:
+        return vec_or_matrix / np.linalg.norm(vec_or_matrix, axis=1,
+                                              keepdims=True)
+    raise ValueError(
+        f"the input must be 1D or 2D, got shape {vec_or_matrix.shape}")
+
+
+def VBx(X, Phi, Fa=1.0, Fb=1.0, pi=10, gamma=None, maxIters=10,
+        epsilon=1e-4, alphaQInit=1.0, ref=None, plot=False,
+        return_model=False, alpha=None, invL=None):
+    """Reference-signature entry point over :func:`vbx_em`.
+
+    Parity: VBx (reference utils/vbx.py:27-137): ``pi`` as an int caps
+    the speaker count (vector form seeds the priors via ``gamma``'s
+    width); returns (gamma, pi, Li) with Li the ELBO trace as
+    single-element rows, plus (alpha, invL) — the final speaker-mean /
+    posterior-precision model — when ``return_model`` is set. ``ref``,
+    ``plot``, ``alphaQInit`` and warm-start ``alpha``/``invL`` are
+    accepted for signature parity; the EM recomputes the model from
+    ``gamma`` in its first iteration anyway.
+    """
+    x = np.asarray(X, dtype=np.float64)
+    phi = np.asarray(Phi, dtype=np.float64)
+    max_speakers = int(pi) if np.ndim(pi) == 0 else len(np.asarray(pi))
+    gamma, pi_out, trace = vbx_em(
+        x, phi, fa=Fa, fb=Fb, gamma=gamma,
+        max_speakers=max_speakers, max_iters=maxIters, epsilon=epsilon)
+    out = (gamma, pi_out, [[float(e)] for e in trace])
+    if not return_model:
+        return out
+    occupancy = gamma.sum(axis=0)
+    inv_l = 1.0 / (1.0 + (Fa / Fb) * occupancy[:, None] * phi)
+    mu = (Fa / Fb) * inv_l * (gamma.T @ (x * np.sqrt(phi)))
+    return out + (mu, inv_l)
+
+
+def vbx_setup(transform_npz, plda_npz):
+    """Load the x-vector -> PLDA-space transformation pipeline.
+
+    Parity: vbx_setup (reference utils/vbx.py:181-218): returns
+    (xvec_tf, plda_tf, plda_psi) where ``xvec_tf`` centers/whitens/LDA-
+    projects raw x-vectors, ``plda_tf`` maps them into the PLDA latent
+    space (optionally truncated), and ``plda_psi`` holds the reordered
+    between-class eigenvalues used as the VBx across-class covariance.
+    """
+    from scipy.linalg import eigh
+
+    x = np.load(transform_npz)
+    mean1, mean2, lda = x["mean1"], x["mean2"], x["lda"]
+
+    p = np.load(plda_npz)
+    plda_mu, plda_tr, plda_psi = p["mu"], p["tr"], p["psi"]
+
+    # within/between-class covariances from the PLDA transform, then the
+    # generalized eigenproblem yields the diagonalizing rotation
+    within = np.linalg.inv(plda_tr.T.dot(plda_tr))
+    between = np.linalg.inv((plda_tr.T / plda_psi).dot(plda_tr))
+    acvar, wccn = eigh(between, within)
+    plda_psi = acvar[::-1]
+    plda_tr = wccn.T[::-1]
+
+    def xvec_tf(x0):
+        centered = np.sqrt(lda.shape[0]) * l2_norm(x0 - mean1)
+        return np.sqrt(lda.shape[1]) * l2_norm(
+            lda.T.dot(centered.T).T - mean2)
+
+    def plda_tf(x0, lda_dim=lda.shape[1]):
+        return (x0 - plda_mu).dot(plda_tr.T)[:, :lda_dim]
+
+    return xvec_tf, plda_tf, plda_psi
