@@ -345,6 +345,14 @@ class Inference(BaseInference):
         self._jitted_batch = None
         self._jitted_shared = None      # (precompute_fn, batch_fn)
 
+    def to(self, device) -> "Inference":
+        """Send the internal model to ``device`` (parity:
+        Inference.to, reference core/inference.py:169-180; placement is
+        XLA's job here, so this records the device and returns self)."""
+        self.model.to(device)
+        self.device = device
+        return self
+
     # -- device compute ----------------------------------------------------
 
     def _shared_frontend(self, window_size: int, step_size: int) -> bool:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import importlib
 from dataclasses import dataclass, field
 from enum import Enum
-from functools import cached_property
+from functools import cached_property, partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Text, Tuple, Union
 
@@ -154,6 +154,9 @@ class Model:
         self.task = task
         self._specifications: Optional[Specifications] = None
         self.module = None
+        #: top-level module names whose parameters the trainer must not
+        #: update (consumed as optimizer-mask prefixes by Trainer.fit)
+        self.frozen_modules: List[str] = []
         self.params = None
         self._jitted_apply = None
 
@@ -258,10 +261,98 @@ class Model:
             return len(spec.classes)
         raise ValueError("specifications do not define a dimension")
 
+    def default_activation(self):
+        """Default output activation for the task specification.
+
+        Parity: default_activation (reference model.py:271-295): sigmoid
+        for binary/multi-label problems, log-softmax for mono-label
+        (incl. powerset) classification — returned as jax callables
+        (tuple for multi-task specifications).
+        """
+        import jax.nn
+
+        def one(spec: Specifications):
+            if spec.problem in (Problem.BINARY_CLASSIFICATION,
+                                Problem.MULTI_LABEL_CLASSIFICATION):
+                return jax.nn.sigmoid
+            if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
+                return partial(jax.nn.log_softmax, axis=-1)
+            raise ValueError(
+                f"no default activation for problem {spec.problem}")
+
+        specs = self.specifications
+        if isinstance(specs, Specifications):
+            return one(specs)
+        return tuple(one(s) for s in specs)
+
+    def forward(self, *args, **kwargs):
+        """torch-habit alias of ``__call__`` (reference model.py forward)."""
+        return self(*args, **kwargs)
+
     # -- freezing ----------------------------------------------------------
     # In a functional stack, freezing is an optimizer-mask concern: these
     # return pytree masks consumed by optax.masked (parity with the intent of
-    # reference model.py:359-495 freeze_up_to/by_name).
+    # reference model.py:359-495 freeze_up_to/by_name). The stateful
+    # freeze_by_name/up_to API below records top-level module names in
+    # ``frozen_modules``, which Trainer.fit seeds its optimizer-mask
+    # prefixes from.
+
+    def _top_level_modules(self) -> List[str]:
+        if self.params is None:
+            raise ValueError(
+                "build the model (or load a checkpoint) before freezing "
+                "modules")
+        return list(self.params.get("params", {}).keys())
+
+    def freeze_by_name(self, modules, recurse: bool = True) -> List[str]:
+        """Freeze modules by top-level name.
+
+        Parity: freeze_by_name (reference model.py:439-468). ``recurse``
+        is accepted for signature parity; freezing always covers the
+        whole subtree here (the optimizer mask zeroes every parameter
+        under the module path).
+        """
+        names = [modules] if isinstance(modules, str) else list(modules)
+        known = self._top_level_modules()
+        missing = [name for name in names if name not in known]
+        if missing:
+            raise ValueError(
+                f"Could not find the following modules: {missing}.")
+        for name in names:
+            if name not in self.frozen_modules:
+                self.frozen_modules.append(name)
+        return names
+
+    def unfreeze_by_name(self, modules, recurse: bool = True) -> List[str]:
+        """Parity: unfreeze_by_name (reference model.py:470-495)."""
+        names = [modules] if isinstance(modules, str) else list(modules)
+        known = self._top_level_modules()
+        missing = [name for name in names if name not in known]
+        if missing:
+            raise ValueError(
+                f"Could not find the following modules: {missing}.")
+        self.frozen_modules = [name for name in self.frozen_modules
+                               if name not in names]
+        return names
+
+    def freeze_up_to(self, module_name: str) -> List[str]:
+        """Freeze every top-level module up to (and incl.) ``module_name``.
+
+        Parity: freeze_up_to (reference model.py:359-382); module order
+        is the parameter-tree order."""
+        known = self._top_level_modules()
+        if module_name not in known:
+            raise ValueError(
+                f"Could not find the following modules: [{module_name!r}].")
+        return self.freeze_by_name(known[:known.index(module_name) + 1])
+
+    def unfreeze_up_to(self, module_name: str) -> List[str]:
+        """Parity: unfreeze_up_to (reference model.py:384-407)."""
+        known = self._top_level_modules()
+        if module_name not in known:
+            raise ValueError(
+                f"Could not find the following modules: [{module_name!r}].")
+        return self.unfreeze_by_name(known[:known.index(module_name) + 1])
 
     def frozen_mask(self, frozen_prefixes: List[str]) -> Any:
         flat = jax.tree_util.tree_flatten_with_path(self.params)[0]

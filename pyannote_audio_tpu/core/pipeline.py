@@ -257,6 +257,27 @@ class Pipeline:
             pass
         return hook
 
+    def setup_hook(self, file: AudioFile,
+                   hook: Optional[Callable] = None) -> Callable:
+        """Bind ``file`` into ``hook`` (or a noop when None).
+
+        Parity: Pipeline.setup_hook (reference core/pipeline.py:412-417;
+        a staticmethod there — instance method here so subclasses with a
+        device hot path can override)."""
+        if hook is None:
+            return lambda *args, **kwargs: None
+        import functools
+        return functools.partial(hook, file=file)
+
+    def classes(self):
+        """Classes returned by the pipeline: a finite list when known in
+        advance, or an infinite iterator when file-dependent (e.g.
+        "SPEAKER_00", "SPEAKER_01", ...).
+
+        Parity: Pipeline.classes (reference core/pipeline.py:422-447);
+        subclasses override."""
+        raise NotImplementedError()
+
     def __call__(self, file: AudioFile, hook: Optional[Callable] = None,
                  **kwargs):
         # deterministic inference entry (parity: fix_reproducibility is

@@ -523,6 +523,35 @@ class Task:
     def val_monitor(self) -> Tuple[str, str]:
         return "loss/val", "min"
 
+    # -- validation metrics ------------------------------------------------
+
+    def default_metric(self):
+        """Default validation metric(s) for this task.
+
+        Parity: default_metric (reference core/task.py:834-837): a
+        metric instance, a sequence of them, or a {name: metric} dict;
+        subclasses override. The Trainer's built-in validation loop
+        computes the reference metric family directly; this API exists
+        for users evaluating outside the Trainer.
+        """
+        msg = f"Missing '{self.__class__.__name__}.default_metric' method."
+        raise NotImplementedError(msg)
+
+    @property
+    def metric(self) -> Dict[str, Any]:
+        """``default_metric`` normalized to a {name: metric} dict
+        (parity: the cached MetricCollection, reference
+        core/task.py:839-844); cached after the first access."""
+        if getattr(self, "_metric", None) is None:
+            metrics = self.default_metric()
+            if isinstance(metrics, dict):
+                self._metric = dict(metrics)
+            elif isinstance(metrics, (list, tuple)):
+                self._metric = {type(m).__name__: m for m in metrics}
+            else:
+                self._metric = {type(metrics).__name__: metrics}
+        return self._metric
+
 
 # -- prepared_data helpers (parity: reference core/task.py:308-597) --------
 

@@ -51,7 +51,7 @@ class SimpleSegmentationModel(Model):
         super().__init__(sample_rate=sample_rate, num_channels=num_channels,
                          task=task)
 
-    def default_activation(self) -> str:
+    def _activation_name(self) -> str:
         specs = self.specifications
         spec = specs if isinstance(specs, Specifications) else specs[0]
         if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
@@ -60,7 +60,7 @@ class SimpleSegmentationModel(Model):
 
     def build_module(self) -> nn.Module:
         return _DebugSegModule(dimension=self.dimension,
-                               activation=self.default_activation())
+                               activation=self._activation_name())
 
     def num_frames(self, num_samples: int) -> int:
         return conv1d_num_frames(num_samples, kernel_size=_KERNEL,

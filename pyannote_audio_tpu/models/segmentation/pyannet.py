@@ -153,7 +153,7 @@ class PyanNet(Model):
         self.hparams = {"sincnet": self.sincnet, "lstm": self.lstm,
                         "linear": self.linear}
 
-    def default_activation(self) -> str:
+    def _activation_name(self) -> str:
         specs = self.specifications
         spec = specs if isinstance(specs, Specifications) else specs[0]
         if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
@@ -170,7 +170,7 @@ class PyanNet(Model):
             linear_hidden=self.linear["hidden_size"],
             linear_layers=self.linear["num_layers"],
             dimension=self.dimension,
-            activation=self.default_activation(),
+            activation=self._activation_name(),
         )
 
     # -- frame math --------------------------------------------------------

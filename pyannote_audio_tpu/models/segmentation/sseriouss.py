@@ -232,7 +232,7 @@ class SSeRiouSS(Model):
                         "freeze_wav2vec": freeze_wav2vec,
                         "lstm": self.lstm, "linear": self.linear}
 
-    def default_activation(self) -> str:
+    def _activation_name(self) -> str:
         specs = self.specifications
         spec = specs if isinstance(specs, Specifications) else specs[0]
         if spec.problem == Problem.MONO_LABEL_CLASSIFICATION:
@@ -257,7 +257,7 @@ class SSeRiouSS(Model):
             linear_hidden=self.linear["hidden_size"],
             linear_layers=self.linear["num_layers"],
             dimension=self.dimension,
-            activation=self.default_activation(),
+            activation=self._activation_name(),
         )
 
     def build(self, rng=None) -> "SSeRiouSS":

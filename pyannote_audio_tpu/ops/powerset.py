@@ -59,6 +59,29 @@ class Powerset:
         reference utils/powerset.py:111-113)."""
         return jnp.sum(self.mapping, axis=-1)
 
+    @property
+    def powerset_classes(self) -> list:
+        """Each powerset state as a set of multilabel class indices.
+
+        Parity: powerset_classes (reference utils/powerset.py:58-78)."""
+        return [set(np.flatnonzero(row).tolist())
+                for row in np.asarray(self.mapping)]
+
+    def build_mapping(self) -> jnp.ndarray:
+        """Parity alias (reference utils/powerset.py:80-109); the mapping
+        is precomputed at construction here."""
+        return self.mapping
+
+    def build_cardinality(self) -> jnp.ndarray:
+        """Parity alias (reference utils/powerset.py:111-113)."""
+        return self.cardinality
+
+    def forward(self, powerset: jnp.ndarray, soft: bool = False
+                ) -> jnp.ndarray:
+        """Parity alias of :meth:`to_multilabel` (reference
+        utils/powerset.py:142-144, the nn.Module forward)."""
+        return self.to_multilabel(powerset, soft=soft)
+
     def to_multilabel(self, powerset: jnp.ndarray, soft: bool = False
                       ) -> jnp.ndarray:
         """(..., K_powerset) log-probs -> (..., K) multilabel scores.

@@ -139,6 +139,13 @@ class SupervisedRepresentationLearningWithArcFace(Task):
         fixed chunk grid — nothing for the generic validate loop to do."""
         return []
 
+    def default_metric(self) -> List:
+        """[EqualErrorRate, AUROC] over verification-trial scores
+        (parity: reference tasks/embedding/mixins.py:122-128)."""
+        from ..metrics.auroc import BinnedAUROC
+        from ..metrics.streaming import EqualErrorRate
+        return [EqualErrorRate(), BinnedAUROC()]
+
     def loss(self, model, params, batch):
         """Joint loss; class prototypes live in params["arcface"]."""
         embeddings = model.apply_fn(

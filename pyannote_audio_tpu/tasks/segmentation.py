@@ -30,6 +30,21 @@ class SegmentationTaskMixin(Task):
     #: threads it through utils/loss.py:32 interpolation); None = unweighted
     weight: Optional[Text] = None
 
+    def default_metric(self):
+        """Macro-average AUROC (parity: reference
+        tasks/segmentation/mixins.py:51-66: Binary/Multilabel/Multiclass
+        AUROC by problem type — here the binned streaming AUROC, which
+        handles all three through its multilabel reduction)."""
+        from ..metrics.auroc import BinnedAUROC
+        problem = self.specifications.problem
+        if problem in (Problem.BINARY_CLASSIFICATION,
+                       Problem.MULTI_LABEL_CLASSIFICATION,
+                       Problem.MONO_LABEL_CLASSIFICATION):
+            return BinnedAUROC()
+        raise RuntimeError(
+            f"The {problem} problem type hasn't been given a default "
+            f"segmentation metric yet.")
+
     def chunk_weight(self, file: Dict, chunk: Segment
                      ) -> Optional[np.ndarray]:
         """(frames, 1) per-frame loss weight cropped from file[self.weight].
@@ -259,6 +274,27 @@ class SpeakerDiarization(SegmentationTaskMixin):
         if self._powerset is None:
             raise RuntimeError("call task.setup() first")
         return self._powerset
+
+    def default_metric(self) -> Dict:
+        """DER and its components at threshold 0.5 (parity: reference
+        tasks/segmentation/speaker_diarization.py:487-500)."""
+        from ..metrics.streaming import (DetectionErrorRate,
+                                         DiarizationErrorRate,
+                                         DiarizationPrecision,
+                                         DiarizationRecall,
+                                         FalseAlarmRate,
+                                         MissedDetectionRate,
+                                         SpeakerConfusionRate)
+        return {
+            "DiarizationErrorRate": DiarizationErrorRate(0.5),
+            "DiarizationErrorRate/Confusion": SpeakerConfusionRate(0.5),
+            "DiarizationErrorRate/Miss": MissedDetectionRate(0.5),
+            "DiarizationErrorRate/FalseAlarm": FalseAlarmRate(0.5),
+            "DiarizationErrorRate/Precision": DiarizationPrecision(0.5),
+            "DiarizationErrorRate/Recall": DiarizationRecall(0.5),
+            "DiarizationErrorRate/DetectionErrorRate":
+                DetectionErrorRate(0.5),
+        }
 
     def prepare_chunk(self, file: Dict, chunk: Segment, rng
                       ) -> Optional[Dict]:

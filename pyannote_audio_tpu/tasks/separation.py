@@ -114,6 +114,24 @@ class PixIT(Task):
     def val_monitor(self):
         return "der/val/optimal", "min"
 
+    def default_metric(self) -> Dict:
+        """Optimal (threshold-swept) DER family (parity: reference
+        tasks/separation/PixIT.py:1030-1042)."""
+        from ..metrics.streaming import (OptimalDiarizationErrorRate,
+                                         OptimalDiarizationErrorRateThreshold,
+                                         OptimalFalseAlarmRate,
+                                         OptimalMissedDetectionRate,
+                                         OptimalSpeakerConfusionRate)
+        return {
+            "DiarizationErrorRate": OptimalDiarizationErrorRate(),
+            "DiarizationErrorRate/Threshold":
+                OptimalDiarizationErrorRateThreshold(),
+            "DiarizationErrorRate/Confusion":
+                OptimalSpeakerConfusionRate(),
+            "DiarizationErrorRate/Miss": OptimalMissedDetectionRate(),
+            "DiarizationErrorRate/FalseAlarm": OptimalFalseAlarmRate(),
+        }
+
     def setup(self, model=None) -> None:
         super().setup(model)
         classes = [f"speaker#{i + 1}"

@@ -184,7 +184,11 @@ class Trainer:
         # buffers are never aliased by model.params.
         params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         opt_state = self.optimizer.init(params)
-        self.frozen_prefixes: Tuple[str, ...] = ()
+        # seed from the model's stateful freeze_by_name/up_to API
+        # (core/model.py; reference model.py:359-495); callbacks such as
+        # GraduallyUnfreeze may overwrite per epoch
+        self.frozen_prefixes: Tuple[str, ...] = tuple(
+            getattr(model, "frozen_modules", ()) or ())
         _step_cache: Dict[Tuple[str, ...], Callable] = {}
 
         def get_step_fn():

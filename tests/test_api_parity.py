@@ -291,3 +291,234 @@ def test_task_name_aliases():
     assert SegmentationTask is SegmentationTaskMixin
     assert SupervisedRepresentationLearningTaskMixin is \
         SupervisedRepresentationLearningWithArcFace
+
+
+# -- method-level parity (freeze API, default_activation, setup_hook, ...) --
+
+
+def _built_debug_model():
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0, classes=["a", "b"])
+    model.build()
+    return model
+
+
+def test_model_freeze_by_name_and_up_to():
+    model = _built_debug_model()
+    names = list(model.params["params"].keys())
+    assert len(names) >= 3
+
+    # freeze_by_name records optimizer-mask prefixes
+    assert model.freeze_by_name(names[0]) == [names[0]]
+    assert model.frozen_modules == [names[0]]
+    # idempotent; list input
+    model.freeze_by_name([names[0], names[1]])
+    assert model.frozen_modules == [names[0], names[1]]
+    with pytest.raises(ValueError, match="Could not find"):
+        model.freeze_by_name("nope")
+
+    # unfreeze removes
+    assert model.unfreeze_by_name(names[1]) == [names[1]]
+    assert model.frozen_modules == [names[0]]
+    with pytest.raises(ValueError, match="Could not find"):
+        model.unfreeze_by_name("nope")
+
+    # up_to covers the prefix of the parameter-tree order
+    model.frozen_modules = []
+    model.freeze_up_to(names[1])
+    assert model.frozen_modules == names[:2]
+    model.unfreeze_up_to(names[0])
+    assert model.frozen_modules == names[1:2]
+    with pytest.raises(ValueError, match="Could not find"):
+        model.freeze_up_to("nope")
+
+    # the mask derived from the frozen names zeroes exactly that subtree
+    import jax
+    mask = model.frozen_mask(tuple(model.frozen_modules))
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, trainable in flat:
+        keys = [getattr(p, "key", None) for p in path]
+        assert trainable == (names[1] not in keys)
+
+
+def test_model_freeze_requires_build():
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    model = SimpleSegmentationModel()
+    with pytest.raises(ValueError, match="build"):
+        model.freeze_by_name("frontend")
+
+
+def test_trainer_fit_respects_frozen_modules(tmp_path):
+    """freeze_by_name before fit -> those parameters never change."""
+    from corpus import default_two_speaker_file
+
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.tasks.segmentation import VoiceActivityDetection
+    from pyannote_audio_tpu.train import Trainer
+    from pyannote_audio_tpu.utils.database import Protocol
+
+    train_files = [default_two_speaker_file(tmp_path / "trn.wav")]
+    protocol = Protocol(name="Debug.SpeakerDiarization.Debug",
+                        subsets={"train": train_files})
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    model.build()
+    frozen_before = np.asarray(
+        model.params["params"]["frontend"]["kernel"]).copy()
+    free_before = np.asarray(
+        model.params["params"]["classifier"]["kernel"]).copy()
+    model.freeze_by_name("frontend")
+
+    trainer = Trainer(max_epochs=1, limit_train_batches=2)
+    trainer.fit(model, task)
+
+    np.testing.assert_array_equal(
+        np.asarray(model.params["params"]["frontend"]["kernel"]),
+        frozen_before)
+    assert np.abs(np.asarray(model.params["params"]["classifier"]["kernel"])
+                  - free_before).max() > 0
+
+
+def test_model_default_activation_and_forward():
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.core.model import (Model, Problem, Resolution,
+                                               Specifications)
+
+    model = _built_debug_model()
+    # mono-label -> log_softmax over the last axis
+    act = Model.default_activation(model)
+    x = jnp.asarray([[0.0, 1.0, 2.0]])
+    out = np.asarray(act(x))
+    np.testing.assert_allclose(np.exp(out).sum(axis=-1), 1.0, rtol=1e-6)
+    assert (out <= 0).all()
+
+    # multilabel -> sigmoid
+    model.specifications = Specifications(
+        problem=Problem.MULTI_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0, classes=["a", "b"])
+    act = Model.default_activation(model)
+    np.testing.assert_allclose(np.asarray(act(jnp.asarray(0.0))), 0.5,
+                               rtol=1e-6)
+
+    # forward == __call__
+    wav = jnp.asarray(0.1 * np.random.default_rng(0).standard_normal(
+        (1, 1, 8000)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(model.forward(wav)),
+                                  np.asarray(model(wav)))
+
+
+def test_powerset_parity_helpers():
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.ops.powerset import Powerset
+
+    ps = Powerset(3, 2)
+    # powerset_classes: each state as a set of class indices
+    classes = ps.powerset_classes
+    assert classes[0] == set()
+    assert {frozenset(c) for c in classes} == {
+        frozenset(), frozenset({0}), frozenset({1}), frozenset({2}),
+        frozenset({0, 1}), frozenset({0, 2}), frozenset({1, 2})}
+    np.testing.assert_array_equal(np.asarray(ps.build_mapping()),
+                                  np.asarray(ps.mapping))
+    np.testing.assert_array_equal(np.asarray(ps.build_cardinality()),
+                                  np.asarray(ps.cardinality))
+    # forward == to_multilabel (both hard and soft)
+    logp = jnp.log(jnp.asarray(
+        np.random.default_rng(1).dirichlet(np.ones(ps.num_powerset_classes),
+                                           size=(2, 5)).astype(np.float32)))
+    for soft in (False, True):
+        np.testing.assert_array_equal(
+            np.asarray(ps.forward(logp, soft=soft)),
+            np.asarray(ps.to_multilabel(logp, soft=soft)))
+
+
+def test_pipeline_setup_hook_and_classes():
+    from pyannote_audio_tpu.core.pipeline import Pipeline
+
+    pipe = Pipeline()
+    with pytest.raises(NotImplementedError):
+        pipe.classes()
+
+    # noop when hook is None
+    noop = pipe.setup_hook({"uri": "x"})
+    assert noop("step", None) is None
+
+    seen = {}
+
+    def hook(step_name, artifact, file=None, total=None, completed=None):
+        seen["file"] = file
+        seen["step"] = step_name
+
+    bound = pipe.setup_hook({"uri": "x"}, hook=hook)
+    bound("seg", None)
+    assert seen == {"file": {"uri": "x"}, "step": "seg"}
+
+
+def test_inference_to_returns_self():
+    import jax
+
+    from pyannote_audio_tpu.core.inference import Inference
+
+    model = _built_debug_model()
+    inf = Inference(model, duration=2.0, step=1.0)
+    device = jax.devices()[0]
+    assert inf.to(device) is inf
+    assert inf.device is device
+
+
+def test_task_default_metric(tmp_path):
+    from corpus import default_two_speaker_file
+
+    from pyannote_audio_tpu.core.task import Task
+    from pyannote_audio_tpu.metrics.auroc import BinnedAUROC
+    from pyannote_audio_tpu.metrics.streaming import DiarizationErrorRate
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.tasks.segmentation import (SpeakerDiarization,
+                                                       VoiceActivityDetection)
+    from pyannote_audio_tpu.utils.database import Protocol
+
+    train_files = [default_two_speaker_file(tmp_path / "trn.wav")]
+    protocol = Protocol(name="Debug.SpeakerDiarization.Debug",
+                        subsets={"train": train_files})
+
+    # base Task raises the reference's actionable message
+    base = Task(protocol, duration=2.0)
+    with pytest.raises(NotImplementedError, match="default_metric"):
+        base.default_metric()
+
+    # diarization: the reference DER family at threshold 0.5
+    task = SpeakerDiarization(protocol, duration=2.0, batch_size=2)
+    task.setup(SimpleSegmentationModel(task=task))
+    metrics = task.default_metric()
+    assert isinstance(metrics["DiarizationErrorRate"], DiarizationErrorRate)
+    assert set(metrics) == {
+        "DiarizationErrorRate", "DiarizationErrorRate/Confusion",
+        "DiarizationErrorRate/Miss", "DiarizationErrorRate/FalseAlarm",
+        "DiarizationErrorRate/Precision", "DiarizationErrorRate/Recall",
+        "DiarizationErrorRate/DetectionErrorRate"}
+    # metric property normalizes to a dict and caches
+    assert task.metric is task.metric
+    assert set(task.metric) == set(metrics)
+
+    # VAD (binary problem): AUROC
+    vad = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    vad.setup(SimpleSegmentationModel(task=vad))
+    assert isinstance(vad.default_metric(), BinnedAUROC)
+    # list-returning default_metric -> keyed by class name
+    from pyannote_audio_tpu.tasks.embedding import \
+        SupervisedRepresentationLearningWithArcFace as ArcFaceTask
+    emb = ArcFaceTask(protocol)
+    assert set(emb.metric) == {"EqualErrorRate", "BinnedAUROC"}
