@@ -354,6 +354,39 @@ class Model:
                 f"Could not find the following modules: [{module_name!r}].")
         return self.unfreeze_by_name(known[:known.index(module_name) + 1])
 
+    @staticmethod
+    def _resolve_hub_id(model_id: str, revision=None, token=None):
+        """Hub-id -> local checkpoint path (dir or torch .bin), or None.
+
+        Local snapshots (PYANNOTE_TPU_HUB / download cache) win; else
+        download the native checkpoint pair, falling back to the torch
+        ``pytorch_model.bin`` (what the reference hosts on the hub)."""
+        import urllib.error
+
+        from ..utils.hf_hub import (AssetFileName, download_from_hf_hub,
+                                    looks_like_hub_id, resolve_checkpoint)
+        try:
+            return resolve_checkpoint(model_id, revision=revision)
+        except FileNotFoundError:
+            pass
+        if not looks_like_hub_id(model_id):
+            return None
+        try:
+            params = download_from_hf_hub(
+                model_id, AssetFileName.Model, revision=revision,
+                token=token)
+            download_from_hf_hub(model_id, CHECKPOINT_CONFIG,
+                                 revision=revision, token=token)
+            return params.parent
+        except (FileNotFoundError, urllib.error.HTTPError):
+            pass
+        try:
+            return download_from_hf_hub(
+                model_id, AssetFileName.TorchModel, revision=revision,
+                token=token)
+        except (FileNotFoundError, urllib.error.HTTPError):
+            return None
+
     def frozen_mask(self, frozen_prefixes: List[str]) -> Any:
         flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
 
@@ -427,11 +460,13 @@ class Model:
         strict: bool = True,
         **kwargs,
     ) -> "Model":
-        """Load from a checkpoint directory or a torch .bin file.
+        """Load from a checkpoint directory, a torch .bin file, or a hub id.
 
-        Parity: Model.from_pretrained (reference core/model.py:497-655),
-        minus the HF-hub network path (no egress in this environment; a local
-        snapshot directory works the same way).
+        Parity: Model.from_pretrained (reference core/model.py:497-655).
+        A non-path string resolves as a hub id through
+        utils/hf_hub.py: local snapshot roots first, then an HTTP
+        download of the native checkpoint (or, failing that, the torch
+        ``pytorch_model.bin`` the reference hosts).
         """
         from flax import serialization
 
@@ -440,6 +475,17 @@ class Model:
         if path is not None and path.is_file() and \
                 path.suffix in (".bin", ".ckpt", ".pt"):
             return cls._from_torch_checkpoint(path, **kwargs)
+        if path is not None and not path.exists() \
+                and isinstance(checkpoint, str):
+            resolved = cls._resolve_hub_id(
+                checkpoint,
+                revision=kwargs.pop("revision", None),
+                token=kwargs.pop("use_auth_token",
+                                 kwargs.pop("token", None)))
+            if resolved is not None:
+                return cls.from_pretrained(resolved,
+                                           map_location=map_location,
+                                           strict=strict, **kwargs)
         if path is None or not path.is_dir():
             raise ValueError(f"cannot load checkpoint {checkpoint!r}")
         if not (path / CHECKPOINT_CONFIG).exists():

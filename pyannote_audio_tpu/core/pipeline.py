@@ -170,16 +170,32 @@ class Pipeline:
         checkpoint: Union[Dict, Text, Path],
         **kwargs,
     ) -> Optional["Pipeline"]:
-        """Load a pipeline from a config dict / yaml file / directory.
+        """Load a pipeline from a config dict / yaml file / directory /
+        hub id.
 
-        Parity: Pipeline.from_pretrained (reference core/pipeline.py:152-334)
-        minus the HF-hub network path (local snapshot dirs work identically).
+        Parity: Pipeline.from_pretrained (reference
+        core/pipeline.py:152-334); hub ids resolve through
+        utils/hf_hub.py (local snapshot roots, then an HTTP download of
+        ``config.yaml``).
         """
         if isinstance(checkpoint, dict):
             config = checkpoint
             model_id = config.get("checkpoint", ".")
         else:
             path = Path(checkpoint)
+            if not path.exists() and isinstance(checkpoint, str):
+                from ..utils.hf_hub import (AssetFileName,
+                                            download_from_hf_hub,
+                                            looks_like_hub_id)
+                if looks_like_hub_id(checkpoint):
+                    try:
+                        path = download_from_hf_hub(
+                            checkpoint, AssetFileName.Pipeline,
+                            revision=kwargs.pop("revision", None),
+                            token=kwargs.pop("use_auth_token",
+                                             kwargs.pop("token", None)))
+                    except FileNotFoundError:
+                        pass
             if path.is_dir():
                 config_yml = path / PIPELINE_CONFIG
                 model_id = str(path)
@@ -188,8 +204,8 @@ class Pipeline:
                 model_id = str(path.parent)
             else:
                 raise ValueError(
-                    f"{checkpoint} is neither a directory nor a config file "
-                    "(hub downloads are not available in this environment)")
+                    f"{checkpoint} is neither a directory, a config file, "
+                    "nor a resolvable hub id")
             with open(config_yml) as f:
                 config = yaml.safe_load(f)
 

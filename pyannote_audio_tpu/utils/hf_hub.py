@@ -1,15 +1,23 @@
-"""Checkpoint asset resolution (hub shim).
+"""Checkpoint asset resolution: local snapshots + Huggingface Hub download.
 
 Parity: /root/reference/src/pyannote/audio/utils/hf_hub.py (AssetFileName
-:35-42, download_from_hf_hub :44-104). This environment has no network
-egress, so "hub ids" resolve against local snapshot directories listed in
-``PYANNOTE_TPU_HUB`` (colon-separated roots, like a model cache). A real
-deployment can point this at an artifact store mount.
+:35-42, download_from_hf_hub :44-104). Resolution order:
+
+1. a local path (absolute/relative) used directly;
+2. local snapshot roots listed in ``PYANNOTE_TPU_HUB`` (colon-separated,
+   like a model cache — point it at an artifact-store mount in
+   deployments without egress);
+3. an HTTP download from the hub's standard
+   ``{endpoint}/{model_id}/resolve/{revision}/{file}`` url into a local
+   cache (endpoint injectable via HF_ENDPOINT for mirrors and offline
+   tests; reference delegates this step to huggingface_hub).
 """
 
 from __future__ import annotations
 
 import os
+import urllib.error
+import urllib.request
 from enum import Enum
 from pathlib import Path
 from typing import Optional, Union
@@ -21,10 +29,33 @@ class AssetFileName(Enum):
     TorchModel = "pytorch_model.bin"
     Pipeline = "config.yaml"
 
+    def __str__(self) -> str:
+        return self.value
+
+
+def looks_like_hub_id(model_id: str) -> bool:
+    """True for "name" / "org/name" shapes; False for filesystem-looking
+    strings (absolute/relative paths), so a missing local path never
+    triggers a network attempt."""
+    import re
+    return bool(re.fullmatch(r"[\w.-]+(?:/[\w.-]+)?", str(model_id))) \
+        and not str(model_id).startswith(".")
+
 
 def hub_roots() -> list:
     roots = os.environ.get("PYANNOTE_TPU_HUB", "")
     return [Path(r) for r in roots.split(":") if r]
+
+
+def hub_endpoint() -> str:
+    return os.environ.get("HF_ENDPOINT", "https://huggingface.co") \
+        .rstrip("/")
+
+
+def hub_cache_dir() -> Path:
+    return Path(os.environ.get(
+        "PYANNOTE_TPU_CACHE",
+        Path.home() / ".cache" / "pyannote-tpu" / "hub"))
 
 
 def resolve_checkpoint(model_id: Union[str, Path],
@@ -33,31 +64,104 @@ def resolve_checkpoint(model_id: Union[str, Path],
     """Resolve a model id to a local directory.
 
     Accepts absolute/relative paths directly; otherwise searches the
-    PYANNOTE_TPU_HUB roots for ``<root>/<model_id>``.
+    PYANNOTE_TPU_HUB roots, then the download cache, for
+    ``<root>/<model_id>``.
     """
     path = Path(model_id)
     if path.exists():
         return path / subfolder if subfolder else path
-    for root in hub_roots():
-        candidate = root / str(model_id)
+    candidates = [root / str(model_id) for root in hub_roots()]
+    candidates.append(
+        hub_cache_dir() / str(model_id).replace("/", "--")
+        / (revision or "main"))
+    for candidate in candidates:
         if candidate.exists():
             return candidate / subfolder if subfolder else candidate
     raise FileNotFoundError(
         f"cannot resolve checkpoint {model_id!r} "
-        f"(searched PYANNOTE_TPU_HUB={hub_roots()}); "
-        "model downloads are unavailable without network access — "
-        "place a local snapshot directory there instead.")
+        f"(searched PYANNOTE_TPU_HUB={hub_roots()} and the download "
+        f"cache); use download_from_hf_hub or place a local snapshot "
+        "directory there.")
 
 
-def download_from_hf_hub(model_id: str, asset: AssetFileName,
+def _http_download(model_id: str, filename: str,
+                   revision: Optional[str], token: Optional[str],
+                   cache_dir: Optional[Path]) -> Path:
+    """Fetch one asset via the hub resolve url into the local cache.
+
+    Layout: ``<cache>/<org--repo>/<revision>/<filename>``; an existing
+    cached file is reused without touching the network (parity role:
+    huggingface_hub.hf_hub_download's cache)."""
+    revision = revision or "main"
+    cache_root = Path(cache_dir) if cache_dir else hub_cache_dir()
+    target = cache_root / model_id.replace("/", "--") / revision / filename
+    if target.exists():
+        return target
+    url = f"{hub_endpoint()}/{model_id}/resolve/{revision}/{filename}"
+    request = urllib.request.Request(url)
+    if token:
+        request.add_header("Authorization", f"Bearer {token}")
+    target.parent.mkdir(parents=True, exist_ok=True)
+    tmp = target.with_suffix(target.suffix + ".part")
+    with urllib.request.urlopen(request) as response, open(tmp, "wb") as f:
+        while True:
+            chunk = response.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+    tmp.replace(target)     # atomic publish: no torn files on interrupt
+    return target
+
+
+def download_from_hf_hub(model_id: str,
+                         asset: Union[AssetFileName, str],
                          subfolder: Optional[str] = None,
                          revision: Optional[str] = None,
                          token: Optional[str] = None,
                          cache_dir=None) -> Path:
-    """API-parity wrapper: resolve an asset file from a local snapshot."""
-    directory = resolve_checkpoint(model_id, subfolder=subfolder,
-                                   revision=revision)
-    path = directory / asset.value
-    if not path.exists():
-        raise FileNotFoundError(f"{asset.value} not found in {directory}")
-    return path
+    """Resolve an asset file: local snapshot first, hub download second.
+
+    Parity: download_from_hf_hub (reference hf_hub.py:44-104) incl. the
+    pyannoteAI-key filter (a token not starting with "hf\\_" is never
+    sent to the hub) and the gated-repo guidance on auth failures.
+    """
+    filename = asset.value if isinstance(asset, AssetFileName) else asset
+    if isinstance(token, str) and not token.startswith("hf_"):
+        token = None        # likely a pyannoteAI key (reference :75-77)
+    try:
+        directory = resolve_checkpoint(model_id, subfolder=subfolder,
+                                       revision=revision)
+        path = directory / filename
+        if path.exists():
+            return path
+    except FileNotFoundError:
+        pass
+    remote_name = f"{subfolder}/{filename}" if subfolder else filename
+    try:
+        return _http_download(str(model_id), remote_name, revision, token,
+                              cache_dir)
+    except urllib.error.HTTPError as error:
+        if error.code == 404:
+            raise FileNotFoundError(
+                f"{remote_name} not found in hub repo {model_id!r} "
+                f"(revision {revision or 'main'})") from error
+        if error.code in (401, 403):
+            asset_name = asset.name if isinstance(asset, AssetFileName) \
+                else asset
+            print(
+                f"\nCould not download {asset_name} from {model_id}.\n"
+                "It might be because the repository is private or "
+                "gated:\n\n"
+                f"* visit https://hf.co/{model_id} to accept user "
+                "conditions\n"
+                "* visit https://hf.co/settings/tokens to create an "
+                "authentication token\n"
+                f"* pass it with the `token` argument: "
+                f"from_pretrained('{model_id}', token='hf_....')\n")
+        raise
+    except urllib.error.URLError as error:
+        raise FileNotFoundError(
+            f"cannot resolve checkpoint {model_id!r}: no local snapshot "
+            f"(PYANNOTE_TPU_HUB={hub_roots()}) and the hub endpoint "
+            f"{hub_endpoint()} is unreachable ({error.reason}); place a "
+            "local snapshot directory there instead.") from error

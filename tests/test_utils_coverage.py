@@ -179,8 +179,81 @@ def test_resolve_checkpoint_paths(tmp_path, monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint("acme/unknown")
-    with pytest.raises(FileNotFoundError):
+    # asset absent locally and the hub endpoint unreachable -> actionable
+    # FileNotFoundError (dead local port so no real network is touched)
+    monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:9")
+    with pytest.raises(FileNotFoundError, match="unreachable"):
         download_from_hf_hub("acme/seg", AssetFileName.Model)
+
+
+def test_download_from_hf_hub_http(tmp_path, monkeypatch):
+    """Real HTTP download path against a local hub mock: resolve url
+    layout, bearer auth, pyannoteAI-key filtering, cache reuse, and the
+    gated-repo guidance on 401."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyannote_audio_tpu.utils.hf_hub import (AssetFileName,
+                                                 download_from_hf_hub)
+
+    state = {"requests": [], "auth": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["requests"].append(self.path)
+            state["auth"].append(self.headers.get("Authorization"))
+            if "gated" in self.path:
+                self.send_response(401)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = b"pipeline: {params: {}}\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "HF_ENDPOINT",
+            f"http://127.0.0.1:{server.server_address[1]}")
+        monkeypatch.setenv("PYANNOTE_TPU_HUB", "")
+        monkeypatch.setenv("PYANNOTE_TPU_CACHE", str(tmp_path / "cache"))
+
+        path = download_from_hf_hub("acme/diar", AssetFileName.Pipeline,
+                                    revision="v1", token="hf_secret")
+        assert path.read_bytes() == b"pipeline: {params: {}}\n"
+        assert state["requests"] == ["/acme/diar/resolve/v1/config.yaml"]
+        assert state["auth"] == ["Bearer hf_secret"]
+        # second call hits the cache, not the server
+        again = download_from_hf_hub("acme/diar", AssetFileName.Pipeline,
+                                     revision="v1")
+        assert again == path and len(state["requests"]) == 1
+
+        # a non-hf_ token (pyannoteAI key) is never sent to the hub;
+        # subfolder joins into the resolve url
+        download_from_hf_hub("acme/diar", AssetFileName.Pipeline,
+                             subfolder="sub", token="pyannoteai-key")
+        assert state["requests"][-1] == \
+            "/acme/diar/resolve/main/sub/config.yaml"
+        assert state["auth"][-1] is None
+
+        # gated repo: 401 propagates (with printed guidance)
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            download_from_hf_hub("acme/gated", AssetFileName.Pipeline)
+
+        # a downloaded snapshot becomes resolvable as a checkpoint dir
+        from pyannote_audio_tpu.utils.hf_hub import resolve_checkpoint
+        assert resolve_checkpoint("acme/diar", revision="v1") == \
+            path.parent
+    finally:
+        server.shutdown()
 
 
 # --------------------------------------------------------- getters
@@ -285,3 +358,90 @@ def test_preview_figure(tmp_path):
     if isinstance(out, tuple):
         waveform, rate = out
         assert waveform.shape == (1, 16000) and rate == 16000
+
+
+def test_from_pretrained_hub_id(tmp_path, monkeypatch):
+    """Model/Pipeline.from_pretrained resolve hub ids: snapshot roots
+    first, HTTP download of the checkpoint assets second."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyannote_audio_tpu.core.model import (Model, Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.core.pipeline import Pipeline
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    # a real native checkpoint to serve
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.BINARY_CLASSIFICATION, resolution=Resolution.FRAME,
+        duration=2.0, classes=["speech"])
+    model.build()
+    snap = tmp_path / "serve" / "seg"
+    model.save_checkpoint(snap)
+
+    # a VAD pipeline config (served as repo "acme/pipe") referencing the
+    # model checkpoint by local path
+    import yaml
+    cfg_dir = tmp_path / "serve" / "pipe"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "config.yaml").write_text(yaml.safe_dump({
+        "pipeline": {
+            "name":
+                "pyannote_audio_tpu.pipelines.VoiceActivityDetection",
+            "params": {"segmentation": str(snap), "batch_size": 4}},
+        "params": {"onset": 0.5, "offset": 0.5,
+                   "min_duration_on": 0.0, "min_duration_off": 0.0}}))
+    repos = {"acme/seg-tpu": snap, "acme/pipe": cfg_dir}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # /{org}/{repo}/resolve/{revision}/{file}
+            parts = self.path.lstrip("/").split("/")
+            source = None
+            if len(parts) >= 5 and parts[2] == "resolve":
+                repo = repos.get("/".join(parts[:2]))
+                if repo is not None:
+                    source = repo / "/".join(parts[4:])
+            if source is None or not source.exists():
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = source.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "HF_ENDPOINT",
+            f"http://127.0.0.1:{server.server_address[1]}")
+        monkeypatch.setenv("PYANNOTE_TPU_HUB", "")
+        monkeypatch.setenv("PYANNOTE_TPU_CACHE", str(tmp_path / "cache"))
+
+        loaded = Model.from_pretrained("acme/seg-tpu")
+        assert isinstance(loaded, SimpleSegmentationModel)
+        import numpy as np
+        wav = np.zeros((1, 1, 16000), np.float32)
+        np.testing.assert_allclose(np.asarray(loaded(wav)),
+                                   np.asarray(model(wav)), atol=1e-6)
+
+        pipeline = Pipeline.from_pretrained("acme/pipe")
+        from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+            VoiceActivityDetection
+        assert isinstance(pipeline, VoiceActivityDetection)
+
+        # unknown id -> actionable error, no crash
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="resolvable hub id"):
+            Pipeline.from_pretrained("acme/nope")
+    finally:
+        server.shutdown()
