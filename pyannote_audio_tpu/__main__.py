@@ -267,10 +267,24 @@ def cmd_strip(args) -> int:
 
 
 def cmd_download(args) -> int:
-    print("Model downloads require network access, which this "
-          "environment does not have. Point pipelines at local "
-          "checkpoint directories instead.")
-    return 1
+    """Warm the local cache with a pretrained pipeline (parity:
+    reference __main__.py:286-325 — download = Pipeline.from_pretrained
+    for later offline use)."""
+    from .core.pipeline import Pipeline
+    if args.cache:
+        os.environ["PYANNOTE_TPU_CACHE"] = args.cache
+    try:
+        pipeline = Pipeline.from_pretrained(
+            args.model, revision=args.revision, token=args.token)
+    except (ValueError, FileNotFoundError, OSError) as error:
+        print(f"Could not load pretrained pipeline from {args.model}: "
+              f"{error}")
+        return 1
+    if pipeline is None:
+        print(f"Could not load pretrained pipeline from {args.model}.")
+        return 1
+    print(f"downloaded {args.model} ({type(pipeline).__name__})")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -321,8 +335,15 @@ def main(argv=None) -> int:
     p_strip.add_argument("into")
     p_strip.set_defaults(fn=cmd_strip)
 
-    p_dl = sub.add_parser("download", help="(requires network)")
-    p_dl.add_argument("model", nargs="?")
+    p_dl = sub.add_parser(
+        "download", help="cache a pretrained pipeline for offline use")
+    p_dl.add_argument("model")
+    p_dl.add_argument("token", nargs="?", default=None,
+                      help="Huggingface token")
+    p_dl.add_argument("--revision", default=None)
+    p_dl.add_argument("--cache", default=None,
+                      help="download cache directory "
+                           "(default: PYANNOTE_TPU_CACHE)")
     p_dl.set_defaults(fn=cmd_download)
 
     args = parser.parse_args(argv)

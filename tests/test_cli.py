@@ -161,3 +161,16 @@ def test_cli_apply_stdout(pipeline_dir, corpus_dir, capsys):
     assert out.startswith("SPEAKER f0 1")
     fields = out.splitlines()[0].split()
     assert len(fields) == 10  # RTTM column count
+
+
+def test_cli_download(pipeline_dir, tmp_path, monkeypatch, capsys):
+    """download = warm the cache via Pipeline.from_pretrained (parity:
+    reference __main__.py:286-325); local snapshot roots count."""
+    monkeypatch.setenv("PYANNOTE_TPU_HUB", str(pipeline_dir.parent))
+    assert main(["download", pipeline_dir.name]) == 0
+    assert "SpeakerDiarization" in capsys.readouterr().out
+
+    monkeypatch.setenv("PYANNOTE_TPU_HUB", "")
+    monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:9")
+    assert main(["download", "acme/nope"]) == 1
+    assert "Could not load" in capsys.readouterr().out
