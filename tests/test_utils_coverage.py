@@ -445,3 +445,27 @@ def test_from_pretrained_hub_id(tmp_path, monkeypatch):
             Pipeline.from_pretrained("acme/nope")
     finally:
         server.shutdown()
+
+
+def test_preview_video_gif(tmp_path):
+    """Animated preview renders a real multi-frame GIF with the
+    reference's **views signature (no ffmpeg binary needed)."""
+    from pyannote_audio_tpu.utils.preview import preview_video
+
+    file = default_two_speaker_file(tmp_path / "pv.wav")
+    ann = file["annotation"]
+    path = preview_video({"uri": "pv", "audio": file["audio"]},
+                         Segment(0.0, 3.0), zoom=2.0, video_fps=2,
+                         display=False, reference=ann)
+    assert path.endswith("pv.gif")
+    from PIL import Image
+    with Image.open(path) as gif:
+        assert gif.format == "GIF"
+        assert getattr(gif, "n_frames", 1) >= 2
+
+    # unsupported ext without ffmpeg -> graceful GIF fallback
+    with pytest.warns(UserWarning, match="ffmpeg"):
+        path2 = preview_video({"uri": "pv", "audio": file["audio"]},
+                              Segment(0.0, 1.0), video_fps=2,
+                              video_ext="webm", display=False)
+    assert path2.endswith(".gif")
