@@ -446,6 +446,12 @@ class Pipeline:
         self.device = device
         return self
 
+    def cuda(self, device=None) -> "Pipeline":
+        """torch-habit compat (reference core/pipeline.py:613-624): maps
+        to the accelerator device — on this stack, jax's default device."""
+        import jax
+        return self.to(jax.devices()[0] if device is None else device)
+
 
 class _DotDict(dict):
     """Attribute access over instantiated ParamDict values."""
