@@ -240,3 +240,84 @@ def test_load_reference_snapshot_directory(tmp_path):
 
     model = Model.from_pretrained(snapshot)
     assert model.dimension == 7
+
+
+def test_load_reference_checkpoint_from_hub_id(tmp_path, monkeypatch):
+    """A hub repo holding ONLY pytorch_model.bin (what the reference
+    publishes) downloads and converts via Model.from_pretrained(hub id):
+    the torch-asset fallback of the hub resolution path."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from test_torch_parity import TorchPyanNet, _sinc_weights_np
+    from pyannote_audio_tpu.core.model import Model
+
+    created, Spec, Problem, Resolution = _install_fake_reference_modules()
+    try:
+        torch.manual_seed(0)
+        low, band, sinc_kernel = _sinc_weights_np()
+        ref = TorchPyanNet(sinc_kernel)
+        ref.eval()
+        state = ref.reference_state_dict(low, band)
+        specs = Spec(
+            problem=Problem.MONO_LABEL_CLASSIFICATION,
+            resolution=Resolution.FRAME, duration=2.0,
+            classes=["speaker#1", "speaker#2", "speaker#3"],
+            powerset_max_classes=2, permutation_invariant=True)
+        ckpt = {
+            "state_dict": {k: torch.from_numpy(np.asarray(v))
+                           for k, v in state.items()},
+            "hyper_parameters": {
+                "sincnet": {"stride": 10},
+                "lstm": {"hidden_size": 128, "num_layers": 2,
+                         "bidirectional": True, "monolithic": True,
+                         "dropout": 0.0, "batch_first": True},
+                "linear": {"hidden_size": 128, "num_layers": 2},
+            },
+            "pyannote.audio": {
+                "architecture": {
+                    "module": "pyannote.audio.models.segmentation",
+                    "class": "PyanNet",
+                },
+                "specifications": specs,
+            },
+        }
+        torch.save(ckpt, tmp_path / "pytorch_model.bin")
+    finally:
+        for name in created:
+            del sys.modules[name]
+    payload = (tmp_path / "pytorch_model.bin").read_bytes()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/acme/torch-seg/resolve/main/pytorch_model.bin":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            else:   # no params.msgpack / config.yaml in the repo
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "HF_ENDPOINT",
+            f"http://127.0.0.1:{server.server_address[1]}")
+        monkeypatch.setenv("PYANNOTE_TPU_HUB", "")
+        monkeypatch.setenv("PYANNOTE_TPU_CACHE", str(tmp_path / "cache"))
+
+        model = Model.from_pretrained("acme/torch-seg")
+    finally:
+        server.shutdown()
+    assert type(model).__name__ == "PyanNet"
+    wav = torch.randn(1, 1, 32000) * 0.1
+    with torch.no_grad():
+        expected = ref(wav).numpy()
+    ours = np.asarray(model(jnp.asarray(wav.numpy())))
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
