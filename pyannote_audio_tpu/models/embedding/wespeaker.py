@@ -347,6 +347,51 @@ class BaseWeSpeakerResNet(Model):
                                dtype=np.float32)}
         return {"params": params, "batch_stats": stats}
 
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`convert_torch_state_dict`: a plain
+        ``resnet.*`` state dict in the layout the reference's WeSpeaker
+        backend (and the wespeaker toolkit) load — deploy a TPU-trained
+        embedding on the stock stack."""
+        if self.params is None:
+            raise ValueError("build or load the model before exporting")
+        params, stats = self.params["params"], self.params["batch_stats"]
+        a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+        state: Dict[str, np.ndarray] = {}
+
+        def put_conv(prefix, p):
+            # kernel (time, freq, in, out) -> torch OI(freq)(time)
+            state[f"{prefix}.weight"] = a(p["kernel"]).transpose(3, 2, 1, 0)
+
+        def put_bn(prefix, p, s):
+            state[f"{prefix}.weight"] = a(p["scale"])
+            state[f"{prefix}.bias"] = a(p["bias"])
+            state[f"{prefix}.running_mean"] = a(s["mean"])
+            state[f"{prefix}.running_var"] = a(s["var"])
+            state[f"{prefix}.num_batches_tracked"] = \
+                np.asarray(0, dtype=np.int64)
+
+        t_params, t_stats = params["trunk"], stats["trunk"]
+        put_conv("resnet.conv1", t_params["conv1"])
+        put_bn("resnet.bn1", t_params["bn1"], t_stats["bn1"])
+        for stage, n in enumerate(self.NUM_BLOCKS):
+            for i in range(n):
+                name = f"layer{stage + 1}_{i}"
+                tp = f"resnet.layer{stage + 1}.{i}"
+                n_convs = 3 if self.BOTTLENECK else 2
+                for c in range(1, n_convs + 1):
+                    put_conv(f"{tp}.conv{c}", t_params[name][f"conv{c}"])
+                    put_bn(f"{tp}.bn{c}", t_params[name][f"bn{c}"],
+                           t_stats[name][f"bn{c}"])
+                if "shortcut_conv" in t_params[name]:
+                    put_conv(f"{tp}.shortcut.0",
+                             t_params[name]["shortcut_conv"])
+                    put_bn(f"{tp}.shortcut.1",
+                           t_params[name]["shortcut_bn"],
+                           t_stats[name]["shortcut_bn"])
+        state["resnet.seg_1.weight"] = a(params["seg_1"]["kernel"]).T
+        state["resnet.seg_1.bias"] = a(params["seg_1"]["bias"])
+        return state
+
 
 class WeSpeakerResNet18(BaseWeSpeakerResNet):
     NUM_BLOCKS = (2, 2, 2, 2)

@@ -59,6 +59,31 @@ def convert_sincnet_state_dict(state: Dict[str, np.ndarray],
     return sn
 
 
+def export_sincnet_state_dict(sn: Dict, prefix: str = "sincnet"
+                              ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_sincnet_state_dict`: our SincNet param
+    subtree -> reference ``sincnet.*`` state-dict keys (low/band in the
+    reference's (filters, 1) layout)."""
+    a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+    state = {
+        f"{prefix}.wav_norm1d.weight": a(sn["wav_norm1d"]["scale"]),
+        f"{prefix}.wav_norm1d.bias": a(sn["wav_norm1d"]["bias"]),
+        f"{prefix}.conv1d.0.filterbank.low_hz_":
+            a(sn["sinc_conv"]["low_hz"]).reshape(-1, 1),
+        f"{prefix}.conv1d.0.filterbank.band_hz_":
+            a(sn["sinc_conv"]["band_hz"]).reshape(-1, 1),
+    }
+    for i in (0, 1, 2):
+        state[f"{prefix}.norm1d.{i}.weight"] = a(sn[f"norm1d_{i}"]["scale"])
+        state[f"{prefix}.norm1d.{i}.bias"] = a(sn[f"norm1d_{i}"]["bias"])
+    for i in (1, 2):
+        # flax kernel (k, in, out) -> torch conv weight (out, in, k)
+        state[f"{prefix}.conv1d.{i}.weight"] = \
+            a(sn[f"conv1d_{i}"]["kernel"]).transpose(2, 1, 0)
+        state[f"{prefix}.conv1d.{i}.bias"] = a(sn[f"conv1d_{i}"]["bias"])
+    return state
+
+
 class PyanNetModule(nn.Module):
     sincnet_stride: int = 10
     sample_rate: int = 16000
@@ -217,3 +242,44 @@ class PyanNet(Model):
         p["classifier"] = {"kernel": get("classifier.weight").T,
                            "bias": get("classifier.bias")}
         return {"params": p}
+
+    #: reference import path for exported checkpoints
+    REFERENCE_ARCHITECTURE = ("pyannote.audio.models.segmentation",
+                              "PyanNet")
+
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`convert_torch_state_dict`: our param pytree
+        -> a reference-layout PyanNet state dict (deploy a TPU-trained
+        model on the stock pyannote.audio stack)."""
+        if self.params is None:
+            raise ValueError("build or load the model before exporting")
+        p = self.params["params"]
+        a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+        state = export_sincnet_state_dict(p["sincnet"])
+        for i in range(self.lstm["num_layers"]):
+            for suffix in ("", "_reverse"):
+                if suffix and not self.lstm["bidirectional"]:
+                    continue
+                for kind in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                    torch_kind = kind.replace("w_", "weight_").replace(
+                        "b_", "bias_")
+                    state[f"lstm.{torch_kind}_l{i}{suffix}"] = a(
+                        p["lstm"][f"{kind}_l{i}{suffix}"])
+        for i in range(self.linear["num_layers"]):
+            state[f"linear.{i}.weight"] = a(p[f"linear_{i}"]["kernel"]).T
+            state[f"linear.{i}.bias"] = a(p[f"linear_{i}"]["bias"])
+        state["classifier.weight"] = a(p["classifier"]["kernel"]).T
+        state["classifier.bias"] = a(p["classifier"]["bias"])
+        return state
+
+    def export_torch_hparams(self) -> Dict:
+        """hyper_parameters block for exported reference checkpoints
+        (restores the torch-only lstm keys our constructor drops)."""
+        lstm = dict(self.lstm)
+        lstm.setdefault("monolithic", True)
+        lstm.setdefault("dropout", 0.0)
+        lstm["batch_first"] = True
+        return {"sincnet": dict(self.sincnet), "lstm": lstm,
+                "linear": dict(self.linear),
+                "sample_rate": self.sample_rate,
+                "num_channels": self.num_channels}
