@@ -233,9 +233,41 @@ class _BaseXVector(Model):
             params["sincnet"] = convert_sincnet_state_dict(state)
         return {"params": params, "batch_stats": {"tdnn": tdnn_s}}
 
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`convert_torch_state_dict`: reference-layout
+        ``tdnns.*`` / ``embedding.*`` (+ ``sincnet.*`` for the sincnet
+        front-end) state dict."""
+        if self.params is None:
+            raise ValueError("build or load the model before exporting")
+        p, s = self.params["params"], self.params["batch_stats"]
+        a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+        state: Dict[str, np.ndarray] = {}
+        for i in range(len(TDNN_CHANNELS)):
+            t = 3 * i
+            state[f"tdnns.{t}.weight"] = a(
+                p["tdnn"][f"tdnn_{i}"]["kernel"]).transpose(2, 1, 0)
+            state[f"tdnns.{t}.bias"] = a(p["tdnn"][f"tdnn_{i}"]["bias"])
+            state[f"tdnns.{t + 2}.weight"] = a(
+                p["tdnn"][f"bn_{i}"]["scale"])
+            state[f"tdnns.{t + 2}.bias"] = a(p["tdnn"][f"bn_{i}"]["bias"])
+            state[f"tdnns.{t + 2}.running_mean"] = a(
+                s["tdnn"][f"bn_{i}"]["mean"])
+            state[f"tdnns.{t + 2}.running_var"] = a(
+                s["tdnn"][f"bn_{i}"]["var"])
+            state[f"tdnns.{t + 2}.num_batches_tracked"] = \
+                np.asarray(0, dtype=np.int64)
+        state["embedding.weight"] = a(p["embedding"]["kernel"]).T
+        state["embedding.bias"] = a(p["embedding"]["bias"])
+        if self.FRONTEND == "sincnet":
+            from ..segmentation.pyannet import export_sincnet_state_dict
+            state.update(export_sincnet_state_dict(p["sincnet"]))
+        return state
+
 
 class XVectorMFCC(_BaseXVector):
     FRONTEND = "mfcc"
+    REFERENCE_ARCHITECTURE = ("pyannote.audio.models.embedding",
+                              "XVectorMFCC")
 
     # torchaudio MelSpectrogram defaults the reference inherits
     # (center=True, n_fft=400, hop = n_fft // 2 — reference
@@ -264,6 +296,8 @@ class XVectorMFCC(_BaseXVector):
 
 class XVectorSincNet(_BaseXVector):
     FRONTEND = "sincnet"
+    REFERENCE_ARCHITECTURE = ("pyannote.audio.models.embedding",
+                              "XVectorSincNet")
 
     def num_frames(self, num_samples: int) -> int:
         n = SincNet.num_frames(num_samples, stride=self.sincnet["stride"])

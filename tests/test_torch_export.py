@@ -159,3 +159,39 @@ def test_export_wespeaker_state_dict(tmp_path):
     trunk = TorchResNet34Trunk()
     missing, unexpected = trunk.load_state_dict(trunk_state, strict=False)
     assert not missing and not unexpected
+
+
+@pytest.mark.parametrize("cls_name", ["XVectorMFCC", "XVectorSincNet"])
+def test_export_xvector_roundtrip(tmp_path, cls_name):
+    """XVector export reconverts bit-exactly; the lightning vendor
+    block carries the right architecture path."""
+    import pyannote_audio_tpu.models.embedding.xvector as xv
+    from pyannote_audio_tpu.utils.torch_export import \
+        export_reference_checkpoint
+
+    model = getattr(xv, cls_name)()
+    model.build()
+    keys = iter(jax.random.split(jax.random.PRNGKey(3), 500))
+
+    def perturb(x):
+        x = jnp.asarray(x)
+        return x + 0.01 * jax.random.normal(next(keys), x.shape, x.dtype)
+
+    model.params = jax.tree_util.tree_map(perturb, model.params)
+
+    path = export_reference_checkpoint(model, tmp_path / cls_name)
+    # raw torch.load resolves the vendor block by the REFERENCE's import
+    # path (the point of the export) — shim it like the reference would
+    from pyannote_audio_tpu.utils.torch_export import reference_shims
+    with reference_shims():
+        loaded = torch.load(path, weights_only=False)
+    assert loaded["pyannote.audio"]["architecture"] == {
+        "module": "pyannote.audio.models.embedding", "class": cls_name}
+
+    state_np = {k: v.numpy() for k, v in loaded["state_dict"].items()}
+    again = model.convert_torch_state_dict(state_np)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(again))
+    for keypath, value in jax.tree_util.tree_leaves_with_path(model.params):
+        np.testing.assert_array_equal(np.asarray(value),
+                                      np.asarray(flat_b[keypath]),
+                                      err_msg=str(keypath))
