@@ -354,3 +354,95 @@ def convert_torch_wav2vec2(state: Dict[str, np.ndarray],
     p["final_norm"] = {"scale": get("encoder.layer_norm.weight"),
                        "bias": get("encoder.layer_norm.bias")}
     return p
+
+
+def export_torch_wav2vec2(p: Dict, layers: int = 12,
+                          layout: str = "hf") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_wav2vec2`: SSLEncoder params ->
+    a torch wav2vec2/WavLM state dict.
+
+    ``layout="hf"`` emits HF Wav2Vec2Model/WavLMModel naming;
+    ``"torchaudio"`` the torchaudio ``wav2vec2_model`` nesting the
+    reference's SSeRiouSS stores under ``wav2vec.*``
+    (inverse of _normalize_ssl_keys). The pos-conv weight norm is
+    re-factored as weight_v = fused kernel, weight_g = its (out, in)
+    norm — numerically identical under the forward mapping.
+    """
+    a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+    state: Dict[str, np.ndarray] = {}
+    fe = p["feature_extractor"]
+    layer_mode = "layer_norm_1" in fe
+    for i in range(7):
+        state[f"feature_extractor.conv_layers.{i}.conv.weight"] = a(
+            fe[f"conv_{i}"]["kernel"]).transpose(2, 1, 0)
+        if "bias" in fe[f"conv_{i}"]:
+            state[f"feature_extractor.conv_layers.{i}.conv.bias"] = a(
+                fe[f"conv_{i}"]["bias"])
+        if layer_mode:
+            state[f"feature_extractor.conv_layers.{i}"
+                  ".layer_norm.weight"] = a(fe[f"layer_norm_{i}"]["scale"])
+            state[f"feature_extractor.conv_layers.{i}"
+                  ".layer_norm.bias"] = a(fe[f"layer_norm_{i}"]["bias"])
+    if not layer_mode:
+        state["feature_extractor.conv_layers.0.layer_norm.weight"] = a(
+            fe["group_norm"]["scale"])
+        state["feature_extractor.conv_layers.0.layer_norm.bias"] = a(
+            fe["group_norm"]["bias"])
+    state["feature_projection.layer_norm.weight"] = a(
+        p["feature_norm"]["scale"])
+    state["feature_projection.layer_norm.bias"] = a(
+        p["feature_norm"]["bias"])
+    state["feature_projection.projection.weight"] = a(
+        p["feature_projection"]["kernel"]).T
+    state["feature_projection.projection.bias"] = a(
+        p["feature_projection"]["bias"])
+    full = a(p["pos_conv"]["conv"]["kernel"]).transpose(2, 1, 0)
+    state["encoder.pos_conv_embed.conv.weight_v"] = full
+    state["encoder.pos_conv_embed.conv.weight_g"] = np.linalg.norm(
+        full, axis=(0, 1), keepdims=True).astype(np.float32)
+    state["encoder.pos_conv_embed.conv.bias"] = a(
+        p["pos_conv"]["conv"]["bias"])
+    if "rel_pos" in p:
+        state["encoder.layers.0.attention.rel_attn_embed.weight"] = a(
+            p["rel_pos"]["rel_attn_embed"])
+    for i in range(layers):
+        layer, base = p[f"layer_{i}"], f"encoder.layers.{i}"
+        state[f"{base}.layer_norm.weight"] = a(layer["attn_norm"]["scale"])
+        state[f"{base}.layer_norm.bias"] = a(layer["attn_norm"]["bias"])
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("out", "out_proj")):
+            state[f"{base}.attention.{theirs}.weight"] = a(
+                layer[ours]["kernel"]).T
+            state[f"{base}.attention.{theirs}.bias"] = a(
+                layer[ours]["bias"])
+        state[f"{base}.final_layer_norm.weight"] = a(
+            layer["ffn_norm"]["scale"])
+        state[f"{base}.final_layer_norm.bias"] = a(
+            layer["ffn_norm"]["bias"])
+        state[f"{base}.feed_forward.intermediate_dense.weight"] = a(
+            layer["ffn_in"]["kernel"]).T
+        state[f"{base}.feed_forward.intermediate_dense.bias"] = a(
+            layer["ffn_in"]["bias"])
+        state[f"{base}.feed_forward.output_dense.weight"] = a(
+            layer["ffn_out"]["kernel"]).T
+        state[f"{base}.feed_forward.output_dense.bias"] = a(
+            layer["ffn_out"]["bias"])
+        if "gru_rel_pos_linear" in layer:
+            state[f"{base}.attention.gru_rel_pos_linear.weight"] = a(
+                layer["gru_rel_pos_linear"]["kernel"]).T
+            state[f"{base}.attention.gru_rel_pos_linear.bias"] = a(
+                layer["gru_rel_pos_linear"]["bias"])
+            state[f"{base}.attention.gru_rel_pos_const"] = a(
+                layer["gru_rel_pos_const"])
+    state["encoder.layer_norm.weight"] = a(p["final_norm"]["scale"])
+    state["encoder.layer_norm.bias"] = a(p["final_norm"]["bias"])
+    if layout == "torchaudio":
+        out = {}
+        for key, value in state.items():
+            if key.startswith("encoder."):
+                key = "encoder.transformer." + key[len("encoder."):]
+            elif key.startswith("feature_projection."):
+                key = "encoder." + key
+            out[key] = value
+        return out
+    return state

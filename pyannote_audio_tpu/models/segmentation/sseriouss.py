@@ -317,6 +317,43 @@ class SSeRiouSS(Model):
                            "bias": get("classifier.bias")}
         return {"params": p}
 
+    #: reference import path for exported checkpoints
+    REFERENCE_ARCHITECTURE = ("pyannote.audio.models.segmentation",
+                              "SSeRiouSS")
+
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`convert_torch_state_dict`: ``wav2vec.*`` in
+        the torchaudio layout the reference stores (SSeRiouSS.py:96-123),
+        ``wav2vec_weights``, and the monolithic lstm / linear /
+        classifier head."""
+        from ..blocks.ssl import export_torch_wav2vec2
+        if self.params is None:
+            raise ValueError("build or load the model before exporting")
+        p = self.params["params"]
+        a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+        state = {f"wav2vec.{key}": value for key, value in
+                 export_torch_wav2vec2(p["wav2vec"],
+                                       layers=self.ssl_config["layers"],
+                                       layout="torchaudio").items()}
+        if "layer_weights" in p:
+            state["wav2vec_weights"] = a(p["layer_weights"]).reshape(-1)
+        for i in range(self.lstm["num_layers"]):
+            for suffix in ("", "_reverse"):
+                if suffix and not self.lstm["bidirectional"]:
+                    continue
+                for kind in ("weight_ih", "weight_hh", "bias_ih",
+                             "bias_hh"):
+                    ours = kind.replace("weight_", "w_").replace(
+                        "bias_", "b_")
+                    state[f"lstm.{kind}_l{i}{suffix}"] = a(
+                        p["lstm"][f"{ours}_l{i}{suffix}"])
+        for i in range(self.linear["num_layers"]):
+            state[f"linear.{i}.weight"] = a(p[f"linear_{i}"]["kernel"]).T
+            state[f"linear.{i}.bias"] = a(p[f"linear_{i}"]["bias"])
+        state["classifier.weight"] = a(p["classifier"]["kernel"]).T
+        state["classifier.bias"] = a(p["classifier"]["bias"])
+        return state
+
     def load_ssl_weights(self, state: Dict[str, np.ndarray]) -> None:
         """Load a torch wav2vec2/WavLM state dict into the trunk."""
         trunk = convert_torch_wav2vec2(

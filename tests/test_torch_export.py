@@ -195,3 +195,49 @@ def test_export_xvector_roundtrip(tmp_path, cls_name):
         np.testing.assert_array_equal(np.asarray(value),
                                       np.asarray(flat_b[keypath]),
                                       err_msg=str(keypath))
+
+
+def test_export_sseriouss_roundtrip(tmp_path):
+    """SSeRiouSS export: torchaudio-layout wav2vec.* + head; reconverts
+    through the full converter (exercising the torchaudio->HF key
+    normalization inverse and the pos-conv weight-norm refactor)."""
+    from pyannote_audio_tpu.models.segmentation.sseriouss import SSeRiouSS
+    from pyannote_audio_tpu.utils.torch_export import \
+        export_reference_checkpoint, reference_shims
+
+    model = SSeRiouSS(wav2vec={"hidden": 32, "layers": 2, "heads": 4,
+                               "ffn": 64, "rel_pos_bias": True},
+                      lstm={"hidden_size": 16, "num_layers": 1},
+                      linear={"hidden_size": 16, "num_layers": 1})
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=1.0,
+        classes=["a", "b", "c"], powerset_max_classes=2)
+    model.build()
+    keys = iter(jax.random.split(jax.random.PRNGKey(5), 1000))
+
+    def perturb(x):
+        x = jnp.asarray(x)
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        return x + 0.01 * jax.random.normal(next(keys), x.shape, x.dtype)
+
+    model.params = jax.tree_util.tree_map(perturb, model.params)
+
+    path = export_reference_checkpoint(model, tmp_path)
+    with reference_shims():
+        loaded = torch.load(path, weights_only=False)
+    assert loaded["pyannote.audio"]["architecture"]["class"] == "SSeRiouSS"
+    # torchaudio nesting present (what the reference stores)
+    assert any(k.startswith("wav2vec.encoder.transformer.layers.0.")
+               for k in loaded["state_dict"])
+    assert any(k.startswith("wav2vec.encoder.feature_projection.")
+               for k in loaded["state_dict"])
+
+    state_np = {k: v.numpy() for k, v in loaded["state_dict"].items()}
+    again = model.convert_torch_state_dict(state_np)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(again))
+    for keypath, value in jax.tree_util.tree_leaves_with_path(model.params):
+        np.testing.assert_allclose(
+            np.asarray(value), np.asarray(flat_b[keypath]),
+            rtol=1e-5, atol=1e-7, err_msg=str(keypath))
