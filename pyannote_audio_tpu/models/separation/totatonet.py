@@ -385,6 +385,79 @@ class ToTaToNet(Model):
             params["wavlm"] = self.params["params"]["wavlm"]
         return {"params": params}
 
+    #: reference import path for exported checkpoints
+    REFERENCE_ARCHITECTURE = ("pyannote.audio.models.separation",
+                              "ToTaToNet")
+
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`convert_torch_state_dict`: asteroid
+        filterbank/DPRNN layout (gLN gamma/beta in asteroid's (1, C, 1)
+        shape) + heads, with ``wavlm.*`` in HF layout when the branch is
+        active."""
+        if self.params is None:
+            raise ValueError("build or load the model before exporting")
+        p = self.params["params"]
+        a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+        state: Dict[str, np.ndarray] = {}
+        state["encoder.filterbank._filters"] = a(
+            p["encoder"]["kernel"]).transpose(2, 1, 0)
+        # flax ConvTranspose kernel is the spatially-reversed torch
+        # filter (see convert); flip back then restore (in, out, k)
+        state["decoder.filterbank._filters"] = a(
+            p["decoder"]["kernel"])[::-1].transpose(1, 2, 0)
+
+        m = p["masker"]
+        state["masker.bottleneck.0.gamma"] = a(
+            m["in_norm"]["scale"]).reshape(1, -1, 1)
+        state["masker.bottleneck.0.beta"] = a(
+            m["in_norm"]["bias"]).reshape(1, -1, 1)
+        state["masker.bottleneck.1.weight"] = a(
+            m["bottleneck"]["kernel"]).T[..., None]
+        state["masker.bottleneck.1.bias"] = a(m["bottleneck"]["bias"])
+        for r in range(self.dprnn["n_repeats"]):
+            blk = m[f"block_{r}"]
+            for which in ("intra", "inter"):
+                ref = f"masker.net.{r}.{which}_RNN.rnn"
+                for kind in ("weight_ih", "weight_hh", "bias_ih",
+                             "bias_hh"):
+                    ours = kind.replace("weight_", "w_").replace(
+                        "bias_", "b_")
+                    state[f"{ref}.{kind}_l0"] = a(
+                        blk[f"{which}_rnn"][f"{ours}_l0"])
+                    state[f"{ref}.{kind}_l0_reverse"] = a(
+                        blk[f"{which}_rnn"][f"{ours}_l0_reverse"])
+                state[f"masker.net.{r}.{which}_linear.weight"] = a(
+                    blk[f"{which}_linear"]["kernel"]).T
+                state[f"masker.net.{r}.{which}_linear.bias"] = a(
+                    blk[f"{which}_linear"]["bias"])
+                state[f"masker.net.{r}.{which}_norm.gamma"] = a(
+                    blk[f"{which}_norm"]["scale"]).reshape(1, -1, 1)
+                state[f"masker.net.{r}.{which}_norm.beta"] = a(
+                    blk[f"{which}_norm"]["bias"]).reshape(1, -1, 1)
+        state["masker.first_out.0.weight"] = a(
+            m["mask_prelu"]["negative_slope"]).reshape(1)
+        state["masker.first_out.1.weight"] = a(
+            m["first_out"]["kernel"]).T[..., None, None]
+        state["masker.first_out.1.bias"] = a(m["first_out"]["bias"])
+        for name in ("net_out", "net_gate"):
+            state[f"masker.{name}.0.weight"] = a(
+                m[name]["kernel"]).T[..., None]
+            state[f"masker.{name}.0.bias"] = a(m[name]["bias"])
+
+        for i in range(self.linear["num_layers"]):
+            state[f"linear.{i}.weight"] = a(p[f"linears_{i}"]["kernel"]).T
+            state[f"linear.{i}.bias"] = a(p[f"linears_{i}"]["bias"])
+        state["classifier.weight"] = a(p["classifier"]["kernel"]).T
+        state["classifier.bias"] = a(p["classifier"]["bias"])
+        if self.use_wavlm and "wavlm" in p:
+            from ..blocks.ssl import export_torch_wav2vec2
+            state.update({
+                f"wavlm.{key}": value for key, value in
+                export_torch_wav2vec2(
+                    p["wavlm"],
+                    layers=self.wavlm_config["layers"]).items()})
+        return state
+
     def num_frames(self, num_samples: int) -> int:
         eq = self._equivalent_conv()
         return conv1d_num_frames(num_samples, **eq)

@@ -241,3 +241,46 @@ def test_export_sseriouss_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(value), np.asarray(flat_b[keypath]),
             rtol=1e-5, atol=1e-7, err_msg=str(keypath))
+
+
+def test_export_totatonet_roundtrip(tmp_path):
+    """ToTaToNet export: asteroid-layout keys covering exactly the torch
+    replica's checkpoint, reconverting bit-exactly (the gLN shapes go
+    out in asteroid's (1, C, 1) layout and fold back)."""
+    from test_torch_parity import TorchToTaToNet
+
+    from pyannote_audio_tpu.models.separation.totatonet import ToTaToNet
+    from pyannote_audio_tpu.utils.torch_export import \
+        export_reference_checkpoint, reference_shims
+
+    model = ToTaToNet(
+        encoder_decoder={"n_filters": 16, "kernel_size": 32, "stride": 16},
+        dprnn={"n_repeats": 2, "bn_chan": 32, "hid_size": 16,
+               "chunk_size": 20},
+        n_sources=2, use_wavlm=False)
+    model.build()
+    keys = iter(jax.random.split(jax.random.PRNGKey(11), 500))
+
+    def perturb(x):
+        x = jnp.asarray(x)
+        return x + 0.01 * jax.random.normal(next(keys), x.shape, x.dtype)
+
+    model.params = jax.tree_util.tree_map(perturb, model.params)
+
+    path = export_reference_checkpoint(model, tmp_path)
+    with reference_shims():
+        loaded = torch.load(path, weights_only=False)
+    assert loaded["pyannote.audio"]["architecture"] == {
+        "module": "pyannote.audio.models.separation", "class": "ToTaToNet"}
+    state_np = {k: v.numpy() for k, v in loaded["state_dict"].items()}
+
+    # exactly the replica's checkpoint key set for the same config
+    replica_keys = set(TorchToTaToNet().reference_state_dict())
+    assert set(state_np) == replica_keys
+
+    again = model.convert_torch_state_dict(state_np)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(again))
+    for keypath, value in jax.tree_util.tree_leaves_with_path(model.params):
+        np.testing.assert_array_equal(np.asarray(value),
+                                      np.asarray(flat_b[keypath]),
+                                      err_msg=str(keypath))
