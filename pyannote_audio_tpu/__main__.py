@@ -1,4 +1,4 @@
-"""Command-line interface: apply / benchmark / optimize / strip / download.
+"""Command-line interface: apply / benchmark / optimize / strip / export / download.
 
 Parity: /root/reference/src/pyannote/audio/__main__.py (typer app with the
 same five commands; argparse here — typer is not in the image). Outputs
@@ -266,6 +266,21 @@ def cmd_strip(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a native checkpoint as a reference-format torch
+    checkpoint (inverse of loading pytorch_model.bin)."""
+    from .core.model import Model
+    from .utils.torch_export import export_reference_checkpoint
+    model = Model.from_pretrained(args.checkpoint)
+    try:
+        path = export_reference_checkpoint(model, args.into)
+    except NotImplementedError as error:
+        print(error)
+        return 1
+    print(f"reference checkpoint written to {path}")
+    return 0
+
+
 def cmd_download(args) -> int:
     """Warm the local cache with a pretrained pipeline (parity:
     reference __main__.py:286-325 — download = Pipeline.from_pretrained
@@ -334,6 +349,12 @@ def main(argv=None) -> int:
     p_strip.add_argument("checkpoint")
     p_strip.add_argument("into")
     p_strip.set_defaults(fn=cmd_strip)
+
+    p_exp = sub.add_parser(
+        "export", help="write a reference-format torch checkpoint")
+    p_exp.add_argument("checkpoint", help="native checkpoint directory")
+    p_exp.add_argument("into", help="output directory or .bin path")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_dl = sub.add_parser(
         "download", help="cache a pretrained pipeline for offline use")

@@ -174,3 +174,29 @@ def test_cli_download(pipeline_dir, tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:9")
     assert main(["download", "acme/nope"]) == 1
     assert "Could not load" in capsys.readouterr().out
+
+
+def test_cli_export(pipeline_dir, tmp_path, capsys):
+    """export = native checkpoint dir -> reference pytorch_model.bin."""
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
+
+    model = PyanNet()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0,
+        classes=["a", "b"], powerset_max_classes=1)
+    model.build()
+    model.save_checkpoint(tmp_path / "native")
+
+    assert main(["export", str(tmp_path / "native"),
+                 str(tmp_path / "out")]) == 0
+    out = capsys.readouterr().out
+    assert "pytorch_model.bin" in out
+    assert (tmp_path / "out" / "pytorch_model.bin").exists()
+
+    # debug models have no exporter -> actionable failure
+    assert main(["export", str(pipeline_dir / "segmentation"),
+                 str(tmp_path / "out2")]) == 1
+    assert "export_torch" in capsys.readouterr().out
