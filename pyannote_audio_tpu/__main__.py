@@ -1,4 +1,4 @@
-"""Command-line interface: apply / benchmark / optimize / strip / export / download.
+"""Command-line interface: apply / benchmark / optimize / strip / export / download / serve.
 
 Parity: /root/reference/src/pyannote/audio/__main__.py (typer app with the
 same five commands; argparse here — typer is not in the image). Outputs
@@ -281,6 +281,25 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve a pipeline over the pyannoteAI-shaped REST API
+    (self-hosted: upload -> diarize job -> poll retrieve)."""
+    from .serve import DiarizationServer
+    pipeline = _load_pipeline(args.pipeline, device=args.device)
+    server = DiarizationServer(pipeline, host=args.host, port=args.port,
+                               token=args.token)
+    server.start()
+    print(f"serving {args.pipeline} at {server.api_url} "
+          f"(Ctrl-C to stop)")
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.shutdown()
+    return 0
+
+
 def cmd_download(args) -> int:
     """Warm the local cache with a pretrained pipeline (parity:
     reference __main__.py:286-325 — download = Pipeline.from_pretrained
@@ -355,6 +374,15 @@ def main(argv=None) -> int:
     p_exp.add_argument("checkpoint", help="native checkpoint directory")
     p_exp.add_argument("into", help="output directory or .bin path")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_srv = sub.add_parser(
+        "serve", help="REST serving (pyannoteAI-shaped API)")
+    p_srv.add_argument("pipeline")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8046)
+    p_srv.add_argument("--token", default=None)
+    p_srv.add_argument("--device", default=None)
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_dl = sub.add_parser(
         "download", help="cache a pretrained pipeline for offline use")

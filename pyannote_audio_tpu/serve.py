@@ -1,0 +1,243 @@
+"""Self-hosted diarization REST server (pyannoteAI API shape).
+
+Production serving front-end for the local pipeline: implements the
+same upload -> diarize-job -> poll-retrieve flow the pyannoteAI web API
+exposes (and our :mod:`pipelines.pyannoteai.client` speaks), backed by
+the TPU pipeline. Point the SDK at it:
+
+    >>> server = DiarizationServer(pipeline, token="secret")
+    >>> server.start()
+    >>> sdk = SDK(token="secret")
+    >>> sdk._client = Client("secret", base_url=server.api_url)
+    >>> output = sdk.apply("audio.wav")
+
+Routes (v1):
+  POST /v1/media/input   {"url": "media://KEY"} -> presigned PUT url
+  PUT  /upload/KEY       raw audio bytes (any FFmpeg-decodable format)
+  POST /v1/diarize       {"url", "numSpeakers", "minSpeakers",
+                          "maxSpeakers", "exclusive", ...} -> {"jobId"}
+  GET  /v1/jobs/ID       {"status", "output": {"diarization",
+                          "exclusiveDiarization"}}
+
+One worker thread drains the job queue through ``pipeline.apply`` —
+device programs are shared across jobs (same compiled executables), so
+steady-state latency is the pipeline's steady state. The reference has
+no serving component; this replaces its cloud-only pyannoteAI path
+with a self-hosted equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+class DiarizationServer:
+    """Serve a diarization pipeline over the pyannoteAI REST surface.
+
+    Parameters
+    ----------
+    pipeline : Pipeline
+        An instantiated diarization pipeline (apply(file, ...) ->
+        DiarizeOutput or Annotation).
+    host, port : str, int
+        Bind address; port 0 picks a free port (see ``api_url``).
+    token : str, optional
+        When set, every request must carry ``Authorization: Bearer
+        <token>``.
+    spool_dir : str, optional
+        Where uploaded media is spooled (a temp dir by default).
+    """
+
+    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
+                 token: Optional[str] = None,
+                 spool_dir: Optional[str] = None):
+        self.pipeline = pipeline
+        self.token = token
+        self.spool = Path(spool_dir or tempfile.mkdtemp(
+            prefix="pyannote-tpu-serve"))
+        self.spool.mkdir(parents=True, exist_ok=True)
+        self._media: Dict[str, Path] = {}
+        self._jobs: Dict[str, Dict[str, Any]] = {}
+        self._queue: "queue.Queue[Optional[str]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          self._handler_class())
+        self._threads: list = []
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def api_url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}/v1"
+
+    def start(self) -> "DiarizationServer":
+        for target in (self._httpd.serve_forever, self._worker):
+            thread = threading.Thread(target=target, daemon=True)
+            thread.start()
+            self._threads.append(thread)
+        return self
+
+    def shutdown(self) -> None:
+        self._queue.put(None)
+        self._httpd.shutdown()
+        for thread in self._threads:
+            thread.join(timeout=10)
+
+    def __enter__(self) -> "DiarizationServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+    # -- job worker --------------------------------------------------------
+
+    def _worker(self) -> None:
+        while True:
+            job_id = self._queue.get()
+            if job_id is None:
+                return
+            with self._lock:
+                job = self._jobs[job_id]
+                job["status"] = "processing"
+            try:
+                output = self._run(job["request"])
+                with self._lock:
+                    job["output"] = output
+                    job["status"] = "succeeded"
+            except Exception as error:   # job errors -> failed status
+                with self._lock:
+                    job["error"] = f"{type(error).__name__}: {error}"
+                    job["status"] = "failed"
+
+    def _run(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        media_path = self._media[request["url"]]
+        kwargs = {}
+        for api_name, ours in (("numSpeakers", "num_speakers"),
+                               ("minSpeakers", "min_speakers"),
+                               ("maxSpeakers", "max_speakers")):
+            if request.get(api_name) is not None:
+                kwargs[ours] = request[api_name]
+        output = self.pipeline(str(media_path), **kwargs)
+        if hasattr(output, "serialize"):
+            data = output.serialize()
+            return {"diarization": data["diarization"],
+                    "exclusiveDiarization": data["exclusive_diarization"]}
+        # plain Annotation (e.g. a VAD pipeline behind the same API)
+        turns = [{"start": round(seg.start, 3), "end": round(seg.end, 3),
+                  "speaker": label}
+                 for seg, _, label in output.itertracks(yield_label=True)]
+        return {"diarization": turns, "exclusiveDiarization": turns}
+
+    # -- http --------------------------------------------------------------
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _json(self, obj: Dict, code: int = 200) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                length = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(length)
+
+            def _authorized(self) -> bool:
+                if server.token is None:
+                    return True
+                header = self.headers.get("Authorization", "")
+                if header == f"Bearer {server.token}":
+                    return True
+                self._json({"error": "unauthorized"}, 401)
+                return False
+
+            def do_POST(self):
+                if not self._authorized():
+                    return
+                try:
+                    payload = json.loads(self._body() or b"{}")
+                except json.JSONDecodeError:
+                    return self._json({"error": "bad json"}, 400)
+                if self.path.rstrip("/").endswith("/media/input"):
+                    media_url = payload.get("url", "")
+                    if not media_url.startswith("media://"):
+                        return self._json({"error": "url must be "
+                                           "media://..."}, 400)
+                    key = media_url[len("media://"):]
+                    with server._lock:
+                        server._media[media_url] = server.spool / key
+                    host, port = self.server.server_address[:2]
+                    return self._json(
+                        {"url": f"http://{host}:{port}/upload/{key}"})
+                if self.path.rstrip("/").endswith("/diarize"):
+                    media_url = payload.get("url")
+                    with server._lock:
+                        known = media_url in server._media \
+                            and server._media[media_url].exists()
+                    if not known:
+                        return self._json(
+                            {"error": f"unknown media {media_url!r}; "
+                             "upload it first"}, 400)
+                    job_id = uuid.uuid4().hex[:12]
+                    with server._lock:
+                        server._jobs[job_id] = {"status": "created",
+                                                "request": payload}
+                    server._queue.put(job_id)
+                    return self._json({"jobId": job_id})
+                self._json({"error": "not found"}, 404)
+
+            def do_PUT(self):
+                if not self._authorized():
+                    return
+                if not self.path.startswith("/upload/"):
+                    return self._json({"error": "not found"}, 404)
+                key = self.path[len("/upload/"):]
+                target = server.spool / key
+                if not str(target.resolve()).startswith(
+                        str(server.spool.resolve())):
+                    return self._json({"error": "bad key"}, 400)
+                target.parent.mkdir(parents=True, exist_ok=True)
+                target.write_bytes(self._body())
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self):
+                if not self._authorized():
+                    return
+                if "/jobs/" not in self.path:
+                    return self._json({"error": "not found"}, 404)
+                job_id = self.path.rsplit("/", 1)[-1]
+                with server._lock:
+                    job = self._jobs_view(job_id)
+                if job is None:
+                    return self._json({"error": "unknown job"}, 404)
+                self._json(job)
+
+            def _jobs_view(self, job_id):
+                job = server._jobs.get(job_id)
+                if job is None:
+                    return None
+                view = {"jobId": job_id, "status": job["status"]}
+                if "output" in job:
+                    view["output"] = job["output"]
+                if "error" in job:
+                    view["error"] = job["error"]
+                return view
+
+            def log_message(self, *args):
+                pass
+
+        return Handler

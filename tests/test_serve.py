@@ -1,0 +1,85 @@
+"""Self-hosted pyannoteAI-shaped serving: SDK client -> local server ->
+TPU pipeline, full loop."""
+
+import numpy as np
+import pytest
+
+from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                           Specifications)
+from pyannote_audio_tpu.models.embedding.debug import SimpleEmbeddingModel
+from pyannote_audio_tpu.models.segmentation.debug import \
+    SimpleSegmentationModel
+from pyannote_audio_tpu.pipelines.speaker_diarization import (
+    DiarizeOutput, SpeakerDiarization)
+from pyannote_audio_tpu.serve import DiarizationServer
+
+from corpus import default_two_speaker_file
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    seg = SimpleSegmentationModel()
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["s0", "s1", "s2"], powerset_max_classes=2)
+    seg.build()
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    pipeline = SpeakerDiarization(
+        segmentation=seg, embedding=emb,
+        clustering="AgglomerativeClustering",
+        segmentation_batch_size=8, embedding_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+    return pipeline
+
+
+def test_sdk_against_local_server(pipeline, tmp_path):
+    """The shipped SDK client drives the self-hosted server end to end:
+    presigned upload, job queue, poll, DiarizeOutput deserialization."""
+    from pyannote_audio_tpu.pipelines.pyannoteai.client import Client
+    from pyannote_audio_tpu.pipelines.pyannoteai.sdk import SDK
+
+    file = default_two_speaker_file(tmp_path / "serve_me.wav")
+    with DiarizationServer(pipeline, token="tok") as server:
+        sdk = SDK(token="tok")
+        sdk._client = Client("tok", base_url=server.api_url,
+                             poll_interval=0.05, timeout=300.0)
+        output = sdk.apply(str(file["audio"]), max_speakers=3)
+
+    assert isinstance(output, DiarizeOutput)
+    assert 1 <= len(output.speaker_diarization.labels()) <= 3
+    assert output.speaker_diarization.get_timeline().duration() > 0
+    # exclusive variant really is overlap-free
+    excl = output.exclusive_speaker_diarization
+    assert excl.get_timeline().support().duration() == pytest.approx(
+        sum(s.duration for s in excl.get_timeline()), abs=1e-6)
+
+
+def test_server_auth_and_errors(pipeline, tmp_path):
+    from pyannote_audio_tpu.pipelines.pyannoteai.client import Client
+    import urllib.error
+
+    with DiarizationServer(pipeline, token="right") as server:
+        wrong = Client("wrong", base_url=server.api_url,
+                       poll_interval=0.05)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            wrong.diarize("media://nope")
+        assert err.value.code == 401
+
+        good = Client("right", base_url=server.api_url, poll_interval=0.05)
+        # diarize before upload -> 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            good.diarize("media://never-uploaded")
+        assert err.value.code == 400
+
+        # corrupt media -> job reaches "failed" with an error message
+        media = good.upload(b"this is not audio")
+        job_id = good.diarize(media)
+        from pyannote_audio_tpu.pipelines.pyannoteai.client import \
+            PyannoteAIFailedJob
+        with pytest.raises(PyannoteAIFailedJob):
+            good.retrieve(job_id)
