@@ -99,33 +99,96 @@ class DiarizationServer:
 
     # -- job worker --------------------------------------------------------
 
+    #: max queued jobs drained into one pipelined batch apply
+    max_batch: int = 8
+
     def _worker(self) -> None:
         while True:
             job_id = self._queue.get()
             if job_id is None:
                 return
+            # drain everything already queued (up to max_batch): several
+            # waiting jobs ride ONE pipelined apply_batch, so decode,
+            # upload and device compute of consecutive files overlap
+            batch = [job_id]
+            while len(batch) < self.max_batch:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)    # re-post the shutdown token
+                    break
+                batch.append(nxt)
             with self._lock:
-                job = self._jobs[job_id]
-                job["status"] = "processing"
+                for jid in batch:
+                    self._jobs[jid]["status"] = "processing"
+                same_kwargs = len({tuple(sorted(self._kwargs(
+                    self._jobs[jid]["request"]).items()))
+                    for jid in batch}) == 1
+            if not same_kwargs:
+                # per-job speaker constraints differ: process singly
+                for jid in batch:
+                    self._finish(jid, lambda jid=jid: self._run(
+                        self._jobs[jid]["request"]))
+                continue
+            if len(batch) == 1:
+                self._finish(batch[0],
+                             lambda: self._run(
+                                 self._jobs[batch[0]]["request"]))
+                continue
             try:
-                output = self._run(job["request"])
+                outputs = self._run_batch(batch)
+            except Exception:
+                # batch-level failure (e.g. one corrupt file aborting the
+                # shared decode): fall back to per-job isolation
+                for jid in batch:
+                    self._finish(jid, lambda jid=jid: self._run(
+                        self._jobs[jid]["request"]))
+                continue
+            for jid, output in zip(batch, outputs):
                 with self._lock:
-                    job["output"] = output
-                    job["status"] = "succeeded"
-            except Exception as error:   # job errors -> failed status
-                with self._lock:
-                    job["error"] = f"{type(error).__name__}: {error}"
-                    job["status"] = "failed"
+                    self._jobs[jid]["output"] = output
+                    self._jobs[jid]["status"] = "succeeded"
 
-    def _run(self, request: Dict[str, Any]) -> Dict[str, Any]:
-        media_path = self._media[request["url"]]
+    def _finish(self, job_id: str, produce) -> None:
+        try:
+            output = produce()
+            with self._lock:
+                self._jobs[job_id]["output"] = output
+                self._jobs[job_id]["status"] = "succeeded"
+        except Exception as error:       # job errors -> failed status
+            with self._lock:
+                self._jobs[job_id]["error"] = \
+                    f"{type(error).__name__}: {error}"
+                self._jobs[job_id]["status"] = "failed"
+
+    def _run_batch(self, batch) -> list:
+        """Several queued jobs through the pipelined multi-file apply."""
+        with self._lock:
+            requests = [self._jobs[jid]["request"] for jid in batch]
+        files = [str(self._media[r["url"]]) for r in requests]
+        kwargs = self._kwargs(requests[0])
+        outputs = self.pipeline(files, **kwargs)
+        return [self._serialize(o) for o in outputs]
+
+    @staticmethod
+    def _kwargs(request: Dict[str, Any]) -> Dict[str, Any]:
         kwargs = {}
         for api_name, ours in (("numSpeakers", "num_speakers"),
                                ("minSpeakers", "min_speakers"),
                                ("maxSpeakers", "max_speakers")):
             if request.get(api_name) is not None:
                 kwargs[ours] = request[api_name]
-        output = self.pipeline(str(media_path), **kwargs)
+        return kwargs
+
+    def _run(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        media_path = self._media[request["url"]]
+        output = self.pipeline(str(media_path), **self._kwargs(request))
+        return self._serialize(output)
+
+    @staticmethod
+    def _serialize(output) -> Dict[str, Any]:
         if hasattr(output, "serialize"):
             data = output.serialize()
             return {"diarization": data["diarization"],

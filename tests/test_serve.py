@@ -83,3 +83,52 @@ def test_server_auth_and_errors(pipeline, tmp_path):
             PyannoteAIFailedJob
         with pytest.raises(PyannoteAIFailedJob):
             good.retrieve(job_id)
+
+
+def test_server_batches_queued_jobs(pipeline, tmp_path, monkeypatch):
+    """Jobs queued together drain through ONE pipelined batch apply."""
+    from pyannote_audio_tpu.pipelines.pyannoteai.client import Client
+    from corpus import make_file
+
+    calls = {"batch": 0, "single": 0}
+    original = pipeline.__class__.__call__
+
+    def counting_call(self, file, *args, **kwargs):
+        if isinstance(file, list):
+            calls["batch"] += 1
+        else:
+            calls["single"] += 1
+        return original(self, file, *args, **kwargs)
+
+    monkeypatch.setattr(pipeline.__class__, "__call__", counting_call)
+
+    files = [
+        make_file(tmp_path / f"q{i}.wav",
+                  [("alice", 0.5, 4.0 + i), ("bob", 5.0, 9.0)],
+                  duration=12.0 + i, seed=i)
+        for i in range(3)
+    ]
+    server = DiarizationServer(pipeline)
+    # enqueue all three BEFORE the worker starts so one drain sees them
+    client = Client("x", base_url="dummy")     # only for upload naming
+    job_ids = []
+    for i, f in enumerate(files):
+        media = f"media://q{i}"
+        server._media[media] = tmp_path / f"q{i}.wav"
+        job_id = f"job{i}"
+        server._jobs[job_id] = {"status": "created",
+                                "request": {"url": media,
+                                            "maxSpeakers": 3}}
+        server._queue.put(job_id)
+        job_ids.append(job_id)
+    import threading
+    worker = threading.Thread(target=server._worker, daemon=True)
+    worker.start()
+    server._queue.put(None)
+    worker.join(timeout=120)
+
+    assert calls["batch"] == 1 and calls["single"] == 0
+    for job_id in job_ids:
+        job = server._jobs[job_id]
+        assert job["status"] == "succeeded", job.get("error")
+        assert job["output"]["diarization"]
