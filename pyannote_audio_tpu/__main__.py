@@ -14,11 +14,125 @@ import json
 import os
 import sys
 import time
+from enum import Enum
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 import yaml
+
+
+class Subset(str, Enum):
+    """Parity: Subset (reference __main__.py:53-56)."""
+    train = "train"
+    development = "development"
+    test = "test"
+
+
+class Device(str, Enum):
+    """Parity: Device (reference __main__.py:59-63); MPS/CUDA do not
+    exist on this stack — TPU replaces them."""
+    CPU = "cpu"
+    TPU = "tpu"
+    AUTO = "auto"
+
+
+class NumSpeakers(str, Enum):
+    """Parity: NumSpeakers (reference __main__.py:66-68)."""
+    ORACLE = "oracle"
+    AUTO = "auto"
+
+
+class Metric(str, Enum):
+    """Parity: Metric (reference __main__.py:71-82)."""
+    DiarizationErrorRate = "DiarizationErrorRate"
+    JaccardErrorRate = "JaccardErrorRate"
+
+    @classmethod
+    def from_str(cls, metric: str, collar: float = 0.0,
+                 skip_overlap: bool = False):
+        """String -> accumulating metric instance."""
+        from .metrics.der import DiarizationErrorRate, JaccardErrorRate
+        if metric == "DiarizationErrorRate":
+            return DiarizationErrorRate(collar=collar,
+                                        skip_overlap=skip_overlap)
+        if metric == "JaccardErrorRate":
+            return JaccardErrorRate(collar=collar,
+                                    skip_overlap=skip_overlap)
+        raise ValueError(f"unknown metric {metric!r}")
+
+
+def parse_device(device) -> str:
+    """'auto' -> 'tpu' when an accelerator is attached, else 'cpu'.
+
+    Parity: parse_device (reference __main__.py:85-96), with jax
+    platforms instead of torch devices.
+    """
+    value = device.value if isinstance(device, Device) else str(device)
+    if value == "auto":
+        import jax
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        return "cpu" if platform == "cpu" else "tpu"
+    return value
+
+
+def get_diarization(prediction):
+    """Extract the speaker-diarization Annotation from a pipeline output.
+
+    Parity: get_diarization (reference __main__.py:99-117).
+    """
+    from .core.annotation import Annotation
+    if isinstance(prediction, Annotation):
+        return prediction
+    if hasattr(prediction, "speaker_diarization"):
+        return prediction.speaker_diarization
+    raise ValueError(
+        f"cannot extract a diarization from {type(prediction).__name__} — "
+        "expected an Annotation or an object with a .speaker_diarization")
+
+
+class MinDurationOffOptimizer:
+    """Find the best `min_duration_off` collar post hoc.
+
+    Parity: MinDurationOffOptimizer (reference __main__.py:430-510):
+    hypothesis.support(collar) fills within-speaker gaps; bounded scalar
+    minimization over the collar with a forced no-collar baseline; the
+    best post-processed diarization is stored back on each file dict as
+    'best_speaker_diarization'.
+    """
+
+    def _compute_metric(self, files, metric, collar: float) -> float:
+        metric.reset()
+        for file in files:
+            file["temporary_speaker_diarization"] = \
+                file["speaker_diarization"].support(collar=collar)
+            metric(file["annotation"],
+                   file["temporary_speaker_diarization"],
+                   uem=file.get("annotated"))
+        self._reports[collar] = metric.report()
+        current = abs(metric)
+        if current < self._best_metric:
+            self._best_metric = current
+            for file in files:
+                file["best_speaker_diarization"] = file.pop(
+                    "temporary_speaker_diarization")
+        return current
+
+    def __call__(self, files, metric, bounds=(0.0, 1.0)):
+        from functools import partial
+
+        from scipy.optimize import minimize_scalar
+
+        self._best_metric = float("inf")
+        self._reports = {}
+        no_collar = self._compute_metric(files, metric, 0.0)
+        res = minimize_scalar(partial(self._compute_metric, files, metric),
+                              bounds=bounds, method="Bounded")
+        best = 0.0 if no_collar == self._best_metric else float(res.x)
+        return best, self._reports[best]
 
 
 def _load_pipeline(pipeline_path: str, device: Optional[str] = None):
@@ -125,35 +239,24 @@ def cmd_benchmark(args) -> int:
     # hypothesis.support(collar) fills within-speaker gaps, bounded
     # scalar minimization over [0, 1], forced no-collar baseline.
     if getattr(args, "optimize_min_duration_off", False):
-        from scipy.optimize import minimize_scalar
-
         from .utils.rttm import load_rttm
-        hyps = []
+        opt_files = []
         for file in getattr(protocol, args.subset)():
             hyp = load_rttm(into / f"{file['uri']}.rttm").get(file["uri"])
             if hyp is not None:
-                hyps.append((file, hyp))
-
-        def objective(collar: float) -> float:
-            trial = DiarizationErrorRate(collar=args.collar,
-                                         skip_overlap=args.skip_overlap)
-            for file, hyp in hyps:
-                trial(file["annotation"], hyp.support(collar=collar),
-                      uem=file.get("annotated"))
-            return abs(trial)
-
-        no_collar = objective(0.0)
-        res = minimize_scalar(objective, bounds=(0.0, 1.0),
-                              method="Bounded")
-        if no_collar <= res.fun:
-            best = (0.0, no_collar)
-        else:
-            best = (float(res.x), float(res.fun))
-        print(f"optimal min_duration_off = {best[0]:.2f} "
-              f"(DER {best[1]:.2%})")
+                opt_files.append({"annotation": file["annotation"],
+                                  "annotated": file.get("annotated"),
+                                  "speaker_diarization": hyp})
+        optimizer = MinDurationOffOptimizer()
+        best_collar, best_report = optimizer(
+            opt_files, DiarizationErrorRate(collar=args.collar,
+                                            skip_overlap=args.skip_overlap))
+        best_der = best_report["diarization error rate"]
+        print(f"optimal min_duration_off = {best_collar:.2f} "
+              f"(DER {best_der:.2%})")
         with open(into / "min_duration_off.yml", "w") as f:
-            yaml.safe_dump({"min_duration_off": float(best[0]),
-                            "der": float(best[1])}, f)
+            yaml.safe_dump({"min_duration_off": float(best_collar),
+                            "der": float(best_der)}, f)
 
     report = metric.report()
     seconds_per_hour = total_wall / (total_audio / 3600.0) \
@@ -319,6 +422,53 @@ def cmd_download(args) -> int:
         return 1
     print(f"downloaded {args.model} ({type(pipeline).__name__})")
     return 0
+
+
+# -- programmatic command entry points (parity: the typer command
+# functions users can import from the reference __main__, e.g.
+# `from pyannote.audio.__main__ import benchmark`) ----------------------
+
+def apply(pipeline: str, audio: str, into: Optional[str] = None,
+          device: Optional[str] = None) -> int:
+    """Parity: apply (reference __main__.py:328-427)."""
+    return cmd_apply(argparse.Namespace(
+        pipeline=pipeline, audio=audio, into=into, device=device))
+
+
+def benchmark(pipeline: str, protocol: str, into: str,
+              registry: Optional[str] = None, subset: str = "test",
+              collar: float = 0.0, skip_overlap: bool = False,
+              num_speakers: Optional[str] = None, exact: bool = False,
+              optimize_min_duration_off: bool = False,
+              device: Optional[str] = None) -> int:
+    """Parity: benchmark (reference __main__.py:513-849)."""
+    return cmd_benchmark(argparse.Namespace(
+        pipeline=pipeline, protocol=protocol, into=into, registry=registry,
+        subset=subset, collar=collar, skip_overlap=skip_overlap,
+        num_speakers=num_speakers, exact=exact,
+        optimize_min_duration_off=optimize_min_duration_off, device=device))
+
+
+def optimize(pipeline: str, protocol: str, into: str,
+             registry: Optional[str] = None, subset: str = "development",
+             trials: int = 20, seed: int = 42) -> int:
+    """Parity: optimize (reference __main__.py:115-282)."""
+    return cmd_optimize(argparse.Namespace(
+        pipeline=pipeline, protocol=protocol, into=into, registry=registry,
+        subset=subset, trials=trials, seed=seed))
+
+
+def strip(checkpoint: str, into: str) -> int:
+    """Parity: strip (reference __main__.py:852-902)."""
+    return cmd_strip(argparse.Namespace(checkpoint=checkpoint, into=into))
+
+
+def download(model: str, token: Optional[str] = None,
+             revision: Optional[str] = None,
+             cache: Optional[str] = None) -> int:
+    """Parity: download (reference __main__.py:285-325)."""
+    return cmd_download(argparse.Namespace(
+        model=model, token=token, revision=revision, cache=cache))
 
 
 def main(argv=None) -> int:

@@ -29,7 +29,8 @@ import numpy as np
 
 from ..utils.database import Protocol
 from .io import Audio
-from .model import Problem, Resolution, Specifications  # noqa: F401 re-export
+from .model import (Problem, Resolution,  # noqa: F401 re-export
+                    Specifications, UnknownSpecificationsError)
 from .segment import Segment
 
 
@@ -58,6 +59,64 @@ class TrainingBatch:
     y: Optional[np.ndarray] = None      # task-dependent target
     weight: Optional[np.ndarray] = None  # (batch, frames, 1) loss weight
     meta: Optional[Dict] = None
+
+
+def get_dtype(value: int) -> str:
+    """Smallest signed numpy dtype string that can store ``value``.
+
+    Parity: get_dtype (reference core/task.py:164-186) — used when sizing
+    the compact prepared_data arrays.
+    """
+    for bound, dtype in ((127, "b"), (32_768, "i2"), (2_147_483_648, "i")):
+        if bound > abs(value):
+            return dtype
+    return "i8"
+
+
+class TrainDataset:
+    """Iterable view over a task's training chunks.
+
+    Parity: TrainDataset(IterableDataset) (reference core/task.py:140-149).
+    Ours yields prepared chunk dicts drawn with the task's deterministic
+    worker-0 RNG; ``Task.train_batches`` remains the collated fast path.
+    """
+
+    def __init__(self, task: "Task", epoch: int = 0):
+        self.task = task
+        self.epoch = epoch
+
+    def __iter__(self):
+        rng = create_rng_for_worker(self.task.seed, epoch=self.epoch)
+        for _ in range(len(self)):
+            prepared = None
+            while prepared is None:
+                file, chunk = self.task.draw_chunk(rng)
+                prepared = self.task.prepare_chunk(file, chunk, rng)
+            yield prepared
+
+    def __len__(self) -> int:
+        return self.task.train__len__()
+
+
+class ValDataset:
+    """Indexable view over the fixed validation-chunk grid.
+
+    Parity: ValDataset(Dataset) (reference core/task.py:152-161), backed by
+    ``Task.prepare_validation`` (the reference's ``prepare_validation``
+    grid, mixins.py:254-289).
+    """
+
+    def __init__(self, task: "Task"):
+        self.task = task
+        self._grid = task.prepare_validation()
+
+    def __getitem__(self, idx: int) -> Dict:
+        file, chunk = self._grid[idx]
+        return self.task.prepare_chunk(file, chunk,
+                                       np.random.default_rng(self.task.seed))
+
+    def __len__(self) -> int:
+        return len(self._grid)
 
 
 class Task:

@@ -238,6 +238,11 @@ class DiarizationErrorRate:
                         uem: Optional[Timeline] = None) -> Dict:
         return optimal_mapping(reference, hypothesis, uem=uem)
 
+    def reset(self) -> None:
+        """Drop accumulated components (pyannote.metrics BaseMetric.reset)."""
+        self.components_ = DERComponents()
+        self.uris_ = []
+
     def __abs__(self) -> float:
         return self.components_.der
 
@@ -284,6 +289,106 @@ class GreedyDiarizationErrorRate(DiarizationErrorRate):
                 "total": comp.total,
             }
         return comp.der
+
+
+def _timeline_overlap_durations(a: Timeline, b: Timeline,
+                                uem: Optional[Timeline] = None
+                                ) -> Tuple[float, float, float]:
+    """(intersection, a_only, b_only) durations via a boundary sweep."""
+    pts = set()
+    for tl in (a, b):
+        for s in tl:
+            pts.add(s.start)
+            pts.add(s.end)
+    if uem is not None:
+        for s in uem:
+            pts.add(s.start)
+            pts.add(s.end)
+    pts = np.array(sorted(pts))
+    inter = a_only = b_only = 0.0
+    for lo, hi in zip(pts[:-1], pts[1:]):
+        mid, dur = 0.5 * (lo + hi), hi - lo
+        if dur <= 0:
+            continue
+        if uem is not None and not any(
+                s.start <= mid < s.end for s in uem):
+            continue
+        in_a = any(s.start <= mid < s.end for s in a)
+        in_b = any(s.start <= mid < s.end for s in b)
+        if in_a and in_b:
+            inter += dur
+        elif in_a:
+            a_only += dur
+        elif in_b:
+            b_only += dur
+    return inter, a_only, b_only
+
+
+class JaccardErrorRate:
+    """Jaccard error rate (DIHARD): per-reference-speaker Jaccard distance
+    to the optimally mapped system speaker, averaged over reference
+    speakers.
+
+    Parity: pyannote.metrics JaccardErrorRate as imported by the reference
+    CLI (/root/reference/src/pyannote/audio/__main__.py:46) for its
+    ``Metric.JaccardErrorRate`` benchmark/optimize option. For each
+    reference speaker r with Hungarian-mapped system speaker s,
+    JER_r = 1 - |r ∩ s| / |r ∪ s| (durations); unmapped reference speakers
+    score 1.0. The corpus value averages over every reference speaker seen.
+    """
+
+    def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
+        self.collar = collar
+        self.skip_overlap = skip_overlap
+        self.speaker_error_ = 0.0
+        self.speaker_count_ = 0
+        self.uris_: List[str] = []
+
+    def __call__(self, reference: Annotation, hypothesis: Annotation,
+                 uem: Optional[Timeline] = None, detailed: bool = False):
+        uem2 = _scoring_uem(reference, hypothesis, self.collar, uem,
+                            skip_overlap=self.skip_overlap)
+        if uem2 is not None:
+            uem2 = uem2.support()
+        mapping = optimal_mapping(reference, hypothesis, uem=uem2)
+        ref_of_hyp = dict(mapping)              # hyp label -> ref label
+        hyp_of_ref = {r: h for h, r in ref_of_hyp.items()}
+        error = 0.0
+        count = 0
+        for ref_speaker in reference.labels():
+            ref_tl = reference.label_timeline(ref_speaker).support()
+            count += 1
+            hyp_speaker = hyp_of_ref.get(ref_speaker)
+            if hyp_speaker is None:
+                error += 1.0
+                continue
+            hyp_tl = hypothesis.label_timeline(hyp_speaker).support()
+            inter, a_only, b_only = _timeline_overlap_durations(
+                ref_tl, hyp_tl, uem=uem2)
+            union = inter + a_only + b_only
+            error += (union - inter) / union if union > 0 else 0.0
+        self.speaker_error_ += error
+        self.speaker_count_ += count
+        self.uris_.append(reference.uri)
+        rate = error / count if count else 0.0
+        if detailed:
+            return {"jaccard error rate": rate, "speaker error": error,
+                    "speaker count": count}
+        return rate
+
+    def __abs__(self) -> float:
+        return self.speaker_error_ / self.speaker_count_ \
+            if self.speaker_count_ else 0.0
+
+    def reset(self) -> None:
+        self.speaker_error_ = 0.0
+        self.speaker_count_ = 0
+        self.uris_ = []
+
+    def report(self) -> Dict[str, float]:
+        return {"jaccard error rate": abs(self),
+                "speaker error": self.speaker_error_,
+                "speaker count": self.speaker_count_}
 
 
 def detection_error_rate(reference: Annotation, hypothesis: Annotation,

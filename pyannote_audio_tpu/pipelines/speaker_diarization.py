@@ -48,6 +48,17 @@ from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
 from .utils.getter import PipelineModel, get_model, get_plda
 
 
+def batchify(iterable, batch_size: int = 32, fillvalue=None):
+    """Batch an iterable into ``batch_size`` tuples, padding the last one.
+
+    Parity: batchify (reference speaker_diarization.py:56-60).
+    batchify('ABCDEFG', 3) -> ('A','B','C') ('D','E','F') ('G', None, None)
+    """
+    import itertools
+    args = [iter(iterable)] * batch_size
+    return itertools.zip_longest(*args, fillvalue=fillvalue)
+
+
 @dataclass
 class DiarizeOutput:
     """Parity: DiarizeOutput (reference speaker_diarization.py:63-124)."""

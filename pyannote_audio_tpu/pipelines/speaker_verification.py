@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Mapping, Optional, Text, Union
+from typing import Any, Dict, Mapping, Optional, Text, Union
 
 import numpy as np
 
@@ -223,6 +223,52 @@ class SpeakerEmbedding(Pipeline):
         weights = activations.data.reshape(-1) ** 3
         return self._embedding(waveform[None],
                                masks=weights[None])[0]
+
+
+def main(protocol: str = "VoxCeleb.SpeakerVerification.VoxCeleb1",
+         subset: str = "test",
+         embedding: PipelineModel = "pyannote/embedding",
+         segmentation: Optional[PipelineModel] = None) -> float:
+    """Evaluate a speaker-embedding pipeline on verification trials.
+
+    Parity: the ``main`` CLI of reference speaker_verification.py:858-895 —
+    resolve the protocol, embed each unique file once, score trials by
+    cosine similarity, report EER. Returns the EER (the reference prints
+    it); file embeddings are memoized exactly like the reference's ``emb``
+    dict.
+    """
+    from scipy.spatial.distance import cdist
+
+    from ..metrics.streaming import EqualErrorRate
+    from ..utils.database import get_protocol
+
+    proto = get_protocol(protocol) if isinstance(protocol, str) else protocol
+    trials_fn = getattr(proto, f"{subset}_trial", None)
+    if trials_fn is None:
+        raise ValueError(
+            f"protocol {protocol!r} has no {subset}_trial iterator — "
+            "verification trials require a SpeakerVerification protocol "
+            "(reference speaker_verification.py:878)")
+    pipeline = SpeakerEmbedding(embedding=embedding,
+                                segmentation=segmentation)
+
+    emb: Dict[Any, np.ndarray] = {}
+
+    def embed(file) -> np.ndarray:
+        key = file["audio"] if isinstance(file, Mapping) else file
+        if key not in emb:
+            emb[key] = pipeline(file)
+        return emb[key]
+
+    metric = EqualErrorRate()
+    for trial in trials_fn():
+        score = 1.0 - cdist(embed(trial["file1"])[None],
+                            embed(trial["file2"])[None],
+                            metric="cosine")[0, 0]
+        metric.update([score], [int(trial["reference"])])
+    eer = float(metric.compute())
+    print(f"EER = {eer:.2%}")
+    return eer
 
 
 def verification_trials_eer(pipeline: SpeakerEmbedding, trials) -> float:

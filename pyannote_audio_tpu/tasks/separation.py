@@ -90,6 +90,27 @@ def pixit_optimizer(lr: float = 1e-3, wavlm_lr: float = 1e-5,
     return optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
 
 
+class ValDataset:
+    """Iterable over PixIT's fixed validation-chunk grid.
+
+    Parity: ValDataset(IterableDataset) (reference
+    tasks/separation/PixIT.py:70-90) — PixIT validation is *iterable*
+    (not indexed) so chunk preparation runs the same path as training.
+    """
+
+    def __init__(self, task: "PixIT"):
+        self.task = task
+        self._grid = task.prepare_validation()
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.task.seed)
+        for file, chunk in self._grid:
+            yield self.task.prepare_chunk(file, chunk, rng)
+
+    def __len__(self) -> int:
+        return len(self._grid)
+
+
 class PixIT(Task):
     """Joint diarization + separation training."""
 

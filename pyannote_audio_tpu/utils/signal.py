@@ -19,6 +19,29 @@ from ..core.annotation import Annotation, Timeline
 from ..core.segment import Segment, SlidingWindowFeature
 
 
+def binarize(
+    scores,
+    onset: float = 0.5,
+    offset: Optional[float] = None,
+    initial_state: Union[bool, None] = None,
+):
+    """(Batch) hysteresis thresholding, dispatched on input type.
+
+    Parity: the ``binarize`` singledispatch entry point (reference
+    signal.py:52-78): numpy arrays go through ``binarize_ndarray``,
+    SlidingWindowFeature through ``binarize_swf``.
+    """
+    if isinstance(scores, SlidingWindowFeature):
+        return binarize_swf(scores, onset=onset, offset=offset,
+                            initial_state=initial_state)
+    if isinstance(scores, np.ndarray):
+        return binarize_ndarray(scores, onset=onset, offset=offset,
+                                initial_state=initial_state)
+    raise NotImplementedError(
+        "scores must be a numpy.ndarray or a SlidingWindowFeature, "
+        f"got {type(scores).__name__}")
+
+
 def binarize_ndarray(
     scores: np.ndarray,
     onset: float = 0.5,
