@@ -208,9 +208,15 @@ def cmd_benchmark(args) -> int:
     total_wall = 0.0
     confusion = {}
     subset_iter = getattr(protocol, args.subset)()
+    progress_hook = None
+    if getattr(args, "progress", False):
+        from .pipelines.utils.hook import ProgressHook
+        progress_hook = ProgressHook()
     for file in subset_iter:
         t0 = time.perf_counter()
         kwargs = {}
+        if progress_hook is not None:
+            kwargs["hook"] = progress_hook
         if args.num_speakers == "oracle" and "annotation" in file:
             kwargs["num_speakers"] = len(file["annotation"].labels())
         output = pipeline(file, **kwargs)
@@ -298,7 +304,6 @@ def cmd_optimize(args) -> int:
     changed hyperparameters do not invalidate them).
     """
     from .core.optimizer import Optimizer, TPESampler
-    from .metrics.der import DiarizationErrorRate
     from .utils.database import get_protocol, register_database
 
     if args.registry:
@@ -325,14 +330,18 @@ def cmd_optimize(args) -> int:
     was_training = getattr(pipeline, "training", False)
     pipeline.training = True
     try:
+        metric_name = getattr(args, "metric", None) \
+            or "DiarizationErrorRate"
+
         def objective_fn(params) -> float:
             pipeline.instantiate(params)
-            metric = DiarizationErrorRate()
+            # fresh accumulating metric per trial (reference optimize
+            # passes Metric.from_str(metric) as get_metric,
+            # __main__.py:210-214)
+            metric = Metric.from_str(metric_name)
             for file in files:
                 output = pipeline(file)
-                hypothesis = getattr(output, "speaker_diarization",
-                                     output)
-                metric(file["annotation"], hypothesis,
+                metric(file["annotation"], get_diarization(output),
                        uem=file.get("annotated"))
             return abs(metric)
 
@@ -440,22 +449,25 @@ def benchmark(pipeline: str, protocol: str, into: str,
               collar: float = 0.0, skip_overlap: bool = False,
               num_speakers: Optional[str] = None, exact: bool = False,
               optimize_min_duration_off: bool = False,
+              progress: bool = False,
               device: Optional[str] = None) -> int:
     """Parity: benchmark (reference __main__.py:513-849)."""
     return cmd_benchmark(argparse.Namespace(
         pipeline=pipeline, protocol=protocol, into=into, registry=registry,
         subset=subset, collar=collar, skip_overlap=skip_overlap,
         num_speakers=num_speakers, exact=exact,
-        optimize_min_duration_off=optimize_min_duration_off, device=device))
+        optimize_min_duration_off=optimize_min_duration_off,
+        progress=progress, device=device))
 
 
 def optimize(pipeline: str, protocol: str, into: str,
              registry: Optional[str] = None, subset: str = "development",
-             trials: int = 20, seed: int = 42) -> int:
+             trials: int = 20, seed: int = 42,
+             metric: str = "DiarizationErrorRate") -> int:
     """Parity: optimize (reference __main__.py:115-282)."""
     return cmd_optimize(argparse.Namespace(
         pipeline=pipeline, protocol=protocol, into=into, registry=registry,
-        subset=subset, trials=trials, seed=seed))
+        subset=subset, trials=trials, seed=seed, metric=metric))
 
 
 def strip(checkpoint: str, into: str) -> int:
@@ -501,6 +513,8 @@ def main(argv=None) -> int:
                               "reference-parity runs)")
     p_bench.add_argument("--optimize-min-duration-off",
                          action="store_true")
+    p_bench.add_argument("--progress", action="store_true",
+                         help="show per-stage progress (ProgressHook)")
     p_bench.add_argument("--device", default=None)
     p_bench.set_defaults(fn=cmd_benchmark)
 
@@ -512,6 +526,9 @@ def main(argv=None) -> int:
     p_opt.add_argument("--subset", default="development")
     p_opt.add_argument("--trials", type=int, default=20)
     p_opt.add_argument("--seed", type=int, default=42)
+    p_opt.add_argument("--metric", default="DiarizationErrorRate",
+                       choices=[m.value for m in Metric],
+                       help="metric to optimize against")
     p_opt.set_defaults(fn=cmd_optimize)
 
     p_strip = sub.add_parser("strip", help="slim checkpoint")

@@ -142,6 +142,20 @@ def test_cli_optimize(pipeline_dir, corpus_dir, tmp_path):
         assert "objective" in trial
 
 
+def test_cli_optimize_jaccard_metric(pipeline_dir, corpus_dir, tmp_path):
+    """--metric JaccardErrorRate drives the TPE objective (parity:
+    reference optimize's Metric option, __main__.py:159-165)."""
+    out = tmp_path / "opt_jer"
+    rc = main(["optimize", str(pipeline_dir),
+               "CliDB.SpeakerDiarization.P", str(out),
+               "--registry", str(corpus_dir / "database.yml"),
+               "--subset", "development", "--trials", "1",
+               "--metric", "JaccardErrorRate"])
+    assert rc == 0
+    trial = json.loads((out / "journal.jsonl").read_text().splitlines()[0])
+    assert 0.0 <= trial["objective"] <= 1.0
+
+
 def test_cli_benchmark_min_duration_off(pipeline_dir, corpus_dir, tmp_path):
     out = tmp_path / "bench2"
     rc = main(["benchmark", str(pipeline_dir),
