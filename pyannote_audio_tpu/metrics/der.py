@@ -350,6 +350,12 @@ class JaccardErrorRate:
                             skip_overlap=self.skip_overlap)
         if uem2 is not None:
             uem2 = uem2.support()
+            # crop BOTH annotations to the scoring region first
+            # (pyannote.metrics uemifies before counting): a reference
+            # speaker whose every turn falls outside the uem/collar must
+            # not be counted — let alone penalized 1.0 as unmapped
+            reference = reference.crop(uem2, mode="intersection")
+            hypothesis = hypothesis.crop(uem2, mode="intersection")
         mapping = optimal_mapping(reference, hypothesis, uem=uem2)
         ref_of_hyp = dict(mapping)              # hyp label -> ref label
         hyp_of_ref = {r: h for h, r in ref_of_hyp.items()}

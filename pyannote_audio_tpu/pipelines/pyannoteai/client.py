@@ -20,6 +20,7 @@ flow is testable against a local mock server without network egress
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -116,7 +117,10 @@ class Client:
         else:
             path = Path(file)
             payload, name = path.read_bytes(), path.stem
-        media_url = f"media://{name}-{abs(hash((name, len(payload))))}"
+        # content-addressed key: same-stem/same-size files must not
+        # collide (and PYTHONHASHSEED would make hash() non-reproducible)
+        digest = hashlib.md5(payload).hexdigest()[:16]
+        media_url = f"media://{name}-{digest}"
         # presigned upload url for the object key
         presigned = self._request(
             "POST", f"{self.base_url}/media/input",

@@ -28,18 +28,11 @@ from ..core.pipeline import Pipeline
 from ..utils.signal import binarize_swf
 from .clustering import Clustering
 from .parameter import Categorical, ParamDict, Parameter, Uniform
-from .speaker_diarization import DiarizeOutput, EmbeddingHotPathMixin
+from .speaker_diarization import (DiarizeOutput, EmbeddingHotPathMixin,
+                                  batchify)  # noqa: F401 — re-export:
+# the reference defines batchify in BOTH pipeline modules; one impl here
 from .utils.diarization import SpeakerDiarizationMixin, set_num_speakers
 from .utils.getter import PipelineModel, get_model
-
-
-def batchify(iterable, batch_size: int = 32, fillvalue=None):
-    """Group an iterable into fixed-size batches (last one fill-padded).
-
-    Parity: batchify (reference pipelines/speech_separation.py:54-58)."""
-    import itertools
-    args = [iter(iterable)] * batch_size
-    return itertools.zip_longest(*args, fillvalue=fillvalue)
 
 
 class SeparationOutput(DiarizeOutput):

@@ -29,9 +29,11 @@ with a self-hosted equivalent.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import tempfile
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -57,19 +59,62 @@ class DiarizationServer:
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  token: Optional[str] = None,
-                 spool_dir: Optional[str] = None):
+                 spool_dir: Optional[str] = None,
+                 media_ttl: Optional[float] = 24 * 3600.0):
         self.pipeline = pipeline
         self.token = token
         self.spool = Path(spool_dir or tempfile.mkdtemp(
-            prefix="pyannote-tpu-serve"))
+            prefix="pyannote-tpu-serve")).resolve()
         self.spool.mkdir(parents=True, exist_ok=True)
+        #: seconds before uploaded media and finished jobs are evicted
+        #: (the pyannoteAI API expires media after 24-48 h; None keeps
+        #: everything forever — only sensible for short-lived test servers)
+        self.media_ttl = media_ttl
         self._media: Dict[str, Path] = {}
+        self._media_ts: Dict[str, float] = {}
         self._jobs: Dict[str, Dict[str, Any]] = {}
         self._queue: "queue.Queue[Optional[str]]" = queue.Queue()
         self._lock = threading.Lock()
         self._httpd = ThreadingHTTPServer((host, port),
                                           self._handler_class())
         self._threads: list = []
+
+    def _spool_path(self, key: str) -> Optional[Path]:
+        """Resolve a media key inside the spool; None if it escapes.
+
+        Containment uses commonpath on the resolved target (a bare
+        startswith would let ``../<spool-name>-evil/`` through).
+        """
+        try:
+            target = (self.spool / key).resolve()
+            if os.path.commonpath([str(self.spool), str(target)]) \
+                    != str(self.spool):
+                return None
+        except ValueError:        # different drives / malformed key
+            return None
+        return target
+
+    def _purge_expired(self) -> None:
+        """Evict media + finished jobs older than ``media_ttl``."""
+        if self.media_ttl is None:
+            return
+        now = time.time()
+        with self._lock:
+            for url, ts in list(self._media_ts.items()):
+                if now - ts <= self.media_ttl:
+                    continue
+                path = self._media.pop(url, None)
+                del self._media_ts[url]
+                if path is not None:
+                    try:
+                        path.unlink(missing_ok=True)
+                    except OSError:
+                        pass
+            for job_id, job in list(self._jobs.items()):
+                done = job.get("status") in ("succeeded", "failed",
+                                             "canceled")
+                if done and now - job.get("ts", now) > self.media_ttl:
+                    del self._jobs[job_id]
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -157,11 +202,13 @@ class DiarizationServer:
             with self._lock:
                 self._jobs[job_id]["output"] = output
                 self._jobs[job_id]["status"] = "succeeded"
+                self._jobs[job_id]["ts"] = time.time()
         except Exception as error:       # job errors -> failed status
             with self._lock:
                 self._jobs[job_id]["error"] = \
                     f"{type(error).__name__}: {error}"
                 self._jobs[job_id]["status"] = "failed"
+                self._jobs[job_id]["ts"] = time.time()
 
     def _run_batch(self, batch) -> list:
         """Several queued jobs through the pipelined multi-file apply."""
@@ -233,14 +280,19 @@ class DiarizationServer:
                     payload = json.loads(self._body() or b"{}")
                 except json.JSONDecodeError:
                     return self._json({"error": "bad json"}, 400)
+                server._purge_expired()
                 if self.path.rstrip("/").endswith("/media/input"):
                     media_url = payload.get("url", "")
                     if not media_url.startswith("media://"):
                         return self._json({"error": "url must be "
                                            "media://..."}, 400)
                     key = media_url[len("media://"):]
+                    target = server._spool_path(key)
+                    if target is None:
+                        return self._json({"error": "bad key"}, 400)
                     with server._lock:
-                        server._media[media_url] = server.spool / key
+                        server._media[media_url] = target
+                        server._media_ts[media_url] = time.time()
                     host, port = self.server.server_address[:2]
                     return self._json(
                         {"url": f"http://{host}:{port}/upload/{key}"})
@@ -267,9 +319,8 @@ class DiarizationServer:
                 if not self.path.startswith("/upload/"):
                     return self._json({"error": "not found"}, 404)
                 key = self.path[len("/upload/"):]
-                target = server.spool / key
-                if not str(target.resolve()).startswith(
-                        str(server.spool.resolve())):
+                target = server._spool_path(key)
+                if target is None:
                     return self._json({"error": "bad key"}, 400)
                 target.parent.mkdir(parents=True, exist_ok=True)
                 target.write_bytes(self._body())

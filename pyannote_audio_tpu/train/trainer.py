@@ -388,6 +388,11 @@ class Trainer:
         loss_sum, loss_n = 0.0, 0
         have_der = have_auroc = False
         plot_pred = plot_y = None
+        # the sample-figure forward is EXTRA device work (the eval step
+        # only returns packed metric components) — run it only on epochs
+        # that will actually write a figure
+        want_plot = self.log_dir is not None \
+            and _is_power_of_two_or_zero(epoch)
 
         def flush(batch_X, batch_y):
             nonlocal loss_sum, loss_n, have_der, have_auroc
@@ -412,7 +417,7 @@ class Trainer:
                 optimal.update_from_components(*unpack_der_components(
                     np.asarray(softp), len(DEFAULT_THRESHOLDS)))
                 have_der = True
-                if plot_pred is None:
+                if want_plot and plot_pred is None:
                     preds = self._val_apply(model_params, jnp.asarray(X))
                     if isinstance(preds, (tuple, list)):
                         preds = preds[0]

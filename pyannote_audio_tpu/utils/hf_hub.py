@@ -34,11 +34,13 @@ class AssetFileName(Enum):
 
 
 def looks_like_hub_id(model_id: str) -> bool:
-    """True for "name" / "org/name" shapes; False for filesystem-looking
-    strings (absolute/relative paths), so a missing local path never
-    triggers a network attempt."""
+    """True only for the two-segment "org/name" shape; False for anything
+    filesystem-looking. A bare word ('checkpoints', 'model.bin') is far
+    more likely a typo'd/missing local path than a hub repo — treating it
+    as a hub id would turn that typo into a network attempt (and, with no
+    egress, a long urlopen timeout before the real error surfaces)."""
     import re
-    return bool(re.fullmatch(r"[\w.-]+(?:/[\w.-]+)?", str(model_id))) \
+    return bool(re.fullmatch(r"[\w.-]+/[\w.-]+", str(model_id))) \
         and not str(model_id).startswith(".")
 
 

@@ -210,3 +210,17 @@ def test_client_requires_token():
     from pyannote_audio_tpu.pipelines.pyannoteai.client import Client
     with pytest.raises(ValueError, match="API key"):
         Client("")
+
+
+def test_upload_keys_content_addressed(mock_api):
+    """Same-stem same-size different-content uploads must not collide
+    (the key is content-addressed, not (stem, size)-addressed)."""
+    from pyannote_audio_tpu.pipelines.pyannoteai.client import Client
+
+    base, state = mock_api
+    client = Client("k", base_url=base, poll_interval=0.01)
+    url_a = client.upload(b"A" * 100)
+    url_b = client.upload(b"B" * 100)
+    assert url_a != url_b
+    # deterministic: re-uploading identical bytes reuses the same key
+    assert client.upload(b"A" * 100) == url_a

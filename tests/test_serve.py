@@ -1,6 +1,7 @@
 """Self-hosted pyannoteAI-shaped serving: SDK client -> local server ->
 TPU pipeline, full loop."""
 
+import json
 import numpy as np
 import pytest
 
@@ -132,3 +133,57 @@ def test_server_batches_queued_jobs(pipeline, tmp_path, monkeypatch):
         job = server._jobs[job_id]
         assert job["status"] == "succeeded", job.get("error")
         assert job["output"]["diarization"]
+
+
+def test_server_rejects_path_escape(pipeline):
+    """Upload keys and media registrations must stay inside the spool:
+    bare startswith would let ../<spool-name>-suffix/ escape."""
+    import urllib.request
+    import urllib.error
+
+    with DiarizationServer(pipeline) as server:
+        base = server.api_url.rsplit("/v1", 1)[0]
+
+        def put(path, payload=b"x"):
+            req = urllib.request.Request(f"{base}{path}", data=payload,
+                                         method="PUT")
+            return urllib.request.urlopen(req)
+
+        # PUT escaping the spool (sibling dir sharing the name prefix)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            put("/upload/../" + server.spool.name + "evil/f.wav")
+        assert err.value.code == 400
+        # registration of an escaping media key -> 400
+        req = urllib.request.Request(
+            f"{server.api_url}/media/input",
+            data=json.dumps({"url": "media://../../etc/passwd"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+        # an honest key still works
+        req = urllib.request.Request(
+            f"{server.api_url}/media/input",
+            data=json.dumps({"url": "media://ok.wav"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        assert urllib.request.urlopen(req).status == 200
+
+
+def test_server_evicts_expired_media_and_jobs(pipeline):
+    """media_ttl bounds spool disk and job memory."""
+    import time as _time
+
+    server = DiarizationServer(pipeline, media_ttl=0.05)
+    key = server.spool / "old.wav"
+    key.write_bytes(b"data")
+    server._media["media://old.wav"] = key
+    server._media_ts["media://old.wav"] = _time.time() - 1.0
+    server._jobs["done"] = {"status": "succeeded", "output": {},
+                            "ts": _time.time() - 1.0}
+    server._jobs["pending"] = {"status": "created", "request": {}}
+    server._purge_expired()
+    assert "media://old.wav" not in server._media
+    assert not key.exists()
+    assert "done" not in server._jobs
+    assert "pending" in server._jobs      # unfinished jobs never evicted
+    server._httpd.server_close()

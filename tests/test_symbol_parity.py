@@ -267,3 +267,30 @@ def test_speaker_verification_main_requires_trials():
     with pytest.raises(ValueError, match="trial"):
         main(protocol=NoTrialProtocol(), subset="test",
              embedding="debug-embedding")
+
+
+def test_jaccard_ignores_speakers_outside_uem():
+    """A reference speaker with no speech inside the scoring region is
+    dropped (pyannote.metrics uemify semantics), not penalized 1.0."""
+    from pyannote_audio_tpu.metrics.der import JaccardErrorRate
+
+    reference = _ann("f", [(0, 10, "A"), (50, 55, "C")])
+    hypothesis = _ann("f", [(0, 10, "X")])
+    uem = Timeline([Segment(0, 20)], uri="f")
+    metric = JaccardErrorRate()
+    assert metric(reference, hypothesis, uem=uem) == pytest.approx(0.0)
+    detail = JaccardErrorRate()(reference, hypothesis, uem=uem,
+                                detailed=True)
+    assert detail["speaker count"] == 1
+
+
+def test_hub_id_requires_org_name_shape():
+    from pyannote_audio_tpu.utils.hf_hub import looks_like_hub_id
+
+    assert looks_like_hub_id("acme/segmentation")
+    assert looks_like_hub_id("pyannote/speaker-diarization-community-1")
+    assert not looks_like_hub_id("checkpoints")      # typo'd local dir
+    assert not looks_like_hub_id("model.bin")
+    assert not looks_like_hub_id("./rel/path")
+    assert not looks_like_hub_id("/abs/path/ckpt")
+    assert not looks_like_hub_id("a/b/c")
