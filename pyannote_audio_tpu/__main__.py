@@ -135,11 +135,19 @@ class MinDurationOffOptimizer:
         return best, self._reports[best]
 
 
-def _load_pipeline(pipeline_path: str, device: Optional[str] = None):
+def _load_pipeline(pipeline_path: str, device: Optional[str] = None,
+                   revision: Optional[str] = None,
+                   token: Optional[str] = None,
+                   cache: Optional[str] = None):
     from .core.pipeline import Pipeline
-    pipeline = Pipeline.from_pretrained(pipeline_path)
+    if cache:
+        os.environ["PYANNOTE_TPU_CACHE"] = cache
+    pipeline = Pipeline.from_pretrained(pipeline_path, revision=revision,
+                                        token=token)
     if pipeline is None:
         raise SystemExit(f"could not load pipeline from {pipeline_path}")
+    if device:
+        pipeline.to(parse_device(device))
     return pipeline
 
 
@@ -155,7 +163,10 @@ def cmd_apply(args) -> int:
     Multiple inputs go through the pipelined batch apply (parallel
     pre-decode + device-work staging) instead of one file at a time.
     """
-    pipeline = _load_pipeline(args.pipeline, device=args.device)
+    pipeline = _load_pipeline(args.pipeline, device=args.device,
+                              revision=getattr(args, 'revision', None),
+                              token=getattr(args, 'token', None),
+                              cache=getattr(args, 'cache', None))
     into = Path(args.into) if args.into else None
     if into:
         into.mkdir(parents=True, exist_ok=True)
@@ -195,7 +206,10 @@ def cmd_benchmark(args) -> int:
 
     if args.registry:
         register_database(args.registry)
-    pipeline = _load_pipeline(args.pipeline, device=args.device)
+    pipeline = _load_pipeline(args.pipeline, device=args.device,
+                              revision=getattr(args, "revision", None),
+                              token=getattr(args, "token", None),
+                              cache=getattr(args, "cache", None))
     protocol = get_protocol(args.protocol)
     into = Path(args.into)
     into.mkdir(parents=True, exist_ok=True)
@@ -438,10 +452,12 @@ def cmd_download(args) -> int:
 # `from pyannote.audio.__main__ import benchmark`) ----------------------
 
 def apply(pipeline: str, audio: str, into: Optional[str] = None,
-          device: Optional[str] = None) -> int:
+          device: Optional[str] = None, revision: Optional[str] = None,
+          token: Optional[str] = None, cache: Optional[str] = None) -> int:
     """Parity: apply (reference __main__.py:328-427)."""
     return cmd_apply(argparse.Namespace(
-        pipeline=pipeline, audio=audio, into=into, device=device))
+        pipeline=pipeline, audio=audio, into=into, device=device,
+        revision=revision, token=token, cache=cache))
 
 
 def benchmark(pipeline: str, protocol: str, into: str,
@@ -494,6 +510,11 @@ def main(argv=None) -> int:
     p_apply.add_argument("audio")
     p_apply.add_argument("--into", default=None)
     p_apply.add_argument("--device", default=None)
+    p_apply.add_argument("--revision", default=None,
+                         help="pretrained pipeline revision (hub ids)")
+    p_apply.add_argument("--token", default=None, help="Huggingface token")
+    p_apply.add_argument("--cache", default=None,
+                         help="hub download cache directory")
     p_apply.set_defaults(fn=cmd_apply)
 
     p_bench = sub.add_parser("benchmark", help="evaluate on a protocol")
@@ -515,6 +536,11 @@ def main(argv=None) -> int:
                          action="store_true")
     p_bench.add_argument("--progress", action="store_true",
                          help="show per-stage progress (ProgressHook)")
+    p_bench.add_argument("--revision", default=None,
+                         help="pretrained pipeline revision (hub ids)")
+    p_bench.add_argument("--token", default=None, help="Huggingface token")
+    p_bench.add_argument("--cache", default=None,
+                         help="hub download cache directory")
     p_bench.add_argument("--device", default=None)
     p_bench.set_defaults(fn=cmd_benchmark)
 

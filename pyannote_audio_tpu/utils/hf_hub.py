@@ -34,13 +34,13 @@ class AssetFileName(Enum):
 
 
 def looks_like_hub_id(model_id: str) -> bool:
-    """True only for the two-segment "org/name" shape; False for anything
-    filesystem-looking. A bare word ('checkpoints', 'model.bin') is far
-    more likely a typo'd/missing local path than a hub repo — treating it
-    as a hub id would turn that typo into a network attempt (and, with no
-    egress, a long urlopen timeout before the real error surfaces)."""
+    """True for "name" / "org/name" shapes; False for filesystem-looking
+    strings (absolute/relative paths). Bare names resolve only against
+    local snapshot roots; the NETWORK download additionally requires the
+    two-segment org/name shape (see download_from_hf_hub) so a typo'd
+    local path never turns into a hub HTTP attempt."""
     import re
-    return bool(re.fullmatch(r"[\w.-]+/[\w.-]+", str(model_id))) \
+    return bool(re.fullmatch(r"[\w.-]+(?:/[\w.-]+)?", str(model_id))) \
         and not str(model_id).startswith(".")
 
 
@@ -138,6 +138,14 @@ def download_from_hf_hub(model_id: str,
             return path
     except FileNotFoundError:
         pass
+    if "/" not in str(model_id):
+        # a bare name is far more likely a typo'd/missing local path than
+        # a hub repo — never turn it into a network attempt (with no
+        # egress that would hang until the urlopen timeout)
+        raise FileNotFoundError(
+            f"cannot resolve checkpoint {model_id!r}: not a local path, "
+            f"not in the snapshot roots (PYANNOTE_TPU_HUB={hub_roots()}), "
+            "and hub downloads need the org/name id shape")
     remote_name = f"{subfolder}/{filename}" if subfolder else filename
     try:
         return _http_download(str(model_id), remote_name, revision, token,

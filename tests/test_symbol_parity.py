@@ -284,13 +284,21 @@ def test_jaccard_ignores_speakers_outside_uem():
     assert detail["speaker count"] == 1
 
 
-def test_hub_id_requires_org_name_shape():
-    from pyannote_audio_tpu.utils.hf_hub import looks_like_hub_id
+def test_hub_id_shapes_and_no_network_for_bare_names(monkeypatch):
+    from pyannote_audio_tpu.utils.hf_hub import (AssetFileName,
+                                                 download_from_hf_hub,
+                                                 looks_like_hub_id)
 
     assert looks_like_hub_id("acme/segmentation")
     assert looks_like_hub_id("pyannote/speaker-diarization-community-1")
-    assert not looks_like_hub_id("checkpoints")      # typo'd local dir
-    assert not looks_like_hub_id("model.bin")
+    # bare names stay eligible for LOCAL snapshot-root resolution ...
+    assert looks_like_hub_id("checkpoints")
     assert not looks_like_hub_id("./rel/path")
     assert not looks_like_hub_id("/abs/path/ckpt")
-    assert not looks_like_hub_id("a/b/c")
+    # ... but must never reach the network: a typo'd local dir raises
+    # immediately even with an unreachable endpoint (no urlopen attempt,
+    # which would hang/timeout before this fast failure)
+    monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:9")
+    monkeypatch.setenv("PYANNOTE_TPU_HUB", "")
+    with pytest.raises(FileNotFoundError, match="org/name"):
+        download_from_hf_hub("checkpoints", AssetFileName.Pipeline)
