@@ -32,18 +32,11 @@ from ..ops.permutation import permutate_jax
 
 
 @jax.jit
-def _der_components_packed(preds: jnp.ndarray,     # (B, F, K) in [0, 1]
-                           target: jnp.ndarray,    # (B, F, K) binary
-                           thresholds: jnp.ndarray  # (T,)
-                           ) -> jnp.ndarray:
-    """Packed DER components [fa (T,), miss (T,), conf (T,), total].
-
-    Speakers must already be padded to a common K. The permutation is
-    found ONCE on the soft predictions (reference _der_update:89-93), then
-    the threshold axis broadcasts through the binarization — all T
-    thresholds cost one fused pass.
-    """
-    permuted, _ = permutate_jax(target, preds)
+def _der_components_prepermuted(permuted: jnp.ndarray,  # (B, F, K) aligned
+                                target: jnp.ndarray,    # (B, F, K) binary
+                                thresholds: jnp.ndarray  # (T,)
+                                ) -> jnp.ndarray:
+    """Components pass on ALREADY speaker-aligned soft predictions."""
     hyp = (permuted[..., None] > thresholds).astype(jnp.float32)
     # (B, F, K, T)
     n_ref = jnp.sum(target, axis=-1)                      # (B, F)
@@ -71,12 +64,39 @@ def _pad_speakers(preds: jnp.ndarray, target: jnp.ndarray
     return preds, target
 
 
+@jax.jit
+def _der_components_packed(preds: jnp.ndarray,     # (B, F, K) in [0, 1]
+                           target: jnp.ndarray,    # (B, F, K) binary
+                           thresholds: jnp.ndarray  # (T,)
+                           ) -> jnp.ndarray:
+    """Packed DER components [fa (T,), miss (T,), conf (T,), total].
+
+    Speakers must already be padded to a common K. The permutation is
+    found ONCE on the soft predictions (reference _der_update:89-93), then
+    the threshold axis broadcasts through the binarization — all T
+    thresholds cost one fused pass.
+    """
+    permuted, _ = permutate_jax(target, preds)
+    return _der_components_prepermuted(permuted, target, thresholds)
+
+
 def der_components(preds, target, thresholds) -> jnp.ndarray:
-    """(3T+1,) packed components for a (T,) threshold vector (jittable)."""
+    """(3T+1,) packed components for a (T,) threshold vector.
+
+    Jittable for K <= 6 speakers (in-jit K! permutation enumeration).
+    For K > 6 — where K! blows up — the speaker alignment falls back to
+    the host Hungarian solver (eager-mode only), matching the reference's
+    per-item ``linear_sum_assignment`` path.
+    """
     preds, target = _pad_speakers(jnp.asarray(preds, jnp.float32),
                                   jnp.asarray(target, jnp.float32))
-    return _der_components_packed(preds, target,
-                                  jnp.asarray(thresholds, jnp.float32))
+    thresholds = jnp.asarray(thresholds, jnp.float32)
+    if preds.shape[-1] > 6:
+        from ..ops.permutation import permutate
+        permuted, _ = permutate(np.asarray(target), np.asarray(preds))
+        return _der_components_prepermuted(
+            jnp.asarray(permuted, jnp.float32), target, thresholds)
+    return _der_components_packed(preds, target, thresholds)
 
 
 def unpack_der_components(packed, num_thresholds: int):

@@ -76,9 +76,16 @@ def fcluster_by_distance(merges: np.ndarray, heights: np.ndarray,
     """Cut the merge sequence at ``threshold`` -> 0-indexed cluster ids.
 
     Host union-find over the (tiny) merge list; equivalent of scipy's
-    ``fcluster(criterion="distance")`` for this linkage.
+    ``fcluster(criterion="distance")``: a merge only joins a flat cluster
+    when the MAX merge height over its whole subtree is <= threshold
+    (scipy's per-node monocrit). Centroid linkage can produce inversions
+    (a later merge lower than an earlier one), so the per-slot running
+    max matters — unioning on the raw height alone would reconnect
+    through an already-rejected tall merge.
     """
     parent = np.arange(num_leaves)
+    # running max merge height of the subtree each SLOT currently holds
+    max_height = np.zeros(num_leaves, dtype=np.float64)
 
     def find(x):
         while parent[x] != x:
@@ -87,11 +94,13 @@ def fcluster_by_distance(merges: np.ndarray, heights: np.ndarray,
         return x
 
     for (i, j), h in zip(np.asarray(merges), np.asarray(heights)):
-        if h > threshold:
-            continue
-        ri, rj = find(int(i)), find(int(j))
-        if ri != rj:
-            parent[rj] = ri
+        i, j = int(i), int(j)
+        monocrit = max(float(h), max_height[i], max_height[j])
+        if monocrit <= threshold:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        max_height[i] = monocrit      # slot i now holds the merged subtree
     roots = np.array([find(x) for x in range(num_leaves)])
     _, clusters = np.unique(roots, return_inverse=True)
     return clusters

@@ -180,8 +180,12 @@ def fbank_impl(
         else window_size
 
     num_samples = waveform.shape[-1]
-    num_frames = 1 + (num_samples - window_size) // window_shift
     batch_shape = waveform.shape[:-1]
+    if num_samples < window_size:
+        # shorter than one window: 0 frames (kaldi snip_edges semantics,
+        # matching fbank_num_frames) instead of a negative-size gather
+        return jnp.zeros(batch_shape + (0, num_mel_bins), waveform.dtype)
+    num_frames = 1 + (num_samples - window_size) // window_shift
     x = waveform.reshape((-1, num_samples))
 
     if _use_conv_dft():

@@ -92,14 +92,16 @@ def _resolve_cost(cost_func) -> Tuple[Optional[str], Optional[object]]:
 
 def _callable_cost_matrix(y1: np.ndarray, y2: np.ndarray,
                           cost_func) -> np.ndarray:
-    """(B, K, K) cost via a user callable with (frames, classes) -> (classes,)
-    semantics (reference utils/permutation.py:126-140)."""
-    B, _, K = y1.shape
-    C = np.zeros((B, K, K), dtype=np.float32)
+    """(B, K1, K2) cost via a user callable with (frames, classes) ->
+    (classes,) semantics. Argument order matches the reference:
+    ``cost_func(y2, y1_column_expanded)`` (utils/permutation.py:143-148)."""
+    B, _, K1 = y1.shape
+    K2 = y2.shape[-1]
+    C = np.zeros((B, K1, K2), dtype=np.float32)
     for b in range(B):
-        for i in range(K):
-            column = np.repeat(y1[b, :, i:i + 1], K, axis=1)
-            C[b, i] = np.asarray(cost_func(column, y2[b]))
+        for i in range(K1):
+            column = np.repeat(y1[b, :, i:i + 1], K2, axis=1)
+            C[b, i] = np.asarray(cost_func(y2[b], column))
     return C
 
 
@@ -115,6 +117,14 @@ def permutate(
     mse_cost_func/mae_cost_func, or any callable with their
     (frames, classes) -> (classes,) contract. Falls back to scipy's
     Hungarian for K > 6 where K! blows up.
+
+    Unequal speaker counts follow the reference exactly
+    (utils/permutation.py:150-165): when K2 > K1 the COST matrix is
+    padded to square with ``max(cost) + 1`` rows (a constant, so the real
+    rows get the optimal rectangular assignment); when K1 > K2 the
+    rectangular assignment is solved directly and unmatched y1 speakers
+    map to None / zero columns. Signals are never zero-padded — that
+    would bias the assignment toward matching quiet speakers.
     """
     y1 = np.asarray(y1, dtype=np.float32)
     y2 = np.asarray(y2, dtype=np.float32)
@@ -124,46 +134,46 @@ def permutate(
     if y2.ndim == 2:
         y2 = np.broadcast_to(y2[None], (y1.shape[0],) + y2.shape)
 
-    K1, K2 = y1.shape[-1], y2.shape[-1]
-    # pad the smaller side so speakers map one-to-one (reference pads with
-    # zeros, permutation.py:120-130)
-    K = max(K1, K2)
-    if K1 < K:
-        y1 = np.pad(y1, ((0, 0), (0, 0), (0, K - K1)))
-    if K2 < K:
-        y2 = np.pad(y2, ((0, 0), (0, 0), (0, K - K2)))
-
+    B, _, K1 = y1.shape
+    K2 = y2.shape[-1]
     cost_name, cost_callable = _resolve_cost(cost_func)
 
-    def cost_matrix() -> np.ndarray:
+    def cost_matrix() -> np.ndarray:      # true-shape (B, K1, K2)
         if cost_callable is not None:
             return _callable_cost_matrix(y1, y2, cost_callable)
         return np.asarray(pairwise_cost(jnp.asarray(y1), jnp.asarray(y2),
                                         cost=cost_name))
 
-    if K <= 6 and cost_callable is None:
-        permutated, perm = permutate_jax(jnp.asarray(y1), jnp.asarray(y2),
-                                         cost=cost_name)
-        permutated = np.asarray(permutated)
-        perm = np.asarray(perm)
+    C: Optional[np.ndarray] = None
+    if K1 == K2 and K1 <= 6 and cost_callable is None:
+        permutated_jx, perm = permutate_jax(
+            jnp.asarray(y1), jnp.asarray(y2), cost=cost_name)
+        permutated = np.asarray(permutated_jx)
+        perms: List[Tuple[Optional[int], ...]] = [
+            tuple(int(p) for p in row) for row in np.asarray(perm)]
     else:
         from scipy.optimize import linear_sum_assignment
-        B = y1.shape[0]
-        perm = np.zeros((B, K), dtype=np.int32)
-        permutated = np.zeros_like(y2)
         C = cost_matrix()
+        permutated = np.zeros((B, y1.shape[1], K1), dtype=y2.dtype)
+        perms = []
         for b in range(B):
-            _, cols = linear_sum_assignment(C[b])
-            perm[b] = cols
-            permutated[b] = y2[b][:, cols]
+            cost = C[b]
+            if K2 > K1:
+                pad = np.full((K2 - K1, K2), cost.max() + 1.0,
+                              dtype=cost.dtype)
+                cost = np.concatenate([cost, pad], axis=0)
+            rows, cols = linear_sum_assignment(cost)
+            permutation: List[Optional[int]] = [None] * K1
+            for r, c in zip(rows, cols):
+                if r < K1:
+                    permutation[r] = int(c)
+                    permutated[b, :, r] = y2[b][:, c]
+            perms.append(tuple(permutation))
 
-    permutated = permutated[..., :K1]
-    perms: List[Tuple[Optional[int], ...]] = [
-        tuple(int(p) if p < K2 else None for p in row[:K1]) for row in perm]
     if squeeze:
         permutated = permutated[0]
     if return_cost:
-        return permutated, perms, cost_matrix()
+        return permutated, perms, C if C is not None else cost_matrix()
     return permutated, perms
 
 

@@ -81,8 +81,9 @@ class SegmentationTaskMixin(Task):
     def loss_weight(self, batch, num_frames: int):
         """(B, num_frames, 1) loss weight, or None when unweighted.
 
-        Combines the per-frame ``weight`` batch entry (nearest-interpolated
-        to the prediction resolution) with warm-up masking: frames inside
+        Combines the per-frame ``weight`` batch entry (linearly
+        interpolated to the prediction resolution, torch F.interpolate
+        align_corners=False semantics) with warm-up masking: frames inside
         the warm-up regions never contribute to the loss (parity:
         common_step, reference core/task.py:732-773).
         """

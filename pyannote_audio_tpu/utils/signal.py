@@ -46,31 +46,38 @@ def binarize_ndarray(
     scores: np.ndarray,
     onset: float = 0.5,
     offset: Optional[float] = None,
-    initial_state: Union[bool, None] = None,
+    initial_state: Union[bool, np.ndarray, None] = None,
 ) -> np.ndarray:
-    """Vectorized hysteresis over the first axis of (frames, ...) scores.
+    """Batch hysteresis over (batch_size, num_frames) scores, scanning the
+    LAST axis — the reference ``binarize_ndarray`` contract
+    (signal.py:79-141).
 
-    A frame turns on when score > onset, off when score < offset, and keeps
-    the previous state in between (reference signal.py:78-141).
+    A frame turns on when score > onset, off when score < offset, and
+    keeps the previous state in between. ``initial_state`` may be a bool
+    or a (batch_size,) bool array; when None, the hysteresis-band midpoint
+    decides from ``scores[:, 0]``.
     """
     offset = onset if offset is None else offset
     scores = np.nan_to_num(scores)       # NaN -> 0.0 (reference :108)
+    batch_size, num_frames = scores.shape
     on = scores > onset
     off = scores < offset
     # state per frame: +1 on, -1 off, 0 keep-previous; forward-fill nonzeros
     state = np.where(on, 1, np.where(off, -1, 0)).astype(np.int8)
-    frames = state.shape[0]
-    flat = state.reshape(frames, -1)
-    out = np.empty_like(flat, dtype=bool)
+    out = np.empty((batch_size, num_frames), dtype=bool)
     if initial_state is None:
         # undecided start: band midpoint decides (reference :110-111)
-        prev = scores.reshape(frames, -1)[0] >= 0.5 * (onset + offset)
+        prev = scores[:, 0] >= 0.5 * (onset + offset)
+    elif isinstance(initial_state, (bool, np.bool_)):
+        prev = np.full(batch_size, bool(initial_state))
     else:
-        prev = np.full(flat.shape[1], bool(initial_state))
-    for t in range(frames):
-        prev = np.where(flat[t] == 0, prev, flat[t] > 0)
-        out[t] = prev
-    return out.reshape(scores.shape)
+        initial_state = np.asarray(initial_state)
+        assert initial_state.shape == (batch_size,)
+        prev = initial_state.astype(bool).copy()
+    for t in range(num_frames):
+        prev = np.where(state[:, t] == 0, prev, state[:, t] > 0)
+        out[:, t] = prev
+    return out
 
 
 def binarize_swf(
@@ -84,13 +91,19 @@ def binarize_swf(
     rearranges 'c f k -> (c k) f' so each chunk scans its own frames)."""
     data = scores.data
     if data.ndim == 3:
+        c, f, k = data.shape
+        flat = np.transpose(data, (0, 2, 1)).reshape(c * k, f)
         binarized = binarize_ndarray(
-            np.moveaxis(data, 1, 0),     # (frames, chunks, classes)
-            onset=onset, offset=offset, initial_state=initial_state)
-        binarized = np.moveaxis(binarized, 0, 1)
+            flat, onset=onset, offset=offset, initial_state=initial_state)
+        binarized = np.transpose(binarized.reshape(c, k, f), (0, 2, 1))
+    elif data.ndim == 2:
+        binarized = binarize_ndarray(
+            data.T, onset=onset, offset=offset,
+            initial_state=initial_state).T
     else:
-        binarized = binarize_ndarray(data, onset=onset, offset=offset,
-                                     initial_state=initial_state)
+        raise ValueError(
+            "Shape of scores must be (num_chunks, num_frames, num_classes)"
+            " or (num_frames, num_classes).")
     return SlidingWindowFeature(
         binarized.astype(np.float32),
         scores.sliding_window, labels=scores.labels)

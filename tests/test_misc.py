@@ -12,19 +12,33 @@ import jax.numpy as jnp
 # ------------------------------------------------------------- binarize
 
 def test_hysteresis_host():
+    # reference contract: (batch_size, num_frames), scan the LAST axis
     from pyannote_audio_tpu.utils.signal import binarize_ndarray
-    scores = np.array([0.1, 0.8, 0.6, 0.4, 0.2, 0.8, 0.1])[:, None]
+    scores = np.array([[0.1, 0.8, 0.6, 0.4, 0.2, 0.8, 0.1]])
     out = binarize_ndarray(scores, onset=0.7, offset=0.3)
     np.testing.assert_array_equal(
-        out[:, 0], [False, True, True, True, False, True, False])
+        out[0], [False, True, True, True, False, True, False])
+    # (batch,) ndarray initial_state (reference signal.py:116-118):
+    # an in-band frame 0 keeps the provided state instead of the
+    # midpoint default
+    scores = np.array([[0.5, 0.8, 0.6, 0.4, 0.2, 0.8, 0.1]])
+    out = binarize_ndarray(scores, onset=0.7, offset=0.3,
+                           initial_state=np.array([False]))
+    np.testing.assert_array_equal(
+        out[0], [False, True, True, True, False, True, False])
+    out = binarize_ndarray(scores, onset=0.7, offset=0.3,
+                           initial_state=True)
+    np.testing.assert_array_equal(
+        out[0], [True, True, True, True, False, True, False])
 
 
 def test_hysteresis_jax_matches_host():
+    # device op scans axis 0 (frames-first); host scans the last axis
     from pyannote_audio_tpu.ops.binarize import hysteresis
     from pyannote_audio_tpu.utils.signal import binarize_ndarray
     rng = np.random.default_rng(0)
     scores = rng.uniform(size=(200, 5)).astype(np.float32)
-    host = binarize_ndarray(scores, onset=0.7, offset=0.3)
+    host = binarize_ndarray(scores.T, onset=0.7, offset=0.3).T
     dev = np.asarray(hysteresis(jnp.asarray(scores), 0.7, 0.3))
     np.testing.assert_array_equal(host, dev)
 

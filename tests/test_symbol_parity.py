@@ -205,18 +205,21 @@ def test_binarize_dispatch():
                                                  SlidingWindowFeature)
     from pyannote_audio_tpu.utils.signal import binarize, binarize_ndarray
 
-    scores = np.array([[0.9], [0.4], [0.2], [0.9]], dtype=np.float32)
+    # ndarray contract is (batch_size, num_frames), last-axis hysteresis
+    scores = np.array([[0.9, 0.4, 0.2, 0.9]], dtype=np.float32)
     np.testing.assert_array_equal(
         binarize(scores, onset=0.6, offset=0.3),
         binarize_ndarray(scores, onset=0.6, offset=0.3))
 
+    # SWF contract is (num_frames, num_classes): same numbers, frame axis
+    # first — the dispatcher must transpose (reference signal.py:171-182)
     swf = SlidingWindowFeature(
-        scores, SlidingWindow(duration=1.0, step=1.0, start=0.0))
+        scores.T.copy(), SlidingWindow(duration=1.0, step=1.0, start=0.0))
     out = binarize(swf, onset=0.6, offset=0.3)
     assert isinstance(out, SlidingWindowFeature)
     np.testing.assert_array_equal(
         out.data.astype(bool),
-        binarize_ndarray(scores, onset=0.6, offset=0.3))
+        binarize_ndarray(scores, onset=0.6, offset=0.3).T)
 
     with pytest.raises(NotImplementedError):
         binarize([0.1, 0.9])
