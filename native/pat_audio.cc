@@ -54,7 +54,15 @@ bool parse_header(FILE* f, WavInfo* info) {
                           (int(body[7]) << 24);
       block_align = body[12] | (body[13] << 8);
       info->bits = body[14] | (body[15] << 8);
-      if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM subformat
+      if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the SubFormat GUID at offset 24 (after cbSize,
+        // wValidBitsPerSample and dwChannelMask)
+        if (size >= 40)
+          fmt = body[24] | (body[25] << 8);
+        else
+          fmt = 1;  // truncated extension: assume PCM
+      }
       info->format = fmt;
     } else if (memcmp(chunk, "data", 4) == 0) {
       info->data_offset = ftell(f);

@@ -267,6 +267,27 @@ def _upload_waveform_cached(waveform: np.ndarray, cache,
     return buf
 
 
+def jit_sharded(mesh, fn, in_specs: str, out_specs):
+    """jit ``fn`` with mesh shardings when ``mesh`` is not None.
+
+    Spec letters, one per argument: "r" replicated, "s" sharded on the
+    chunk/data axis; ``out_specs`` may be a tuple for multi-output
+    functions. Single source of truth for the mesh-vs-single-device
+    branching shared by Inference's per-chunk and shared-frontend paths
+    and the diarization pipeline's embedding hot paths.
+    """
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    named = {"r": NamedSharding(mesh, P()),
+             "s": NamedSharding(mesh, P("data"))}
+    out = tuple(named[s] for s in out_specs) \
+        if isinstance(out_specs, tuple) else named[out_specs]
+    return jax.jit(fn,
+                   in_shardings=tuple(named[s] for s in in_specs),
+                   out_shardings=out)
+
+
 class BaseInference:
     """Common base of inference engines (parity: reference
     core/inference.py:42-43; PretrainedSpeakerEmbedding backends also
@@ -374,24 +395,7 @@ class Inference(BaseInference):
         return step_size % module.frontend_stride == 0
 
     def _jit_sharded(self, fn, in_specs: str, out_specs):
-        """jit ``fn`` with mesh shardings when a mesh is set.
-
-        Spec letters, one per argument: "r" replicated, "s" sharded on
-        the chunk/data axis; ``out_specs`` may be a tuple for
-        multi-output functions. Single source of truth for the
-        mesh-vs-single-device branching shared by the per-chunk and
-        shared-frontend paths.
-        """
-        if self.mesh is None:
-            return jax.jit(fn)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        named = {"r": NamedSharding(self.mesh, P()),
-                 "s": NamedSharding(self.mesh, P("data"))}
-        out = tuple(named[s] for s in out_specs) \
-            if isinstance(out_specs, tuple) else named[out_specs]
-        return jax.jit(fn,
-                       in_shardings=tuple(named[s] for s in in_specs),
-                       out_shardings=out)
+        return jit_sharded(self.mesh, fn, in_specs, out_specs)
 
     def _make_shared_batch_fn(self, window_samples: int):
         """Shared-frontend variants of (precompute, gather+forward).

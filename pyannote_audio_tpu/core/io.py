@@ -58,6 +58,7 @@ def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = fmt_size = 0
     data_offset = data_size = None
     while pos + 8 <= len(raw):
         chunk_id = raw[pos:pos + 4]
@@ -65,6 +66,7 @@ def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
         body = pos + 8
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", raw, body)
+            fmt_body, fmt_size = body, chunk_size
         elif chunk_id == b"data":
             data_offset, data_size = body, chunk_size
             # do not break: fmt may (rarely) come after data
@@ -74,9 +76,14 @@ def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
     if fmt is None or data_offset is None:
         raise ValueError("WAV file missing fmt or data chunk")
     audio_format, num_channels, sample_rate, _, block_align, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in fmt ext
-        audio_format = struct.unpack_from("<H", raw, pos)[0] \
-            if False else 1  # assume PCM subformat
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the SubFormat GUID at fmt+24 (after cbSize,
+        # wValidBitsPerSample and dwChannelMask)
+        if fmt_size >= 40 and len(raw) >= fmt_body + 26:
+            audio_format = struct.unpack_from("<H", raw, fmt_body + 24)[0]
+        else:
+            audio_format = 1        # truncated extension: assume PCM
     encoding = {1: "pcm", 3: "float"}.get(audio_format)
     if encoding is None:
         raise ValueError(f"unsupported WAV format code {audio_format}")

@@ -388,17 +388,19 @@ class Model:
             return None
 
     def frozen_mask(self, frozen_prefixes: List[str]) -> Any:
-        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
-
-        def path_str(path):
-            return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                            for p in path)
-        frozen = {tuple(path): any(path_str(path).find(p) >= 0
-                                   for p in frozen_prefixes)
-                  for path, _ in flat}
-
         def mask_fn(path, _leaf):
-            return not frozen[tuple(path)]
+            parts = [str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path]
+            path_str = "/".join(parts)
+            # PREFIX semantics on path components (same rule as the
+            # trainer's update freeze): 'lstm' freezes params/lstm/* but
+            # never 'pre_lstm_proj' or 'bilstm' — substring matching
+            # silently froze unrelated parameters
+            frozen = any(path_str == prefix
+                         or path_str.startswith(prefix + "/")
+                         or any(part == prefix for part in parts)
+                         for prefix in frozen_prefixes)
+            return not frozen
         return jax.tree_util.tree_map_with_path(mask_fn, self.params)
 
     # -- checkpointing -----------------------------------------------------

@@ -114,5 +114,14 @@ class ParamDict(dict, Parameter):
         return {k: v.sample(rng) if isinstance(v, Parameter) else v
                 for k, v in self.items()}
 
-    def __contains_value__(self, value):
-        return all(k in value for k in self)
+    def __contains__(self, value):
+        # Parameter contract: validity of a candidate VALUE — a mapping
+        # must assign every sub-parameter a valid value. Non-mapping
+        # arguments keep plain dict key-containment semantics.
+        from collections.abc import Mapping
+        if isinstance(value, Mapping):
+            return all(
+                k in value and (value[k] in v if isinstance(v, Parameter)
+                                else True)
+                for k, v in self.items())
+        return dict.__contains__(self, value)

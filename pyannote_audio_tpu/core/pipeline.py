@@ -309,6 +309,19 @@ class Pipeline:
             try:
                 self.instantiate(self.default_parameters())
             except NotImplementedError:
+                concrete = self.parameters(instantiated=True)
+                missing = [k for k in self.parameters()
+                           if k not in concrete]
+                if missing:
+                    # declared hyperparameters without concrete values
+                    # and no defaults: running would crash later with a
+                    # confusing AttributeError deep in the pipeline —
+                    # fail clearly here instead
+                    raise RuntimeError(
+                        f"{type(self).__name__} has no default parameters"
+                        f" and {missing} are not instantiated; call"
+                        " instantiate(...) before applying it."
+                    ) from None
                 self.instantiated = True
         from collections.abc import Mapping as _Mapping
         if isinstance(file, (list, tuple)) or (
@@ -343,9 +356,10 @@ class Pipeline:
         """
         apply_batch = getattr(self, "apply_batch", None)
         files = [self.prepare_one(f) for f in files]
-        uris = [f.get("uri") for f in files]
-        if len(set(uris)) != len(uris):
-            raise ValueError("duplicate URIs in batch")
+        # NB: duplicate URIs are fine — results are positional and the
+        # per-file device caches live in each prepared dict, so distinct
+        # files that happen to share a stem (sessions/a/rec.wav vs
+        # sessions/b/rec.wav) never collide
         if apply_batch is not None:
             # subclasses that stream their own decode (diarization's
             # staged apply_batch) skip the eager whole-batch pre-decode:
@@ -371,6 +385,11 @@ class Pipeline:
                 t.start()
                 prefetch[i + 1] = t
             results.append(self.apply(files[i], hook=hook, **kwargs))
+            if isinstance(files[i], dict):
+                # release the per-file device buffer: the files list stays
+                # alive for the whole batch, so HBM use would otherwise
+                # grow linearly with batch size
+                files[i].pop("_device_waveform", None)
         return results
 
     def _decode_into(self, f, preload: bool = True) -> None:

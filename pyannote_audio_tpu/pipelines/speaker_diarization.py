@@ -141,21 +141,9 @@ class EmbeddingHotPathMixin:
             return module.apply(params, frames, masks,
                                 method=type(module).embed)  # (B, S, D)
 
-        if self.mesh is None:
-            gather_fn = jax.jit(gather)
-            forward_fn = jax.jit(forward)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            replicated = NamedSharding(self.mesh, P())
-            sharded = NamedSharding(self.mesh, P("data"))
-            gather_fn = jax.jit(
-                gather,
-                in_shardings=(replicated, sharded, replicated, replicated),
-                out_shardings=(sharded, sharded))
-            forward_fn = jax.jit(
-                forward,
-                in_shardings=(replicated, sharded, sharded),
-                out_shardings=sharded)
+        from ..core.inference import jit_sharded
+        gather_fn = jit_sharded(self.mesh, gather, "rsrr", ("s", "s"))
+        forward_fn = jit_sharded(self.mesh, forward, "rss", "s")
 
         def batch_fn(params, waveform, starts, masks, batch_start):
             chunks, batch_masks = gather_fn(waveform, starts, masks,
@@ -217,21 +205,9 @@ class EmbeddingHotPathMixin:
             return module.apply(params, frames, masks,
                                 method=type(module).embed)
 
-        if self.mesh is None:
-            gather_fn = jax.jit(gather)
-            forward_fn = jax.jit(forward)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            replicated = NamedSharding(self.mesh, P())
-            sharded = NamedSharding(self.mesh, P("data"))
-            gather_fn = jax.jit(
-                gather,
-                in_shardings=(replicated, sharded, replicated, replicated),
-                out_shardings=(sharded, sharded))
-            forward_fn = jax.jit(
-                forward,
-                in_shardings=(replicated, sharded, sharded),
-                out_shardings=sharded)
+        from ..core.inference import jit_sharded
+        gather_fn = jit_sharded(self.mesh, gather, "rsrr", ("s", "s"))
+        forward_fn = jit_sharded(self.mesh, forward, "rss", "s")
 
         def batch_fn(params, feats, frame_starts, masks, batch_start):
             chunks, batch_masks = gather_fn(feats, frame_starts, masks,
@@ -351,7 +327,11 @@ class EmbeddingHotPathMixin:
                                method=type(module).frames_from_fbank)
             return out[:, halo:halo + core, :]       # (pbatch, core, D)
 
-        panel_trunk_fn = jax.jit(panel_trunk)
+        from ..core.inference import jit_sharded
+        # under a mesh the panel batch axis shards over 'data' so the
+        # trunk MXU work spreads across devices (this path previously got
+        # a plain jit and silently ran replicated)
+        panel_trunk_fn = jit_sharded(self.mesh, panel_trunk, "rrr", "s")
 
         if device_masks:
             def gather_pool(params, trunk_frames, starts, all_masks,
@@ -375,7 +355,8 @@ class EmbeddingHotPathMixin:
                 return module.apply(params, frames, masks,
                                     method=type(module).embed)
 
-        gather_pool_fn = jax.jit(gather_pool)
+        gather_pool_fn = jit_sharded(self.mesh, gather_pool,
+                                     "rrsrr", "s")
 
         def compute_trunk(device_waveform, num_real_frames):
             feats = whole_fbank(device_waveform)
@@ -762,11 +743,7 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             yield f"SPEAKER_{i:02d}"
             i += 1
 
-    def setup_hook(self, file: AudioFile,
-                   hook: Optional[Callable] = None) -> Callable:
-        if hook is None:
-            return lambda *args, **kwargs: None
-        return functools.partial(hook, file=file)
+    # setup_hook: inherited from Pipeline (core/pipeline.py)
 
     # -- segmentation ------------------------------------------------------
 
@@ -1153,10 +1130,20 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             start_prefetch(i + window)
             staged.append(self._stage(file, hook=hook, **kwargs))
             if len(staged) > stage_ahead:
-                results.append(self._finalize(staged.popleft()))
+                results.append(self._finalize_and_release(staged.popleft()))
         while staged:
-            results.append(self._finalize(staged.popleft()))
+            results.append(self._finalize_and_release(staged.popleft()))
         return results
+
+    def _finalize_and_release(self, staged: Dict[str, Any]):
+        """_finalize, then drop the file's device buffer: the batch list
+        keeps every file dict alive, so without eviction HBM grows
+        linearly with batch size (one padded waveform per file)."""
+        out = self._finalize(staged)
+        f = staged.get("file")
+        if isinstance(f, dict):
+            f.pop("_device_waveform", None)
+        return out
 
     def _finalize(self, staged: Dict[str, Any]
                   ) -> Union[DiarizeOutput, Annotation]:

@@ -156,7 +156,19 @@ class Trainer:
         self.history: List[Dict] = []
         self.best_epoch: Optional[int] = None
 
-    def fit(self, model: Model, task: Optional[Task] = None) -> Model:
+    def fit(self, model: Model, task: Optional[Task] = None,
+            resume_from: Optional[Union[str, Path]] = None) -> Model:
+        """Train ``model`` on ``task``.
+
+        ``resume_from`` points at an epoch checkpoint directory written by
+        a previous fit (``checkpoint_dir/epoch_N``): the FULL training
+        state — parameters (including task-owned state such as ArcFace
+        prototypes), optimizer state, epoch counter and the
+        best-score/early-stopping bookkeeping — is restored from its
+        ``train_state.msgpack``, so the trajectory continues exactly
+        where it stopped (``strip``/``Model.from_pretrained`` keep
+        ignoring that extra file).
+        """
         task = task or model.task
         if task is None:
             raise ValueError("no task to fit on")
@@ -184,6 +196,19 @@ class Trainer:
         # buffers are never aliased by model.params.
         params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         opt_state = self.optimizer.init(params)
+        start_epoch = 0
+        best_state = None
+        if resume_from is not None:
+            from flax import serialization
+            blob = (Path(resume_from) / "train_state.msgpack").read_bytes()
+            target = {"params": params, "opt_state": opt_state,
+                      "epoch": 0, "best_score": 0.0,
+                      "epochs_since_best": 0, "best_epoch": 0}
+            restored = serialization.from_bytes(target, blob)
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = int(restored["epoch"]) + 1
+            best_state = restored
         # seed from the model's stateful freeze_by_name/up_to API
         # (core/model.py; reference model.py:359-495); callbacks such as
         # GraduallyUnfreeze may overwrite per epoch
@@ -207,12 +232,16 @@ class Trainer:
         sign = 1.0 if monitor_mode == "min" else -1.0
         best_score = math.inf
         epochs_since_best = 0
+        if best_state is not None:
+            best_score = float(best_state["best_score"])
+            epochs_since_best = int(best_state["epochs_since_best"])
+            self.best_epoch = int(best_state["best_epoch"])
         # the monitor-fallback decision is per-FIT: a reused Trainer must
         # re-decide against the new task's metrics, not inherit a stale
         # train-loss fallback from a previous validation-less run
         if hasattr(self, "_monitor_key"):
             del self._monitor_key
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for cb in self.callbacks:
                 if hasattr(cb, "on_train_epoch_start"):
                     cb.on_train_epoch_start(self, model, epoch)
@@ -267,8 +296,8 @@ class Trainer:
             if self.checkpoint_dir is not None:
                 model.params = {k: v for k, v in params.items()
                                 if k in model_keys}
-                model.save_checkpoint(
-                    self.checkpoint_dir / f"epoch_{epoch}")
+                ckpt = self.checkpoint_dir / f"epoch_{epoch}"
+                model.save_checkpoint(ckpt)
             # best-checkpoint + early stopping on the monitored metric.
             # When the metric is absent (no validation subset), fall back
             # to train loss — with MIN direction, regardless of the
@@ -299,6 +328,20 @@ class Trainer:
                 # diverged training must still trip early stopping
                 # (lightning's EarlyStopping check_finite parity)
                 epochs_since_best += 1
+            if self.checkpoint_dir is not None:
+                # full training state alongside the model checkpoint
+                # (written AFTER the monitor update so resume continues
+                # the exact trajectory): params incl. task-owned state
+                # (ArcFace prototypes), optimizer moments, and the
+                # early-stopping bookkeeping — everything
+                # fit(resume_from=ckpt) needs
+                from flax import serialization
+                (ckpt / "train_state.msgpack").write_bytes(
+                    serialization.to_bytes(
+                        {"params": params, "opt_state": opt,
+                         "epoch": epoch, "best_score": best_score,
+                         "epochs_since_best": epochs_since_best,
+                         "best_epoch": getattr(self, "best_epoch", 0)}))
             if self.early_stopping_patience is not None and \
                     epochs_since_best >= self.early_stopping_patience:
                 break
@@ -365,7 +408,29 @@ class Trainer:
             self._val_apply = jax.jit(model.apply_fn)
             self._val_eval_step = make_eval_step(
                 model.apply_fn, powerset=powerset, mesh=self.mesh)
+            self._val_loss_fns = {}
             self._val_apply_key = val_key
+
+        # jitted validation loss: an eager task.loss would re-dispatch the
+        # full model forward op-by-op per batch (orders of magnitude
+        # slower than the compiled step). Falls back to eager only if a
+        # task's loss is genuinely untraceable.
+        loss_fn = self._val_loss_fns.get(id(task))
+        if loss_fn is None:
+            jitted = jax.jit(lambda p, X, y: task.loss(
+                model, p, TrainingBatch(X=X, y=y, weight=None)))
+            state = {"fn": jitted, "fallback": False}
+
+            def loss_fn(p, X, y):
+                if not state["fallback"]:
+                    try:
+                        return state["fn"](p, jnp.asarray(X),
+                                           jnp.asarray(y))
+                    except Exception:
+                        state["fallback"] = True
+                return task.loss(model, p,
+                                 TrainingBatch(X=X, y=y, weight=None))
+            self._val_loss_fns[id(task)] = loss_fn
 
         if self.mesh is not None:
             n_dev = int(np.prod([s for s in self.mesh.devices.shape]))
@@ -436,9 +501,8 @@ class Trainer:
                     have_auroc = True
                     if plot_pred is None:
                         plot_pred, plot_y = preds, y
-            loss_sum += float(task.loss(
-                model, params,
-                TrainingBatch(X=X, y=np.stack(batch_y)))) * len(batch_X)
+            loss_sum += float(loss_fn(
+                params, X, np.stack(batch_y))) * len(batch_X)
             loss_n += len(batch_X)
 
         batch_X, batch_y = [], []

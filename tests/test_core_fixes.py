@@ -1,0 +1,130 @@
+"""Regression tests for core-runtime review fixes (round 3, session 5):
+extensible-WAV decoding, frozen_mask prefix semantics, training resume
+with optimizer state, pipeline instantiate errors, ParamDict validity."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from corpus import default_two_speaker_file, make_file
+
+
+def _write_extensible_float_wav(path, waveform: np.ndarray,
+                                sample_rate: int) -> None:
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) mono float32 WAV."""
+    data = waveform.astype("<f4").tobytes()
+    # SubFormat GUID for IEEE float: 03000000-0000-0010-8000-00aa00389b71
+    subformat = (b"\x03\x00\x00\x00\x00\x00\x10\x00"
+                 b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sample_rate,
+                      sample_rate * 4, 4, 32)
+    ext = struct.pack("<HHI", 22, 32, 0x4) + subformat
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt) + len(ext)) + fmt + ext
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + fmt_chunk + data_chunk
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_extensible_float_wav_decodes_correctly(tmp_path):
+    """0xFFFE float32 WAVs must read the real format code from the
+    SubFormat GUID — not assume PCM and reinterpret float bytes as
+    int32 garbage."""
+    from pyannote_audio_tpu.core.io import Audio
+
+    rng = np.random.default_rng(0)
+    wav = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    path = tmp_path / "ext.wav"
+    _write_extensible_float_wav(path, wav, 16000)
+    waveform, sr = Audio(sample_rate=16000, mono="downmix")(str(path))
+    assert sr == 16000
+    np.testing.assert_allclose(np.asarray(waveform)[0], wav, atol=1e-6)
+
+
+def test_frozen_mask_prefix_semantics():
+    """'lstm' must freeze params/lstm/* but NOT a sibling whose name
+    merely contains the substring (pre_lstm_proj)."""
+    import jax.numpy as jnp
+    from pyannote_audio_tpu.core.model import Model
+
+    model = Model.__new__(Model)
+    model.params = {"params": {
+        "lstm": {"w": jnp.zeros(2)},
+        "pre_lstm_proj": {"w": jnp.zeros(2)},
+        "head": {"w": jnp.zeros(2)},
+    }}
+    mask = Model.frozen_mask(model, ["lstm"])
+    assert mask["params"]["lstm"]["w"] is False       # frozen
+    assert mask["params"]["pre_lstm_proj"]["w"] is True
+    assert mask["params"]["head"]["w"] is True
+
+
+def test_trainer_resume_continues_trajectory(tmp_path):
+    """fit(resume_from=epoch_0) must restore params+optimizer state and
+    produce the SAME final parameters as an uninterrupted 2-epoch run."""
+    import jax
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.tasks.segmentation import \
+        VoiceActivityDetection
+    from pyannote_audio_tpu.train import Trainer
+    from pyannote_audio_tpu.utils.database import Protocol
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    protocol = Protocol(
+        name="Debug.SpeakerDiarization.Debug",
+        subsets={"train": [default_two_speaker_file(root / "trn.wav")],
+                 "development": [make_file(
+                     root / "dev.wav", [("alice", 1.0, 4.0)],
+                     duration=10.0, seed=2)]})
+
+    def run(ckpt_dir, max_epochs, resume_from=None):
+        task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+        model = SimpleSegmentationModel(task=task)
+        trainer = Trainer(max_epochs=max_epochs, limit_train_batches=2,
+                          checkpoint_dir=ckpt_dir, seed=7)
+        trainer.fit(model, task, resume_from=resume_from)
+        return model, trainer
+
+    full_model, full_trainer = run(tmp_path / "full", 2)
+    assert (tmp_path / "full/epoch_0/train_state.msgpack").exists()
+    assert len(full_trainer.history) == 2
+
+    # interrupted run: 1 epoch, then resume for the second
+    run(tmp_path / "half", 1)
+    resumed_model, resumed_trainer = run(
+        tmp_path / "half", 2, resume_from=tmp_path / "half/epoch_0")
+    assert [r["epoch"] for r in resumed_trainer.history] == [1]
+    for a, b in zip(jax.tree_util.tree_leaves(full_model.params),
+                    jax.tree_util.tree_leaves(resumed_model.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_without_defaults_raises_clearly():
+    from pyannote_audio_tpu.core.parameter import Uniform
+    from pyannote_audio_tpu.core.pipeline import Pipeline
+
+    class NoDefaults(Pipeline):
+        def __init__(self):
+            super().__init__()
+            self.threshold = Uniform(0.0, 1.0)
+
+        def apply(self, file, **kwargs):      # pragma: no cover
+            return file
+
+    with pytest.raises(RuntimeError, match="instantiate"):
+        NoDefaults()({"waveform": np.zeros((1, 16000), np.float32),
+                      "sample_rate": 16000})
+
+
+def test_paramdict_validity_contract():
+    from pyannote_audio_tpu.core.parameter import ParamDict, Uniform
+
+    p = ParamDict(onset=Uniform(0.0, 1.0), offset=Uniform(0.0, 1.0))
+    assert {"onset": 0.5, "offset": 0.4} in p
+    assert {"onset": 1.5, "offset": 0.4} not in p     # out of range
+    assert {"onset": 0.5} not in p                    # missing key
+    assert "onset" in p                               # plain key lookup

@@ -87,8 +87,11 @@ def test_pipeline_batch_apply(seg_model, tmp_path):
                           "min_duration_on": 0.0, "min_duration_off": 0.0})
     outputs = pipeline([f1, f2])
     assert len(outputs) == 2
-    with pytest.raises(ValueError):
-        pipeline([f1, f1])  # duplicate URIs
+    # duplicate stems / repeated files are legitimate (results are
+    # positional; per-file caches live in each prepared dict)
+    outputs = pipeline([f1, f1])
+    assert len(outputs) == 2
+    assert outputs[0] == outputs[1]
 
 
 def test_pretrained_speaker_embedding_wrapper(corpus_file):

@@ -236,3 +236,43 @@ def test_shared_trunk_with_conv_fbank_matches_rfft(tmp_path, monkeypatch):
     assert len(t0) == len(t1)
     for (s0, e0), (s1, e1) in zip(t0, t1):
         assert abs(s0 - s1) < 0.05 and abs(e0 - e1) < 0.05
+
+
+def test_shared_trunk_sharded_matches_single_device():
+    """Under a mesh the panel trunk and gather-pool must shard over the
+    'data' axis (they previously got a plain jit and ran replicated) and
+    return exactly the single-device values."""
+    from pyannote_audio_tpu.ops.fbank import fbank_num_frames
+    from pyannote_audio_tpu.parallel import make_mesh
+
+    emb = TinyWeSpeaker()
+    emb.build()
+
+    trunks = {}
+    for mesh in (None, make_mesh()):
+        pipeline = _pipeline(emb)
+        pipeline.mesh = mesh
+        pipeline.TRUNK_PANEL_CORE = 16
+        pipeline.TRUNK_PANEL_HALO = 16
+        pipeline.TRUNK_PANEL_BATCH = 8     # divisible by the 8-dev mesh
+        compute_trunk, gather_pool_fn, geometry = \
+            pipeline._make_shared_trunk_fns(2 * 16000, device_masks=True)
+        rng = np.random.default_rng(1)
+        num_samples = int(5.5 * 16000)
+        wav = (0.1 * rng.standard_normal((1, num_samples))
+               ).astype(np.float32)
+        num_real = fbank_num_frames(num_samples, 16000, 25.0, 10.0)
+        trunk = np.asarray(compute_trunk(jnp.asarray(wav), num_real))
+        fpc = geometry["trunk_frames_per_chunk"]
+        starts = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7], jnp.int32)
+        masks = jnp.asarray(
+            np.random.default_rng(2).uniform(
+                size=(8, 2, fpc)).astype(np.float32))
+        pooled = np.asarray(gather_pool_fn(
+            emb.params, jnp.asarray(trunk), starts, masks, jnp.int32(0)))
+        trunks[mesh is None] = (trunk, pooled)
+
+    np.testing.assert_allclose(trunks[True][0], trunks[False][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(trunks[True][1], trunks[False][1],
+                               rtol=1e-5, atol=1e-5)
