@@ -42,10 +42,24 @@ def get_augmentation(name: str) -> Optional[AugmentationSpec]:
     return _REGISTRY.get(name)
 
 
-def apply_augmentations(X, y, when: str = "input"):
+def apply_augmentations(X, y, when: str = "input",
+                        rng: Optional["object"] = None):
+    """Apply registered transforms; each fires with its ``p``.
+
+    ``rng``: optional np.random.Generator for reproducible draws (the
+    Task collate passes its per-epoch generator). Transforms with p=1.0
+    never consult it.
+    """
     for spec in _REGISTRY.values():
-        if spec.when == when:
-            X, y = spec.transform(X, y)
+        if spec.when != when:
+            continue
+        if spec.p < 1.0:
+            import numpy as np
+            draw = (rng.uniform() if rng is not None
+                    else np.random.default_rng().uniform())
+            if draw >= spec.p:
+                continue
+        X, y = spec.transform(X, y)
     return X, y
 
 

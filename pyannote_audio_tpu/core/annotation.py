@@ -35,8 +35,12 @@ class Timeline:
     def __init__(self, segments: Optional[List[Segment]] = None,
                  uri: Optional[str] = None):
         self.uri = uri
+        # ordered SET semantics (pyannote.core parity): exact duplicates
+        # collapse — e.g. a repeated UEM line must not double-count its
+        # region in every sweep that iterates the uem
         self._segments: List[Segment] = sorted(
-            (s for s in (segments or []) if s))
+            set(s for s in (segments or []) if s))
+        self._seen: Set[Segment] = set(self._segments)
         self._dirty = False
 
     def _sort(self):
@@ -45,8 +49,9 @@ class Timeline:
             self._dirty = False
 
     def add(self, segment: Segment) -> "Timeline":
-        if segment:
+        if segment and segment not in self._seen:
             self._segments.append(segment)
+            self._seen.add(segment)
             self._dirty = True
         return self
 
@@ -369,10 +374,17 @@ class Annotation:
         return out
 
     def rename_tracks(self, generator: str = "int") -> "Annotation":
+        """New track names: "int" (0, 1, ...), "string" (A, B, ..., AA,
+        ...), or an iterator of names (pyannote.core parity)."""
+        if generator is None or generator == "int":
+            names = iter(itertools.count())
+        elif generator == "string":
+            names = string_generator()
+        else:
+            names = iter(generator)
         out = Annotation(uri=self.uri, modality=self.modality)
-        count = itertools.count()
         for seg, _, lbl in self.itertracks(yield_label=True):
-            out[seg, next(count)] = lbl
+            out[seg, next(names)] = lbl
         return out
 
     def relabel_tracks(self, generator=None) -> "Annotation":

@@ -308,13 +308,21 @@ class SlidingWindowFeature:
         start_idx = None
         for (i0, i1) in ranges:
             if fixed is None:
-                # no fixed size requested: clip to available data
-                i0, i1 = max(i0, 0), min(i1, n)
+                # no fixed size requested: clip to available data (a
+                # focus entirely outside the extent yields an EMPTY
+                # crop, never a wrap-around negative slice)
+                i0 = min(max(i0, 0), n)
+                i1 = min(max(i1, i0), n)
             if start_idx is None:
                 start_idx = i0
-            lo, hi = max(i0, 0), min(i1, n)
-            pad_before = lo - i0
-            pad_after = i1 - hi
+            # requested length vs the part that overlaps [0, n): pads
+            # derive from the REQUESTED range so fixed crops keep the
+            # exact frame count even when fully out of range
+            length = i1 - i0
+            lo = min(max(i0, 0), n)
+            hi = min(max(i1, lo), n)
+            pad_before = min(length, max(0, -i0))
+            pad_after = length - pad_before - (hi - lo)
             chunk = self.data[lo:hi]
             if pad_before > 0 or pad_after > 0:
                 pad = [(pad_before, pad_after)] + [(0, 0)] * (

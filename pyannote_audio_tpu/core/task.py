@@ -443,15 +443,18 @@ class Task:
                       rng: np.random.Generator) -> Dict:
         raise NotImplementedError
 
-    def collate(self, chunks: List[Dict]) -> TrainingBatch:
+    def collate(self, chunks: List[Dict],
+                rng: Optional[np.random.Generator] = None
+                ) -> TrainingBatch:
         X = np.stack([c["X"] for c in chunks])
         y = np.stack([c["y"] for c in chunks]) if "y" in chunks[0] else None
         weight = np.stack([c["weight"] for c in chunks]) \
             if "weight" in chunks[0] else None
         # registered batch augmentations (parity: collate_fn applies
-        # torch_audiomentations on the batch, mixins.py:202-243)
+        # torch_audiomentations on the batch, mixins.py:202-243); the
+        # per-epoch rng makes sub-1.0 `p` draws reproducible
         from ..augmentation.registry import apply_augmentations
-        X, y = apply_augmentations(X, y, when="input")
+        X, y = apply_augmentations(X, y, when="input", rng=rng)
         return TrainingBatch(X=X, y=y, weight=weight)
 
     def train_batches(self, epoch: int = 0, worker_id: int = 0,
@@ -467,7 +470,7 @@ class Task:
                 prepared = self.prepare_chunk(file, chunk, rng)
                 if prepared is not None:
                     chunks.append(prepared)
-            yield self.collate(chunks)
+            yield self.collate(chunks, rng=rng)
 
     def train_batches_parallel(self, epoch: int = 0, rank: int = 0
                                ) -> Iterator[TrainingBatch]:

@@ -32,6 +32,11 @@ class BinnedAUROC:
         if self._pos is None:
             self._pos = np.zeros((num_classes, self.num_bins))
             self._neg = np.zeros((num_classes, self.num_bins))
+        elif num_classes != self._pos.shape[0]:
+            raise ValueError(
+                f"class-count mismatch: first update had "
+                f"{self._pos.shape[0]} classes, this one {num_classes}"
+                " — reset() between differently-shaped evaluations")
         bins = np.clip((scores * self.num_bins).astype(int), 0,
                        self.num_bins - 1)
         for k in range(num_classes):

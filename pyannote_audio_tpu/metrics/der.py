@@ -37,21 +37,67 @@ def _boundaries(*annotations: Annotation, uem: Optional[Timeline] = None
     return np.array(sorted(pts))
 
 
-def _interval_labels(ann: Annotation, lo: float, hi: float) -> List[Hashable]:
-    """UNIQUE labels active on the interval (first-seen order).
+def _interval_active_labels(ann: Annotation, pts: np.ndarray
+                            ) -> List[List[Hashable]]:
+    """UNIQUE active labels per elementary interval [pts[i], pts[i+1]).
+
+    ONE event sweep over the annotation's tracks (the per-interval
+    rescan of every track was O(intervals x tracks log tracks), turning
+    corpus evaluation into minutes of pure Python on 1-hour files).
 
     Deduplication matters: overlapping same-label tracks (legal in RTTM
     and in Annotation) must count as ONE active speaker, like
     pyannote.metrics' crop().labels() — otherwise n_correct can exceed
-    min(n_ref, n_hyp) and confusion goes negative."""
-    mid = 0.5 * (lo + hi)
-    out: List[Hashable] = []
-    seen = set()
+    min(n_ref, n_hyp) and confusion goes negative. The activity counter
+    handles that: a label is active while ANY of its tracks covers the
+    interval."""
+    import bisect
+    from collections import Counter
+
+    n = len(pts) - 1
+    if n <= 0:
+        return []
+    index = {float(t): i for i, t in enumerate(pts)}
+    starts: List[List[Hashable]] = [[] for _ in range(n + 1)]
+    ends: List[List[Hashable]] = [[] for _ in range(n + 1)]
     for seg, _, lbl in ann.itertracks(yield_label=True):
-        if seg.start <= mid < seg.end and lbl not in seen:
-            seen.add(lbl)
-            out.append(lbl)
+        i0 = index.get(seg.start)
+        if i0 is None:
+            i0 = bisect.bisect_left(pts, seg.start)
+        i1 = index.get(seg.end)
+        if i1 is None:
+            i1 = bisect.bisect_left(pts, seg.end)
+        i0, i1 = min(i0, n), min(i1, n)
+        if i1 > i0:
+            starts[i0].append(lbl)
+            ends[i1].append(lbl)
+    active: Counter = Counter()
+    out: List[List[Hashable]] = []
+    for i in range(n):
+        for lbl in ends[i]:
+            active[lbl] -= 1
+            if active[lbl] == 0:
+                del active[lbl]
+        for lbl in starts[i]:
+            active[lbl] += 1
+        out.append(list(active.keys()))
     return out
+
+
+def _uem_flags(uem: Optional[Timeline], pts: np.ndarray) -> np.ndarray:
+    """Boolean per elementary interval: inside the (disjoint) uem?"""
+    n = max(0, len(pts) - 1)
+    if uem is None:
+        return np.ones(n, dtype=bool)
+    flags = np.zeros(n, dtype=bool)
+    segs = list(uem)
+    j = 0
+    for i in range(n):
+        mid = 0.5 * (pts[i] + pts[i + 1])
+        while j < len(segs) and segs[j].end <= mid:
+            j += 1
+        flags[i] = j < len(segs) and segs[j].start <= mid < segs[j].end
+    return flags
 
 
 def cooccurrence_matrix(reference: Annotation, hypothesis: Annotation,
@@ -60,20 +106,20 @@ def cooccurrence_matrix(reference: Annotation, hypothesis: Annotation,
     """Duration of joint activity for each (ref_label, hyp_label) pair."""
     ref_labels = reference.labels()
     hyp_labels = hypothesis.labels()
+    ref_idx = {lbl: i for i, lbl in enumerate(ref_labels)}
+    hyp_idx = {lbl: i for i, lbl in enumerate(hyp_labels)}
     mat = np.zeros((len(ref_labels), len(hyp_labels)))
     pts = _boundaries(reference, hypothesis, uem=uem)
-    for lo, hi in zip(pts[:-1], pts[1:]):
+    inside = _uem_flags(uem.support() if uem is not None else None, pts)
+    ref_active = _interval_active_labels(reference, pts)
+    hyp_active = _interval_active_labels(hypothesis, pts)
+    for i, (lo, hi) in enumerate(zip(pts[:-1], pts[1:])):
         dur = hi - lo
-        if dur <= 0:
+        if dur <= 0 or not inside[i]:
             continue
-        if uem is not None and not any(
-                s.start <= 0.5 * (lo + hi) < s.end for s in uem):
-            continue
-        r = _interval_labels(reference, lo, hi)
-        h = _interval_labels(hypothesis, lo, hi)
-        for rl in r:
-            for hl in h:
-                mat[ref_labels.index(rl), hyp_labels.index(hl)] += dur
+        for rl in ref_active[i]:
+            for hl in hyp_active[i]:
+                mat[ref_idx[rl], hyp_idx[hl]] += dur
     return mat, ref_labels, hyp_labels
 
 
@@ -174,19 +220,18 @@ def diarization_error_rate_components(
         mapping = optimal_mapping(reference, hypothesis, uem=uem)
     comp = DERComponents()
     pts = _boundaries(reference, hypothesis, uem=uem)
-    for lo, hi in zip(pts[:-1], pts[1:]):
+    inside = _uem_flags(uem, pts)
+    ref_active = _interval_active_labels(reference, pts)
+    hyp_active = _interval_active_labels(hypothesis, pts)
+    for i, (lo, hi) in enumerate(zip(pts[:-1], pts[1:])):
         dur = hi - lo
-        if dur <= 0:
-            continue
-        mid = 0.5 * (lo + hi)
-        if uem is not None and not any(
-                s.start <= mid < s.end for s in uem):
+        if dur <= 0 or not inside[i]:
             continue
         # skip_overlap is fully handled by the extruded uem above (the
         # overlap regions are removed from scoring AND mapping)
-        r = _interval_labels(reference, lo, hi)
-        h = _interval_labels(hypothesis, lo, hi)
-        mapped = [mapping.get(hl) for hl in h]
+        r = ref_active[i]
+        h = hyp_active[i]
+        mapped = {mapping.get(hl) for hl in h}
         n_ref, n_hyp = len(r), len(h)
         n_correct = sum(1 for rl in r if rl in mapped)
         comp.total += n_ref * dur
@@ -430,19 +475,20 @@ def _detection_components(reference: Annotation, hypothesis: Annotation,
             pts.add(s.start)
             pts.add(s.end)
     pts = np.array(sorted(pts))
+    # support()ed timelines are disjoint+sorted: one pointer sweep each
+    inside = _uem_flags(uem.support() if uem is not None else None, pts)
+    in_ref = _uem_flags(ref, pts)
+    in_hyp = _uem_flags(hyp, pts)
     fa = miss = total = 0.0
-    for lo, hi in zip(pts[:-1], pts[1:]):
-        mid, dur = 0.5 * (lo + hi), hi - lo
-        if uem is not None and not any(
-                s.start <= mid < s.end for s in uem):
+    for i in range(len(pts) - 1):
+        dur = pts[i + 1] - pts[i]
+        if not inside[i]:
             continue
-        in_ref = any(s.start <= mid < s.end for s in ref)
-        in_hyp = any(s.start <= mid < s.end for s in hyp)
-        if in_ref:
+        if in_ref[i]:
             total += dur
-            if not in_hyp:
+            if not in_hyp[i]:
                 miss += dur
-        elif in_hyp:
+        elif in_hyp[i]:
             fa += dur
     return fa, miss, total
 
@@ -453,13 +499,16 @@ class DetectionErrorRate:
     reference pipelines/voice_activity_detection.py:207-213)."""
 
     def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
-        del collar, skip_overlap  # accepted for API parity
+        self.collar = collar
+        self.skip_overlap = skip_overlap
         self.fa_ = 0.0
         self.miss_ = 0.0
         self.total_ = 0.0
 
     def __call__(self, reference: Annotation, hypothesis: Annotation,
                  uem: Optional[Timeline] = None, detailed: bool = False):
+        uem = _scoring_uem(reference, hypothesis, self.collar, uem,
+                           self.skip_overlap)
         fa, miss, total = _detection_components(reference, hypothesis, uem)
         self.fa_ += fa
         self.miss_ += miss
@@ -479,13 +528,16 @@ class DetectionPrecisionRecallFMeasure:
     VoiceActivityDetection.get_metric)."""
 
     def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
-        del collar, skip_overlap
+        self.collar = collar
+        self.skip_overlap = skip_overlap
         self.tp_ = 0.0
         self.fp_ = 0.0
         self.fn_ = 0.0
 
     def __call__(self, reference: Annotation, hypothesis: Annotation,
                  uem: Optional[Timeline] = None, detailed: bool = False):
+        uem = _scoring_uem(reference, hypothesis, self.collar, uem,
+                           self.skip_overlap)
         fa, miss, total = _detection_components(reference, hypothesis, uem)
         tp = total - miss
         self.tp_ += tp
@@ -519,7 +571,8 @@ class IdentificationErrorRate:
     """
 
     def __init__(self, collar: float = 0.0, skip_overlap: bool = False):
-        del collar, skip_overlap
+        self.collar = collar
+        self.skip_overlap = skip_overlap
         self.fa_ = 0.0
         self.miss_ = 0.0
         self.conf_ = 0.0
@@ -537,16 +590,18 @@ class IdentificationErrorRate:
             for s in uem:
                 pts.add(s.start)
                 pts.add(s.end)
-        pts = sorted(pts)
+        pts = np.array(sorted(pts))
+        inside = _uem_flags(uem.support() if uem is not None else None,
+                            pts)
+        ref_active = _interval_active_labels(reference, pts)
+        hyp_active = _interval_active_labels(hypothesis, pts)
         fa = miss = conf = total = 0.0
-        for lo, hi in zip(pts[:-1], pts[1:]):
-            mid, dur = 0.5 * (lo + hi), hi - lo
-            if uem is not None and not any(
-                    s.start <= mid < s.end for s in uem):
+        for i in range(len(pts) - 1):
+            dur = pts[i + 1] - pts[i]
+            if not inside[i]:
                 continue
-            probe = Segment(lo, hi)
-            r = set(reference.crop(probe, mode="intersection").labels())
-            h = set(hypothesis.crop(probe, mode="intersection").labels())
+            r = set(ref_active[i])
+            h = set(hyp_active[i])
             n_conf = min(len(r - h), len(h - r))
             conf += n_conf * dur
             miss += (len(r - h) - n_conf) * dur
@@ -556,6 +611,8 @@ class IdentificationErrorRate:
 
     def __call__(self, reference: Annotation, hypothesis: Annotation,
                  uem: Optional[Timeline] = None, detailed: bool = False):
+        uem = _scoring_uem(reference, hypothesis, self.collar, uem,
+                           self.skip_overlap)
         fa, miss, conf, total = self._components(reference, hypothesis, uem)
         self.fa_ += fa
         self.miss_ += miss

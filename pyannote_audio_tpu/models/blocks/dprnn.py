@@ -120,10 +120,14 @@ class DPRNN(nn.Module):
         out = jnp.zeros((B, Tp, self.n_src, self.bn_chan), chunks.dtype)
         out = out.at[:, idx].add(chunks)
         out = out[:, K:K + T]                    # (B, T, n_src, bn_chan)
-        # gating in the folded space: tanh(conv) * sigmoid(conv)
-        gated = jnp.tanh(nn.Dense(self.out_chan, name="net_out")(out)) \
-            * nn.sigmoid(nn.Dense(self.out_chan, name="net_gate")(out))
-        masks = jnp.transpose(gated, (0, 2, 1, 3))  # (B, n_src, T, C)
+        # gating in the folded space stays bn_chan-wide (asteroid's
+        # net_out/net_gate are Conv1d(bn_chan, bn_chan, 1)); the final
+        # bias-free mask_net projects to out_chan
+        gated = jnp.tanh(nn.Dense(self.bn_chan, name="net_out")(out)) \
+            * nn.sigmoid(nn.Dense(self.bn_chan, name="net_gate")(out))
+        score = nn.Dense(self.out_chan, use_bias=False,
+                         name="mask_net")(gated)
+        masks = jnp.transpose(score, (0, 2, 1, 3))  # (B, n_src, T, C)
         if self.mask_act == "relu":
             return nn.relu(masks)
         if self.mask_act == "sigmoid":

@@ -283,8 +283,11 @@ class BaseWeSpeakerResNet(Model):
         # time-axis ladder: stride-2 conv stages, then fbank framing
         # (k=400, s=160); the deep 3x3 stacks only widen the field, which
         # CHUNK-resolution consumers never use — stage strides dominate
+        # conv1 is stride 1, stages 2-4 stride 2 (layer order matters for
+        # the size recursion: [1,2,2,2] gives the true 17-frame field;
+        # the reversed ladder inflated it to 31)
         n = multi_conv_receptive_field_size(
-            num_frames, kernel_size=[3, 3, 3, 3], stride=[2, 2, 2, 1],
+            num_frames, kernel_size=[3, 3, 3, 3], stride=[1, 2, 2, 2],
             dilation=[1] * 4)
         window_size = int(self.sample_rate * self.frame_length * 0.001)
         window_shift = int(self.sample_rate * self.frame_shift * 0.001)
@@ -292,7 +295,7 @@ class BaseWeSpeakerResNet(Model):
 
     def receptive_field_center(self, frame: int = 0) -> int:
         c = multi_conv_receptive_field_center(
-            frame, kernel_size=[3, 3, 3, 3], stride=[2, 2, 2, 1],
+            frame, kernel_size=[3, 3, 3, 3], stride=[1, 2, 2, 2],
             padding=[1, 1, 1, 1], dilation=[1] * 4)
         c = max(c, 0)
         window_size = int(self.sample_rate * self.frame_length * 0.001)

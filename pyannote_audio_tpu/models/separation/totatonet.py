@@ -276,7 +276,8 @@ class ToTaToNet(Model):
         asteroid DPRNN ``masker.*`` (bottleneck = gLN + 1x1 conv, per
         repeat intra/inter SingleRNN + linear + gLN, ``first_out`` =
         PReLU + 1x1 conv2d to n_src*bn_chan, post-fold ``net_out`` /
-        ``net_gate`` 1x1 convs); ``linear.{i}`` + ``classifier`` heads.
+        ``net_gate`` bn_chan-wide 1x1 convs + bias-free ``mask_net``
+        out-projection); ``linear.{i}`` + ``classifier`` heads.
         WavLM weights (``wavlm.*``) are loaded separately through the SSL
         checkpoint path (build(), blocks/ssl.py), not through this
         converter.
@@ -357,6 +358,9 @@ class ToTaToNet(Model):
         m["net_gate"] = {
             "kernel": get("masker.net_gate.0.weight")[..., 0].T,
             "bias": get("masker.net_gate.0.bias")}
+        # final bias-free Conv1d(bn_chan, out_chan, 1) after the gate
+        m["mask_net"] = {
+            "kernel": get("masker.mask_net.weight")[..., 0].T}
         params["masker"] = m
 
         for i in range(self.linear["num_layers"]):
@@ -443,6 +447,8 @@ class ToTaToNet(Model):
             state[f"masker.{name}.0.weight"] = a(
                 m[name]["kernel"]).T[..., None]
             state[f"masker.{name}.0.bias"] = a(m[name]["bias"])
+        state["masker.mask_net.weight"] = a(
+            m["mask_net"]["kernel"]).T[..., None]
 
         for i in range(self.linear["num_layers"]):
             state[f"linear.{i}.weight"] = a(p[f"linears_{i}"]["kernel"]).T

@@ -216,13 +216,17 @@ class SpeakerEmbedding(Pipeline):
                             mono="downmix")
 
     def apply(self, file: AudioFile, hook=None) -> np.ndarray:
+        """(1, dimension) embedding — 2-D like the reference, so
+        ``cdist(pipeline('a.wav'), pipeline('b.wav'), 'cosine')[0, 0]``
+        works as documented (reference speaker_verification.py:803-812)."""
         waveform, _ = self._audio(file)
         if self._voice_activity is None:
-            return self._embedding(waveform[None])[0]
+            return np.asarray(self._embedding(waveform[None]))
         activations = self._voice_activity(file)
-        weights = activations.data.reshape(-1) ** 3
-        return self._embedding(waveform[None],
-                               masks=weights[None])[0]
+        # NaN aggregation edges count as silence (reference :850)
+        weights = np.nan_to_num(activations.data.reshape(-1), nan=0.0) ** 3
+        return np.asarray(self._embedding(waveform[None],
+                                          masks=weights[None]))
 
 
 def main(protocol: str = "VoxCeleb.SpeakerVerification.VoxCeleb1",
@@ -262,8 +266,8 @@ def main(protocol: str = "VoxCeleb.SpeakerVerification.VoxCeleb1",
 
     metric = EqualErrorRate()
     for trial in trials_fn():
-        score = 1.0 - cdist(embed(trial["file1"])[None],
-                            embed(trial["file2"])[None],
+        score = 1.0 - cdist(embed(trial["file1"]),
+                            embed(trial["file2"]),
                             metric="cosine")[0, 0]
         metric.update([score], [int(trial["reference"])])
     eer = float(metric.compute())
@@ -282,6 +286,6 @@ def verification_trials_eer(pipeline: SpeakerEmbedding, trials) -> float:
     for trial in trials:
         e1 = pipeline(trial["file1"])
         e2 = pipeline(trial["file2"])
-        score = 1.0 - cdist(e1[None], e2[None], metric="cosine")[0, 0]
+        score = 1.0 - cdist(e1, e2, metric="cosine")[0, 0]
         metric.update([score], [int(trial["reference"])])
     return metric.compute()

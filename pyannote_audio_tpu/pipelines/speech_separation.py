@@ -12,9 +12,7 @@ global speaker, leakage is suppressed where the speaker is inactive
 from __future__ import annotations
 
 import functools
-import textwrap
-import warnings
-from typing import Callable, Mapping, Optional, Union
+from typing import Callable, Optional
 
 import numpy as np
 from scipy.ndimage import binary_dilation
@@ -22,7 +20,7 @@ from scipy.ndimage import binary_dilation
 from ..core.annotation import Annotation
 from ..core.inference import Inference
 from ..core.io import Audio, AudioFile
-from ..core.model import Model, Specifications
+from ..core.model import Model
 from ..core.segment import SlidingWindow, SlidingWindowFeature
 from ..core.pipeline import Pipeline
 from ..utils.signal import binarize_swf

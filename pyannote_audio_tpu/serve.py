@@ -195,6 +195,10 @@ class DiarizationServer:
                 with self._lock:
                     self._jobs[jid]["output"] = output
                     self._jobs[jid]["status"] = "succeeded"
+                    # completion stamp: _purge_expired evicts on ts, so a
+                    # missing stamp would keep batch-completed jobs alive
+                    # forever (unbounded state in a long-running server)
+                    self._jobs[jid]["ts"] = time.time()
 
     def _finish(self, job_id: str, produce) -> None:
         try:

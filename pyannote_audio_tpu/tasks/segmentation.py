@@ -152,9 +152,14 @@ class VoiceActivityDetection(SegmentationTaskMixin):
 
     def prepare_chunk(self, file: Dict, chunk: Segment, rng) -> Dict:
         X = self.crop_waveform(file, chunk)
-        speech = self.frame_targets(
-            file, chunk, file["annotation"].labels()).max(
-                axis=1, keepdims=True)
+        targets = self.frame_targets(file, chunk,
+                                     file["annotation"].labels())
+        if targets.shape[1] == 0:
+            # speech-free file: a legitimate all-negative VAD example
+            # (max over zero labels has no identity and would raise)
+            speech = np.zeros((targets.shape[0], 1), targets.dtype)
+        else:
+            speech = targets.max(axis=1, keepdims=True)
         out = {"X": X, "y": speech}
         w = self.chunk_weight(file, chunk)
         if w is not None:

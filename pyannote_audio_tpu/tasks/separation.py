@@ -59,8 +59,11 @@ def mixit_loss(est_sources: jnp.ndarray,   # (B, T, n_src)
     # candidate mixture estimates: (B, P, T)
     est1 = jnp.einsum("bts,ps->bpt", est_sources, parts)
     est2 = jnp.einsum("bts,ps->bpt", est_sources, 1.0 - parts)
-    loss = negative_sisdr(est1, mix1[:, None, :]) + \
-        negative_sisdr(est2, mix2[:, None, :])       # (B, P)
+    # MEAN over the two mixtures (asteroid multisrc_neg_sisdr averages
+    # over sources; summing would double the effective separation weight
+    # in the (1-w)*seg + w*sep blend — reference PixIT.py:221,995-996)
+    loss = 0.5 * (negative_sisdr(est1, mix1[:, None, :])
+                  + negative_sisdr(est2, mix2[:, None, :]))  # (B, P)
     return jnp.mean(jnp.min(loss, axis=-1))
 
 
@@ -171,7 +174,16 @@ class PixIT(Task):
     # -- mixture-of-mixtures sampling -------------------------------------
 
     def _single_speaker_regions(self, file) -> List[Tuple[Segment, str]]:
-        """Regions where exactly one speaker is active."""
+        """Regions where exactly one speaker is active.
+
+        Annotation-derived and static per file, so the result is cached
+        on the file dict — recomputing the timeline algebra for EVERY
+        training file on every draw made batch construction
+        O(corpus x timeline ops) per chunk.
+        """
+        cached = file.get("_single_speaker_regions")
+        if cached is not None:
+            return cached
         annotation = file["annotation"]
         out = []
         for label in annotation.labels():
@@ -182,6 +194,10 @@ class PixIT(Task):
                 for clean in others.gaps(support=seg).crop(seg):
                     if clean.duration >= self.duration:
                         out.append((clean, label))
+        try:
+            file["_single_speaker_regions"] = out
+        except TypeError:
+            pass                       # immutable mapping: skip caching
         return out
 
     def draw_mom(self, rng: np.random.Generator

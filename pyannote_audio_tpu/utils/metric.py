@@ -181,7 +181,15 @@ class DiscreteMacroAverageFMeasure:
         return self.compute()
 
     def compute(self) -> float:
-        precision = self._tp / np.maximum(self._tp + self._fp, 1e-8)
-        recall = self._tp / np.maximum(self._tp + self._fn, 1e-8)
+        # zero-support convention: a class absent from BOTH reference and
+        # hypothesis scores precision=recall=1 (pyannote.metrics
+        # f_measure; same convention as MacroAverageFMeasure above) —
+        # F=0 would drag the macro mean down for classes that simply
+        # never occur in the evaluated subset
+        empty = (self._tp + self._fp + self._fn) == 0
+        precision = np.where(
+            empty, 1.0, self._tp / np.maximum(self._tp + self._fp, 1e-8))
+        recall = np.where(
+            empty, 1.0, self._tp / np.maximum(self._tp + self._fn, 1e-8))
         f = 2 * precision * recall / np.maximum(precision + recall, 1e-8)
         return float(np.mean(f))

@@ -128,3 +128,72 @@ def test_paramdict_validity_contract():
     assert {"onset": 1.5, "offset": 0.4} not in p     # out of range
     assert {"onset": 0.5} not in p                    # missing key
     assert "onset" in p                               # plain key lookup
+
+
+def test_vad_prepare_chunk_on_speech_free_file(tmp_path):
+    """A speech-free file is a legitimate all-negative VAD example — the
+    empty label axis must yield zeros, not a zero-size reduction crash."""
+    from pyannote_audio_tpu.core.annotation import Annotation, Timeline
+    from pyannote_audio_tpu.core.segment import Segment
+    from pyannote_audio_tpu.tasks.segmentation import \
+        VoiceActivityDetection
+    from pyannote_audio_tpu.utils.database import Protocol
+
+    silent = make_file(tmp_path / "sil.wav", [], duration=10.0, seed=3)
+    silent["annotation"] = Annotation(uri=silent["uri"])
+    silent["annotated"] = Timeline([Segment(0.0, 10.0)])
+    spoken = default_two_speaker_file(tmp_path / "spk.wav")
+    protocol = Protocol(name="Debug.SpeakerDiarization.Debug",
+                        subsets={"train": [spoken, silent]})
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    task.setup()
+    out = task.prepare_chunk(silent, Segment(1.0, 3.0),
+                             np.random.default_rng(0))
+    assert out["y"].shape[1] == 1
+    assert float(out["y"].sum()) == 0.0
+
+
+def test_serve_batched_jobs_get_completion_timestamp():
+    """Batch-completed jobs must stamp 'ts' so media_ttl eviction works
+    (without it a long-running server accumulates jobs forever)."""
+    import time
+    from pyannote_audio_tpu.serve import DiarizationServer
+
+    class _FakePipeline:
+        def __call__(self, files, **kwargs):
+            from pyannote_audio_tpu.core.annotation import Annotation
+            if isinstance(files, list):
+                return [Annotation(uri="x") for _ in files]
+            return Annotation(uri="x")
+
+    server = DiarizationServer(_FakePipeline(), media_ttl=0.05)
+    try:
+        server.start()
+        for i in range(2):
+            p = server.spool / f"m{i}.wav"
+            p.write_bytes(b"\0")
+            server._media[f"media://m{i}.wav"] = p
+            server._jobs[f"j{i}"] = {
+                "status": "created",
+                "request": {"url": f"media://m{i}.wav"}}
+        # enqueue together so the worker drains BOTH into one batch
+        server._queue.put("j0")
+        server._queue.put("j1")
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            with server._lock:
+                done = all(server._jobs.get(j, {}).get("status")
+                           == "succeeded" for j in ("j0", "j1"))
+            if done:
+                break
+            time.sleep(0.01)
+        assert done
+        with server._lock:
+            # the batched success path must stamp ts for ttl eviction
+            assert all("ts" in server._jobs[j] for j in ("j0", "j1"))
+            for j in ("j0", "j1"):
+                server._jobs[j]["ts"] -= 1.0    # age past media_ttl
+        server._purge_expired()
+        assert "j0" not in server._jobs and "j1" not in server._jobs
+    finally:
+        server.shutdown()

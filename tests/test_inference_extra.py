@@ -117,8 +117,11 @@ def test_speaker_embedding_pipeline(seg_model, corpus_file):
     emb.build()
     pipeline = SpeakerEmbedding(embedding=emb, segmentation=seg_model)
     vector = pipeline(corpus_file)
-    assert vector.shape == (32,)
+    # 2-D (1, dim) like the reference: cdist(emb1, emb2)[0, 0] works
+    assert vector.shape == (1, 32)
     assert np.isfinite(vector).all()
+    from scipy.spatial.distance import cdist
+    assert cdist(vector, vector, metric="cosine")[0, 0] < 1e-6
 
 
 def test_encode_then_pad_matches_pad_then_encode(monkeypatch):

@@ -610,10 +610,13 @@ class TorchDPRNN(tnn.Module):
                                     for _ in range(n_repeats)])
         self.first_out = tnn.Sequential(
             tnn.PReLU(), tnn.Conv2d(bn_chan, n_src * bn_chan, 1))
-        self.net_out = tnn.Sequential(tnn.Conv1d(bn_chan, out_chan, 1),
+        # asteroid keeps the gate bn_chan-wide, then a final bias-free
+        # 1x1 conv projects to out_chan (masknn.recurrent.DPRNN)
+        self.net_out = tnn.Sequential(tnn.Conv1d(bn_chan, bn_chan, 1),
                                       tnn.Tanh())
-        self.net_gate = tnn.Sequential(tnn.Conv1d(bn_chan, out_chan, 1),
+        self.net_gate = tnn.Sequential(tnn.Conv1d(bn_chan, bn_chan, 1),
                                        tnn.Sigmoid())
+        self.mask_net = tnn.Conv1d(bn_chan, out_chan, 1, bias=False)
 
     def forward(self, mixture_w):  # (B, in_chan, T)
         batch, _, n_frames = mixture_w.size()
@@ -637,7 +640,8 @@ class TorchDPRNN(tnn.Module):
                         stride=(self.hop_size, 1))
         output = output.reshape(batch * self.n_src, self.bn_chan, -1)
         output = self.net_out(output) * self.net_gate(output)
-        score = output.reshape(batch, self.n_src, self.out_chan, n_frames)
+        score = self.mask_net(output)
+        score = score.reshape(batch, self.n_src, self.out_chan, n_frames)
         return F.relu(score)
 
 
