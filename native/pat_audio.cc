@@ -46,6 +46,10 @@ bool parse_header(FILE* f, WavInfo* info) {
     uint32_t size = chunk[4] | (chunk[5] << 8) | (chunk[6] << 16) |
                     (uint32_t(chunk[7]) << 24);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      // never trust the 32-bit size: a corrupt header must fail cleanly
+      // (kErrFormat), not allocate 4GB (bad_alloc escaping the C ABI
+      // aborts the process) or read past a sub-16-byte allocation
+      if (size < 16 || size > (1u << 20)) return false;
       std::vector<unsigned char> body(size);
       if (fread(body.data(), 1, size, f) != size) return false;
       int fmt = body[0] | (body[1] << 8);
@@ -88,8 +92,13 @@ int decode_frames(FILE* f, const WavInfo& info, int64_t frame_offset,
   const int bps = info.bits / 8;
   const int ch = info.channels;
   const int64_t stride = int64_t(bps) * ch;
+  // clamp the read to the data chunk: bytes after it (LIST/INFO tags)
+  // are metadata, not audio — requests past the end zero-fill below
+  int64_t avail = info.num_frames - frame_offset;
+  if (avail < 0) avail = 0;
+  const int64_t want = std::min(num_frames, avail);
   fseek(f, long(info.data_offset + frame_offset * stride), SEEK_SET);
-  std::vector<unsigned char> buf(size_t(num_frames * stride));
+  std::vector<unsigned char> buf(size_t(want * stride));
   size_t got = fread(buf.data(), 1, buf.size(), f);
   int64_t frames = int64_t(got / stride);
   const unsigned char* p = buf.data();
@@ -170,9 +179,11 @@ long long pat_wav_decode(const char* path, long long frame_offset,
     fclose(f);
     return kErrBounds;
   }
-  decode_frames(f, info, frame_offset, num_frames, out);
+  int decoded = decode_frames(f, info, frame_offset, num_frames, out);
   fclose(f);
-  return num_frames;
+  // the out buffer always holds num_frames per channel (tail
+  // zero-filled); report how many carry real audio, per the contract
+  return decoded;
 }
 
 // Windowed-sinc polyphase resampler, mono in/out.

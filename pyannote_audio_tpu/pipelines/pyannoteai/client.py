@@ -85,18 +85,24 @@ class Client:
 
     # -- http plumbing -----------------------------------------------------
 
+    #: per-request socket timeout (seconds): a hung connection must not
+    #: block forever — retrieve()'s deadline only runs BETWEEN polls
+    request_timeout: float = 60.0
+
     def _request(self, method: str, url: str,
                  payload: Optional[Dict[str, Any]] = None,
                  raw: Optional[bytes] = None,
-                 content_type: str = "application/json"
-                 ) -> Dict[str, Any]:
+                 content_type: str = "application/json",
+                 authorized: bool = True) -> Dict[str, Any]:
         data = raw if raw is not None else (
             json.dumps(payload).encode() if payload is not None else None)
         request = urllib.request.Request(url, data=data, method=method)
-        request.add_header("Authorization", f"Bearer {self.token}")
+        if authorized:
+            request.add_header("Authorization", f"Bearer {self.token}")
         if data is not None:
             request.add_header("Content-Type", content_type)
-        with urllib.request.urlopen(request) as response:
+        with urllib.request.urlopen(
+                request, timeout=self.request_timeout) as response:
             body = response.read()
         if not body:
             return {}
@@ -125,8 +131,12 @@ class Client:
         presigned = self._request(
             "POST", f"{self.base_url}/media/input",
             payload={"url": media_url})["url"]
+        # presigned URLs are query-signed: sending the API Bearer header
+        # both breaks S3-style endpoints ("only one auth mechanism") and
+        # leaks the key to the storage host
         self._request("PUT", presigned, raw=payload,
-                      content_type="application/octet-stream")
+                      content_type="application/octet-stream",
+                      authorized=False)
         return media_url
 
     def diarize(self, media_url: str,

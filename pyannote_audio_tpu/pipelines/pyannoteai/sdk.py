@@ -58,15 +58,19 @@ class SDK(Pipeline):
                 turn["speaker"]
         return annotation.rename_tracks("string")
 
-    def apply(self, file: AudioFile, num_speakers: Optional[int] = None,
+    def apply(self, file: AudioFile, hook=None,
+              num_speakers: Optional[int] = None,
               min_speakers: Optional[int] = None,
               max_speakers: Optional[int] = None) -> DiarizeOutput:
         """Upload `file`, run a diarization job, deserialize its output.
 
         Raises PyannoteAIFailedJob / PyannoteAICanceledJob on job
         failure, urllib HTTPError on transport errors (parity:
-        reference sdk.py:96-106).
+        reference sdk.py:96-106). ``hook`` is accepted for the base
+        Pipeline.__call__ contract (remote jobs expose no step-level
+        progress, so it is unused).
         """
+        del hook
         if self.token is None:
             raise RuntimeError(
                 "pyannoteAI API key missing: set PYANNOTEAI_API_KEY or "

@@ -28,6 +28,7 @@ with a self-hosted equivalent.
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 import queue
@@ -72,6 +73,9 @@ class DiarizationServer:
         self.media_ttl = media_ttl
         self._media: Dict[str, Path] = {}
         self._media_ts: Dict[str, float] = {}
+        #: single-use upload signatures keyed by spool key (presigned
+        #: PUTs carry ?sig=... instead of the API bearer header)
+        self._presigned: Dict[str, str] = {}
         self._jobs: Dict[str, Dict[str, Any]] = {}
         self._queue: "queue.Queue[Optional[str]]" = queue.Queue()
         self._lock = threading.Lock()
@@ -105,6 +109,7 @@ class DiarizationServer:
                     continue
                 path = self._media.pop(url, None)
                 del self._media_ts[url]
+                self._presigned.pop(url[len("media://"):], None)
                 if path is not None:
                     try:
                         path.unlink(missing_ok=True)
@@ -294,12 +299,18 @@ class DiarizationServer:
                     target = server._spool_path(key)
                     if target is None:
                         return self._json({"error": "bad key"}, 400)
+                    sig = uuid.uuid4().hex
                     with server._lock:
                         server._media[media_url] = target
                         server._media_ts[media_url] = time.time()
+                        server._presigned[key] = sig
                     host, port = self.server.server_address[:2]
+                    # QUERY-signed like real presigned storage URLs: the
+                    # uploader must NOT send its API key to the storage
+                    # endpoint (clients strip Authorization on this PUT)
                     return self._json(
-                        {"url": f"http://{host}:{port}/upload/{key}"})
+                        {"url": f"http://{host}:{port}/upload/{key}"
+                                f"?sig={sig}"})
                 if self.path.rstrip("/").endswith("/diarize"):
                     media_url = payload.get("url")
                     with server._lock:
@@ -318,11 +329,24 @@ class DiarizationServer:
                 self._json({"error": "not found"}, 404)
 
             def do_PUT(self):
-                if not self._authorized():
-                    return
-                if not self.path.startswith("/upload/"):
+                from urllib.parse import parse_qs, urlsplit
+                split = urlsplit(self.path)
+                if not split.path.startswith("/upload/"):
+                    if not self._authorized():
+                        return
                     return self._json({"error": "not found"}, 404)
-                key = self.path[len("/upload/"):]
+                key = split.path[len("/upload/"):]
+                sig = parse_qs(split.query).get("sig", [""])[0]
+                with server._lock:
+                    expected = server._presigned.get(key)
+                # presigned single-use signature OR the API bearer header
+                # both authorize the upload
+                if expected is not None and sig and \
+                        hmac.compare_digest(sig, expected):
+                    with server._lock:
+                        server._presigned.pop(key, None)
+                elif not self._authorized():
+                    return
                 target = server._spool_path(key)
                 if target is None:
                     return self._json({"error": "bad key"}, 400)

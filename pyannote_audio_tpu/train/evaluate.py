@@ -98,11 +98,16 @@ def make_eval_step(
     # check_vma=False: model scans (LSTM) initialize unvarying carries
     # that become data-varying after one step, which the strict
     # varying-manual-axes check rejects; correctness is covered by the
-    # multi-vs-single-device equality test (tests/test_multichip.py)
-    mapped = shard_map(
-        sharded_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data")),
-        out_specs=(P(), P()), check_vma=False)
+    # multi-vs-single-device equality test (tests/test_multichip.py).
+    # Older jax spells the flag check_rep — retry so the compat import
+    # branch can actually run.
+    specs = dict(mesh=mesh,
+                 in_specs=(P(), P("data"), P("data"), P("data")),
+                 out_specs=(P(), P()))
+    try:
+        mapped = shard_map(sharded_fn, check_vma=False, **specs)
+    except TypeError:
+        mapped = shard_map(sharded_fn, check_rep=False, **specs)
     return jax.jit(mapped)
 
 

@@ -104,15 +104,44 @@ def _http_download(model_id: str, filename: str,
     if token:
         request.add_header("Authorization", f"Bearer {token}")
     target.parent.mkdir(parents=True, exist_ok=True)
-    tmp = target.with_suffix(target.suffix + ".part")
-    with urllib.request.urlopen(request) as response, open(tmp, "wb") as f:
-        while True:
-            chunk = response.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
-    tmp.replace(target)     # atomic publish: no torn files on interrupt
+    # unique temp name: concurrent downloaders of the same asset must
+    # not interleave into one .part file (whoever publishes last wins,
+    # each with a complete copy)
+    import os
+    import uuid as _uuid
+    tmp = target.with_suffix(
+        target.suffix + f".{os.getpid()}-{_uuid.uuid4().hex[:8]}.part")
+    try:
+        with urllib.request.urlopen(request) as response, \
+                open(tmp, "wb") as f:
+            while True:
+                chunk = response.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        tmp.replace(target)  # atomic publish: no torn files on interrupt
+    finally:
+        tmp.unlink(missing_ok=True)
     return target
+
+
+def _ambient_hub_token() -> Optional[str]:
+    """HF_TOKEN / HUGGING_FACE_HUB_TOKEN env vars or the cached CLI login
+    token — the same ambient credentials huggingface_hub reads, so gated
+    repos work without passing token= explicitly (reference delegates to
+    hf_hub_download, which does this automatically)."""
+    import os
+    for var in ("HF_TOKEN", "HUGGING_FACE_HUB_TOKEN"):
+        value = os.environ.get(var)
+        if value:
+            return value
+    login = Path(os.environ.get(
+        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "token"
+    try:
+        value = login.read_text().strip()
+        return value or None
+    except OSError:
+        return None
 
 
 def download_from_hf_hub(model_id: str,
@@ -130,6 +159,8 @@ def download_from_hf_hub(model_id: str,
     filename = asset.value if isinstance(asset, AssetFileName) else asset
     if isinstance(token, str) and not token.startswith("hf_"):
         token = None        # likely a pyannoteAI key (reference :75-77)
+    if not token:
+        token = _ambient_hub_token()
     try:
         directory = resolve_checkpoint(model_id, subfolder=subfolder,
                                        revision=revision)

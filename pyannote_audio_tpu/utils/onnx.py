@@ -86,6 +86,11 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             pos = 0
             while pos < len(value):
                 d, pos = _read_varint(value, pos)
+                # protobuf int64 varints are two's complement: reinterpret
+                # the unsigned decode as signed 64-bit (a -1 Reshape dim
+                # would otherwise decode as 2**64-1 and overflow numpy)
+                if d >= 1 << 63:
+                    d -= 1 << 64
                 int64s.append(d)
         elif field == 8:
             name = value.decode("utf-8")

@@ -33,10 +33,13 @@ def vbx_em(
     max_speakers: Optional[int] = None,
     max_iters: int = 10,
     epsilon: float = 1e-4,
+    pi: Optional[np.ndarray] = None,      # (S,) initial speaker priors
 ) -> Tuple[np.ndarray, np.ndarray, list]:
     """Run the VBx EM loop.
 
-    Returns (gamma (T, S), pi (S,), elbo_trace).
+    ``pi`` seeds the speaker priors used by the FIRST responsibility
+    update (reference vbx.py:119: ``log(pi)`` with the caller's priors);
+    None means uniform. Returns (gamma (T, S), pi (S,), elbo_trace).
     """
     t_frames, dim = x.shape
     if gamma is None:
@@ -46,7 +49,13 @@ def vbx_em(
         gamma = rng.gamma(1.0, size=(t_frames, max_speakers))
         gamma = gamma / gamma.sum(axis=1, keepdims=True)
     num_speakers = gamma.shape[1]
-    pi = np.full(num_speakers, 1.0 / num_speakers)
+    if pi is None:
+        pi = np.full(num_speakers, 1.0 / num_speakers)
+    else:
+        pi = np.asarray(pi, dtype=np.float64)
+        if pi.shape != (num_speakers,):
+            raise ValueError(
+                f"pi has {pi.shape} priors for {num_speakers} speakers")
 
     # constant per-frame term of the log-likelihood
     const = -0.5 * (np.sum(x ** 2, axis=1, keepdims=True)
@@ -182,8 +191,9 @@ def VBx(X, Phi, Fa=1.0, Fb=1.0, pi=10, gamma=None, maxIters=10,
     """Reference-signature entry point over :func:`vbx_em`.
 
     Parity: VBx (reference utils/vbx.py:27-137): ``pi`` as an int caps
-    the speaker count (vector form seeds the priors via ``gamma``'s
-    width); returns (gamma, pi, Li) with Li the ELBO trace as
+    the speaker count; a VECTOR is used as the actual speaker-prior
+    initialization (reference :87-88,119 — not just its length);
+    returns (gamma, pi, Li) with Li the ELBO trace as
     single-element rows, plus (alpha, invL) — the final speaker-mean /
     posterior-precision model — when ``return_model`` is set. ``ref``,
     ``plot``, ``alphaQInit`` and warm-start ``alpha``/``invL`` are
@@ -192,10 +202,15 @@ def VBx(X, Phi, Fa=1.0, Fb=1.0, pi=10, gamma=None, maxIters=10,
     """
     x = np.asarray(X, dtype=np.float64)
     phi = np.asarray(Phi, dtype=np.float64)
-    max_speakers = int(pi) if np.ndim(pi) == 0 else len(np.asarray(pi))
+    if np.ndim(pi) == 0:
+        max_speakers, pi_init = int(pi), None
+    else:
+        pi_init = np.asarray(pi, dtype=np.float64)
+        max_speakers = len(pi_init)
     gamma, pi_out, trace = vbx_em(
         x, phi, fa=Fa, fb=Fb, gamma=gamma,
-        max_speakers=max_speakers, max_iters=maxIters, epsilon=epsilon)
+        max_speakers=max_speakers, max_iters=maxIters, epsilon=epsilon,
+        pi=pi_init)
     out = (gamma, pi_out, [[float(e)] for e in trace])
     if not return_model:
         return out
