@@ -474,18 +474,20 @@ class Task:
 
     def train_batches_parallel(self, epoch: int = 0, rank: int = 0
                                ) -> Iterator[TrainingBatch]:
-        """``train_batches`` fed by ``num_workers`` decode/crop threads.
+        """``train_batches`` prefetched on a producer thread.
 
         Parity role: the reference's DataLoader(num_workers=cpu_count//2)
-        worker processes (core/task.py:288-303). Threads (not processes)
-        suffice here: chunk preparation is numpy + the GIL-releasing C++
-        decoder, and batches must stay on the host side anyway (device
-        uploads from worker threads contend on the serialized TPU relay —
-        the apply_batch lesson). Each worker runs its own deterministic
-        per-(seed, worker, epoch, rank) stream and the consumer round-
-        robins them, so a given (num_workers, seed) setup reproduces
-        exactly; num_workers in (None, 0, 1) falls back to the inline
-        path unchanged.
+        worker processes (core/task.py:288-303). ``num_workers`` keeps
+        the DataLoader MEANING — batch i comes from the deterministic
+        per-(seed, worker=i%num_workers, epoch, rank) stream, so a given
+        (num_workers, seed) setup reproduces exactly — but the streams
+        are merged by ONE thread: chunk prep is mostly GIL-bound numpy,
+        and batches must stay host-side anyway (device uploads from
+        worker threads contend on the serialized TPU relay — the
+        apply_batch lesson), so extra threads only add contention; the
+        win is overlapping production with the device step.
+        num_workers in (None, 0, 1) falls back to the inline path
+        unchanged.
         """
         workers = self.num_workers or 0
         if workers <= 1:
@@ -495,47 +497,55 @@ class Task:
         import threading
 
         num_batches = max(1, self.train__len__() // self.batch_size)
-        queues = [queue.Queue(maxsize=2) for _ in range(workers)]
+        # ONE producer thread merging the per-worker streams round-robin.
+        # Chunk prep here is mostly GIL-bound numpy, so N concurrent
+        # producer threads just serialize against each other AND against
+        # the consumer's device-dispatch chain — measured 6.6x slower
+        # pure-drain and 2.2x fewer TPU train steps/s than inline. One
+        # thread produces the IDENTICAL batch sequence (batch i comes
+        # from stream i % workers), keeps reproducibility, and still
+        # overlaps production with the device step; the bounded queue is
+        # the prefetch depth.
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(2, workers))
         stop = threading.Event()
 
-        def run(w: int) -> None:
+        def produce() -> None:
             def push(item) -> bool:
                 while not stop.is_set():
                     try:
-                        queues[w].put(item, timeout=0.1)
+                        out_q.put(item, timeout=0.1)
                         return True
                     except queue.Full:
                         continue
                 return False
 
             try:
-                for batch in self.train_batches(epoch=epoch, worker_id=w,
-                                                rank=rank):
-                    if not push(batch):
+                streams = [self.train_batches(epoch=epoch, worker_id=w,
+                                              rank=rank)
+                           for w in range(workers)]
+                for i in range(num_batches):
+                    if not push(next(streams[i % workers])):
                         return
             except BaseException as exc:  # noqa: BLE001 — re-raised in
-                # the consumer: a dead worker must fail the training run
-                # like the inline path would, not stall it forever
+                # the consumer: a dead producer must fail the training
+                # run like the inline path would, not stall it forever
                 push(exc)
 
-        threads = [threading.Thread(target=run, args=(w,), daemon=True)
-                   for w in range(workers)]
-        for t in threads:
-            t.start()
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
         try:
-            for i in range(num_batches):
-                item = queues[i % workers].get()
+            for _ in range(num_batches):
+                item = out_q.get()
                 if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             stop.set()
-            for q in queues:        # unblock producers stuck on put()
-                try:
-                    while True:
-                        q.get_nowait()
-                except queue.Empty:
-                    pass
+            try:                     # unblock a producer stuck on put()
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
 
     def train__len__(self) -> int:
         """Chunks per epoch = total annotated duration / chunk duration."""
