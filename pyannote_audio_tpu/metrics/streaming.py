@@ -236,7 +236,17 @@ class SegmentationErrorRate(DiarizationErrorRate):
     ``unfold`` semantics). preds/target follow this module's
     (batch, frames, speakers) layout — the reference is
     (batch, speakers, frames).
+
+    Hour-scale inputs: windows are processed in bounded batches of
+    ``windows_per_chunk`` (components accumulate across batches), so
+    host materialization never exceeds windows_per_chunk × window_size
+    frames regardless of input length — a 360k-frame SWF streams
+    through in fixed memory instead of concatenating every window copy.
     """
+
+    #: windows per device dispatch; bounds peak host/device memory to
+    #: windows_per_chunk * window_size * speakers floats per batch item.
+    windows_per_chunk = 256
 
     def __init__(self, window_size: int, step_size: Optional[int] = None,
                  threshold: float = 0.5):
@@ -244,19 +254,31 @@ class SegmentationErrorRate(DiarizationErrorRate):
         self.window_size = window_size
         self.step_size = step_size or window_size // 2
 
-    def _windowed(self, x: np.ndarray) -> np.ndarray:
-        x = np.asarray(x)
-        num_frames = x.shape[1]
-        if num_frames <= self.window_size:
-            return x
-        starts = range(0, num_frames - self.window_size + 1,
-                       self.step_size)
-        return np.concatenate(
-            [x[:, s:s + self.window_size] for s in starts], axis=0)
-
     def update(self, preds, target):
-        return super().update(self._windowed(preds),
-                              self._windowed(target))
+        preds = np.asarray(preds)
+        target = np.asarray(target)
+        num_frames = preds.shape[1]
+        if num_frames <= self.window_size:
+            return super().update(preds, target)
+        starts = list(range(0, num_frames - self.window_size + 1,
+                            self.step_size))
+        win, chunk = self.window_size, self.windows_per_chunk
+        totals = np.zeros(4, np.float64)
+        for i in range(0, len(starts), chunk):
+            sub = starts[i:i + chunk]
+            p = np.concatenate([preds[:, s:s + win] for s in sub], axis=0)
+            t = np.concatenate([target[:, s:s + win] for s in sub], axis=0)
+            if len(sub) < chunk and i > 0:
+                # Zero-pad the tail batch to the steady-state shape so the
+                # jitted component pass compiles exactly once (zero rows
+                # contribute zero fa/miss/conf/total).
+                pad = (chunk - len(sub)) * preds.shape[0]
+                p = np.concatenate(
+                    [p, np.zeros((pad,) + p.shape[1:], p.dtype)], axis=0)
+                t = np.concatenate(
+                    [t, np.zeros((pad,) + t.shape[1:], t.dtype)], axis=0)
+            totals += np.asarray(super().update(p, t), np.float64)
+        return tuple(totals)
 
 
 class FalseAlarmRate(_StreamingMetric):

@@ -6,10 +6,15 @@ s=16) -> DPRNN masker (6 repeats) -> masked representation -> transposed
 conv decoder to 3 sources, plus a diarization branch (avg-pool of the
 masked representation at 125 fps -> linear stack -> per-source activity).
 
-The reference's optional WavLM-large branch requires downloading
-microsoft/wavlm-large (no egress here) — ``use_wavlm=False`` is the
-default; passing True raises until a local WavLM checkpoint is provided
-via the ssl module.
+The reference's optional WavLM-large branch is supported three ways:
+``use_wavlm=<path>`` builds the SSL encoder from a local torch WavLM
+checkpoint (no egress here, so there is no automatic
+microsoft/wavlm-large download); ``use_wavlm=True`` + ``wavlm_config``
+rebuilds the branch from our own persisted checkpoints; and
+``convert_torch_state_dict`` reconstructs the WavLM weights embedded in
+a real reference PixIT checkpoint with no external download at all
+(golden-tested in tests/test_torch_parity.py — checkpoint-embedded
+WavLM roundtrip).
 """
 
 from __future__ import annotations
