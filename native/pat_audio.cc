@@ -34,12 +34,22 @@ struct WavInfo {
 };
 
 bool parse_header(FILE* f, WavInfo* info) {
+  // every header field is untrusted (serve accepts uploads): validate
+  // channel count / rate / depth-format combinations and clamp the
+  // advertised data size to the bytes actually present so a lying
+  // header can neither divide by zero, read past a sample, nor promise
+  // a multi-GB allocation. Fuzzed in tests/test_native_fuzz.py.
   unsigned char hdr[12];
   if (fread(hdr, 1, 12, f) != 12) return false;
   if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0)
     return false;
+  long cur = ftell(f);
+  fseek(f, 0, SEEK_END);
+  const int64_t file_size = ftell(f);
+  fseek(f, cur, SEEK_SET);
   bool have_fmt = false, have_data = false;
   int block_align = 0;
+  int64_t data_size = 0;
   while (!(have_fmt && have_data)) {
     unsigned char chunk[8];
     if (fread(chunk, 1, 8, f) != 8) break;
@@ -70,20 +80,35 @@ bool parse_header(FILE* f, WavInfo* info) {
       info->format = fmt;
     } else if (memcmp(chunk, "data", 4) == 0) {
       info->data_offset = ftell(f);
-      int bytes_per_frame = std::max(
-          block_align, info->channels * (info->bits / 8));
-      if (bytes_per_frame <= 0) return false;
-      info->num_frames = int64_t(size) / bytes_per_frame;
+      data_size = int64_t(size);
       have_data = true;
-      fseek(f, long(size + (size & 1)), SEEK_CUR);
+      fseek(f, long(int64_t(size) + (size & 1)), SEEK_CUR);
       continue;
     } else {
-      fseek(f, long(size + (size & 1)), SEEK_CUR);
+      fseek(f, long(int64_t(size) + (size & 1)), SEEK_CUR);
     }
     if (info->format != 0) have_fmt = true;
   }
-  return have_fmt && have_data &&
-         (info->format == 1 || info->format == 3);
+  if (!(have_fmt && have_data)) return false;
+  // validate: zero channels / rate or a depth the sample loop cannot
+  // address (e.g. float16) would otherwise divide by zero or over-read
+  if (info->channels < 1 || info->sample_rate < 1) return false;
+  if (info->format == 3) {
+    if (info->bits != 32 && info->bits != 64) return false;
+  } else if (info->format == 1) {
+    if (info->bits != 8 && info->bits != 16 && info->bits != 24 &&
+        info->bits != 32)
+      return false;
+  } else {
+    return false;
+  }
+  const int bytes_per_frame =
+      std::max(block_align, info->channels * (info->bits / 8));
+  if (bytes_per_frame <= 0) return false;
+  // clamp the advertised data size to the bytes actually in the file
+  const int64_t avail = std::max<int64_t>(0, file_size - info->data_offset);
+  info->num_frames = std::min(data_size, avail) / bytes_per_frame;
+  return true;
 }
 
 // decode [frame_offset, frame_offset+num_frames) as planar f32

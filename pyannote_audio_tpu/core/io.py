@@ -52,10 +52,22 @@ class AudioMetadata:
         return self.num_samples / self.sample_rate
 
 
-def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
-    """Parse RIFF/WAVE header; return (metadata, data_offset, data_size)."""
+def _parse_wav_header(raw: bytes, total_size: Optional[int] = None
+                      ) -> Tuple[AudioMetadata, int, int]:
+    """Parse RIFF/WAVE header; return (metadata, data_offset, data_size).
+
+    Every field is treated as UNTRUSTED (serve accepts uploads): channel
+    count / bit depth / sample rate are validated, the format-vs-depth
+    combination is checked, and the advertised data size is clamped to
+    the bytes actually present (``total_size`` is the real file size when
+    only a header prefix is in ``raw``) so a lying header can neither
+    divide by zero nor promise samples that do not exist. Fuzzed in
+    tests/test_native_fuzz.py.
+    """
     if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    if total_size is None:
+        total_size = len(raw)
     pos = 12
     fmt = None
     fmt_body = fmt_size = 0
@@ -65,6 +77,8 @@ def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
         chunk_size = struct.unpack_from("<I", raw, pos + 4)[0]
         body = pos + 8
         if chunk_id == b"fmt ":
+            if chunk_size < 16 or body + 16 > len(raw):
+                raise ValueError("corrupt WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", raw, body)
             fmt_body, fmt_size = body, chunk_size
         elif chunk_id == b"data":
@@ -87,8 +101,19 @@ def _parse_wav_header(raw: bytes) -> Tuple[AudioMetadata, int, int]:
     encoding = {1: "pcm", 3: "float"}.get(audio_format)
     if encoding is None:
         raise ValueError(f"unsupported WAV format code {audio_format}")
+    if num_channels < 1:
+        raise ValueError("WAV header declares zero channels")
+    if sample_rate < 1:
+        raise ValueError("WAV header declares zero sample rate")
+    valid_bits = (32, 64) if encoding == "float" else (8, 16, 24, 32)
+    if bits not in valid_bits:
+        raise ValueError(
+            f"unsupported WAV bit depth {bits} for {encoding} encoding")
     bytes_per_frame = max(block_align, num_channels * (bits // 8))
-    num_samples = data_size // bytes_per_frame if bytes_per_frame else 0
+    # clamp the advertised size to the bytes actually present
+    avail = max(0, total_size - data_offset)
+    data_size = min(data_size, avail)
+    num_samples = data_size // bytes_per_frame
     meta = AudioMetadata(sample_rate=sample_rate, num_channels=num_channels,
                          num_samples=num_samples, bits_per_sample=bits,
                          encoding=encoding)
@@ -170,10 +195,12 @@ def get_audio_metadata(file: AudioFile) -> AudioMetadata:
                              bits_per_sample=32, encoding="float")
     source = file["audio"]
     if isinstance(source, (str, Path)):
+        import os
         with open(source, "rb") as f:
             header = f.read(65536)
         try:
-            meta, _, _ = _parse_wav_header(header)
+            meta, _, _ = _parse_wav_header(
+                header, total_size=os.path.getsize(source))
             return meta
         except ValueError:
             from ..native import codec_info
@@ -375,7 +402,13 @@ class Audio:
                     try:
                         with open(file["audio"], "rb") as f:
                             header = f.read(65536)
-                        meta, data_offset, _ = _parse_wav_header(header)
+                        # only a header prefix is in memory: pass the real
+                        # file size so the untrusted-size clamp doesn't
+                        # truncate num_samples to the prefix length
+                        meta, data_offset, _ = _parse_wav_header(
+                            header,
+                            total_size=stat.st_size if stat_key is not None
+                            else os.path.getsize(file["audio"]))
                         sample_rate, total = (meta.sample_rate,
                                               meta.num_samples)
                         waveform = None

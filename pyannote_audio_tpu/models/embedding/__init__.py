@@ -1,4 +1,5 @@
 from .debug import SimpleEmbeddingModel
+from .ecapa import ECAPA_TDNN
 from .wespeaker import (BaseWeSpeakerResNet, WeSpeakerResNet34,
                         WeSpeakerResNet152, WeSpeakerResNet221,
                         WeSpeakerResNet293)
@@ -6,6 +7,7 @@ from .xvector import XVectorMFCC, XVectorSincNet
 
 __all__ = [
     "SimpleEmbeddingModel",
+    "ECAPA_TDNN",
     "BaseWeSpeakerResNet",
     "WeSpeakerResNet34",
     "WeSpeakerResNet152",

@@ -254,6 +254,89 @@ fbank = partial(jax.jit, static_argnames=(
     "preemphasis_coefficient", "low_freq", "high_freq"))(fbank_impl)
 
 
+@functools.lru_cache(maxsize=None)
+def _speechbrain_mel_banks(n_mels: int, n_fft: int, sample_rate: int,
+                           f_min: float, f_max: float) -> np.ndarray:
+    """(n_fft//2+1, n_mels) SpeechBrain-style SYMMETRIC triangular mel
+    filterbank.
+
+    SpeechBrain's Filterbank (speechbrain/processing/features.py) spaces
+    n_mels+2 points on the HTK mel scale (2595*log10(1+f/700)), then
+    builds each triangle SYMMETRICALLY around its center with half-width
+    ``band[i] = hz[i+1] - hz[i]`` (the LEFT gap) — unlike Kaldi/HTK
+    asymmetric triangles. Replicated exactly for ECAPA checkpoint parity.
+    """
+    def to_mel(hz):
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+    def to_hz(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    hz = to_hz(np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2))
+    band = (hz[1:] - hz[:-1])[:-1]          # (n_mels,) left gaps
+    f_central = hz[1:-1]                     # (n_mels,)
+    all_freqs = np.linspace(0, sample_rate // 2, n_fft // 2 + 1)
+    slope = (all_freqs[:, None] - f_central[None, :]) / band[None, :]
+    banks = np.maximum(0.0, np.minimum(slope + 1.0, -slope + 1.0))
+    return banks.astype(np.float32)          # (F, n_mels)
+
+
+def speechbrain_fbank_num_frames(num_samples: int, hop: int = 160) -> int:
+    """Centered STFT frame count: 1 + num_samples // hop."""
+    return 1 + num_samples // hop
+
+
+def speechbrain_fbank(waveforms: jnp.ndarray, n_mels: int = 80,
+                      sample_rate: int = 16000, n_fft: int = 400,
+                      win_length: int = 400, hop_length: int = 160,
+                      f_min: float = 0.0, f_max: float = 8000.0,
+                      amin: float = 1e-10, top_db: float = 80.0
+                      ) -> jnp.ndarray:
+    """SpeechBrain ``Fbank`` front-end (the ECAPA-TDNN input features).
+
+    Replicates speechbrain.lobes.features.Fbank with its defaults as used
+    by spkrec-ecapa-voxceleb: centered STFT (constant zero padding,
+    periodic hamming window, n_fft 400 / hop 160), power spectrum
+    (spectral_magnitude power=1 => |X|^2), symmetric-triangle mel
+    filterbank, and 10*log10 dB conversion with a per-utterance
+    ``max - top_db`` floor (Filterbank._amplitude_to_DB).
+
+    Input (batch[, channel], samples) — channel squeezed if present;
+    output (batch, 1 + samples//hop, n_mels). TPU-native: one framing
+    gather + rfft + one MXU mel matmul; no torch.
+    """
+    x = waveforms[..., 0, :] if waveforms.ndim == 3 else waveforms
+    num_samples = x.shape[-1]
+    num_frames = speechbrain_fbank_num_frames(num_samples, hop_length)
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)))
+    # make sure the final centered frame has a full window to gather
+    needed = (num_frames - 1) * hop_length + win_length
+    if x.shape[-1] < needed:
+        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
+    idx = (jnp.arange(num_frames)[:, None] * hop_length
+           + jnp.arange(win_length)[None, :])
+    frames = x[:, idx]                                   # (B, T, win)
+    # torch.hamming_window periodic=True: 0.54 - 0.46 cos(2 pi n / N)
+    n = np.arange(win_length, dtype=np.float64)
+    window = (0.54 - 0.46 * np.cos(2 * np.pi * n / win_length)) \
+        .astype(np.float32)
+    frames = frames * jnp.asarray(window)
+    if n_fft > win_length:
+        frames = jnp.pad(frames, ((0, 0), (0, 0),
+                                  (0, n_fft - win_length)))
+    spectrum = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+    banks = jnp.asarray(_speechbrain_mel_banks(
+        n_mels, n_fft, sample_rate, f_min, f_max))
+    mel = jnp.einsum("btf,fm->btm", power, banks,
+                     precision=jax.lax.Precision.HIGHEST)
+    x_db = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+    # db_multiplier = log10(max(amin, ref_value=1.0)) = 0
+    floor = jnp.max(x_db, axis=(-2, -1), keepdims=True) - top_db
+    return jnp.maximum(x_db, floor)
+
+
 def wespeaker_fbank(waveforms: jnp.ndarray, num_mel_bins: int = 80,
                     sample_rate: int = 16000, frame_length: float = 25.0,
                     frame_shift: float = 10.0,

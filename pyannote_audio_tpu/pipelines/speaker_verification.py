@@ -7,10 +7,11 @@ speaker_verification.py: a uniform ``__call__(waveforms, masks) ->
 and the whole-file ``SpeakerEmbedding`` pipeline with VAD-weighted pooling
 (:781-855).
 
-The nvidia/speechbrain/onnx backends of the reference delegate to external
-native runtimes that do not exist in this stack; their model families load
-through our native implementations instead (WeSpeaker checkpoints convert
-to models/embedding/wespeaker.py). Requesting them raises a clear error.
+The reference's external backends load through NATIVE implementations
+instead of their runtimes: WeSpeaker ``.onnx`` weights convert onto
+models/embedding/wespeaker.py, speechbrain ECAPA snapshots convert onto
+models/embedding/ecapa.py. Only the NeMo backend (nvidia/*) still raises
+an actionable error (no .nemo converter yet).
 """
 
 from __future__ import annotations
@@ -137,17 +138,93 @@ class ONNXWeSpeakerPretrainedSpeakerEmbedding(
 
 
 class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
-    """Parity: SpeechBrainPretrainedSpeakerEmbedding (reference
-    speaker_verification.py:202-383). The speechbrain runtime is not
-    part of this stack; construction raises the same actionable
-    ImportError the reference raises when speechbrain is absent."""
+    """SpeechBrain ECAPA checkpoints on the NATIVE flax model.
+
+    Parity: SpeechBrainPretrainedSpeakerEmbedding (reference
+    speaker_verification.py:202-383) — but instead of wrapping the
+    speechbrain runtime, the snapshot's ``embedding_model.ckpt`` converts
+    onto models/embedding/ecapa.py (no speechbrain install needed).
+    ``embedding`` accepts a local snapshot directory or a hub id like
+    "speechbrain/spkrec-ecapa-voxceleb[@revision]".
+
+    The masked path follows the reference exactly (:333-381): masks are
+    nearest-upsampled to sample resolution, thresholded at 0.5, the
+    SPEECH SAMPLES ARE COMPACTED to the front (pad_sequence semantics),
+    and relative wav_lens become the binary frame mask the ECAPA pooling
+    consumes; all-too-short batches return NaN embeddings.
+    """
 
     def __init__(self, embedding: Text = "speechbrain/spkrec-ecapa-voxceleb",
                  device=None, token=None, cache_dir=None):
-        raise ImportError(
-            f"'speechbrain' must be installed to use {embedding!r} "
-            "embeddings, and this framework does not bundle it; convert "
-            "the checkpoint to a native model instead.")
+        from ..models.embedding.ecapa import ECAPA_TDNN
+
+        if isinstance(embedding, str) and "@" in embedding:
+            self.embedding, revision = embedding.split("@", 1)
+        else:
+            self.embedding, revision = embedding, None
+        self.model = ECAPA_TDNN.from_speechbrain(
+            self.embedding, revision=revision, token=token,
+            cache_dir=cache_dir)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.model.sample_rate
+
+    @property
+    def dimension(self) -> int:
+        return self.model.dimension
+
+    @property
+    def metric(self) -> Text:
+        return "cosine"
+
+    @property
+    def min_num_samples(self) -> int:
+        return self.model.min_num_samples
+
+    def __call__(self, waveforms, masks=None) -> np.ndarray:
+        waveforms = np.asarray(waveforms, dtype=np.float32)
+        batch_size, num_channels, num_samples = waveforms.shape
+        assert num_channels == 1
+        signals = waveforms[:, 0, :]
+
+        if masks is None:
+            wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
+        else:
+            masks = np.asarray(masks, dtype=np.float32)
+            # nearest upsample to sample resolution (reference :348-352)
+            idx = np.minimum(
+                (np.arange(num_samples) * masks.shape[-1]) // num_samples,
+                masks.shape[-1] - 1)
+            imasks = masks[:, idx] > 0.5
+            wav_lens = imasks.sum(axis=1)
+            compacted = np.zeros_like(signals)
+            for i in range(batch_size):
+                keep = signals[i, imasks[i]]
+                compacted[i, :keep.shape[0]] = keep
+            signals = compacted
+
+        max_len = int(wav_lens.max())
+        if max_len < self.min_num_samples:
+            return np.nan * np.zeros((batch_size, self.dimension))
+        too_short = wav_lens < self.min_num_samples
+        wav_lens = wav_lens.astype(np.float64)
+        wav_lens[too_short] = max_len
+
+        # trim the batch to the longest compacted signal (reference's
+        # pad_sequence produces exactly this shape)
+        signals = signals[:, :max_len]
+        # binary frame mask from relative lengths: arange(T) < rel * T
+        # (speechbrain length_to_mask semantics)
+        num_frames = self.model.num_frames(max_len)
+        rel = wav_lens / max_len
+        frame_mask = (np.arange(num_frames)[None, :]
+                      < rel[:, None] * num_frames).astype(np.float32)
+
+        emb = np.array(self.model.forward_with_frame_mask(
+            signals, frame_mask))
+        emb[too_short] = np.nan
+        return emb
 
 
 class NeMoPretrainedSpeakerEmbedding(BaseInference):
@@ -171,12 +248,16 @@ def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
 
     Resolves the reference's four name shapes: "pyannote/*" (native
     Model), "*wespeaker*" (ONNX weights -> native ResNet),
-    "speechbrain/*" and "nvidia/*" (external runtimes — actionable
-    errors). Anything else loads through the native Model path.
+    "speechbrain/*" (snapshot converts onto the native flax ECAPA-TDNN)
+    and "nvidia/*" (NeMo runtime — actionable error until a .nemo
+    converter lands). Anything else loads through the native Model path.
     """
     if isinstance(embedding, str):
         lowered = embedding.lower()
-        if "speechbrain" in lowered:
+        # speechbrain snapshots: by name, or any local dir shaped like one
+        if "speechbrain" in lowered or (
+                Path(embedding).is_dir()
+                and (Path(embedding) / "embedding_model.ckpt").is_file()):
             return SpeechBrainPretrainedSpeakerEmbedding(
                 embedding, device=device, token=token, cache_dir=cache_dir)
         if "nvidia" in lowered or "nemo" in lowered:
