@@ -92,7 +92,11 @@ bool parse_header(FILE* f, WavInfo* info) {
   if (!(have_fmt && have_data)) return false;
   // validate: zero channels / rate or a depth the sample loop cannot
   // address (e.g. float16) would otherwise divide by zero or over-read
-  if (info->channels < 1 || info->sample_rate < 1) return false;
+  // rates above 1 MHz are corrupt/hostile headers (real audio tops out
+  // at 384 kHz) and would size resampler filters off the advertised rate
+  if (info->channels < 1 || info->sample_rate < 1 ||
+      info->sample_rate > 1000000)
+    return false;
   if (info->format == 3) {
     if (info->bits != 32 && info->bits != 64) return false;
   } else if (info->format == 1) {

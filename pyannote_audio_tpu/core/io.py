@@ -105,6 +105,12 @@ def _parse_wav_header(raw: bytes, total_size: Optional[int] = None
         raise ValueError("WAV header declares zero channels")
     if sample_rate < 1:
         raise ValueError("WAV header declares zero sample rate")
+    if sample_rate > 1_000_000:
+        # no real recording exceeds 384 kHz; an absurd rate is a corrupt
+        # or hostile header, and letting it through makes the polyphase
+        # resampler build a filter proportional to the rate (a claimed
+        # 4.3 GHz rate = a 128 GiB firwin allocation)
+        raise ValueError(f"implausible WAV sample rate {sample_rate}")
     valid_bits = (32, 64) if encoding == "float" else (8, 16, 24, 32)
     if bits not in valid_bits:
         raise ValueError(
