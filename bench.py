@@ -135,11 +135,50 @@ def main():
     # the minimum reflects achievable hardware throughput, and passes are
     # cheap (~3-12 s) next to the compile budget
     times = []
-    for _ in range(8):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "8"))):
         t0 = time.perf_counter()
         pipeline(batch(), max_speakers=4)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+
+    # window calibration (VERDICT r3 item 3): round-trip latency of a
+    # tiny program + achieved TFLOP/s of a 4096^3 bf16 matmul, so future
+    # BENCH_r*.json can tell pool-load swings from real regressions
+    import jax
+    import jax.numpy as jnp
+    mm = jax.jit(lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
+    small = jnp.zeros((128, 128), jnp.bfloat16)
+    big_a = jnp.ones((4096, 4096), jnp.bfloat16)
+    probe_lat, probe_tf = [], []
+    np.asarray(mm(small, small)), np.asarray(mm(big_a, big_a))  # compile
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(mm(small, small))
+        probe_lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(mm(big_a, big_a))
+        probe_tf.append(2 * 4096**3 / (time.perf_counter() - t0) / 1e12)
+
+    # analytic device FLOPs for the exact files processed (utils/flops.py,
+    # XLA-cost-analysis-cross-checked) -> achieved TFLOP/s + MFU. The
+    # pipeline is transport/latency-bound on the relay, so end-to-end MFU
+    # is small by design; the per-stage numbers locate the compute.
+    from pyannote_audio_tpu.utils.flops import (V5E_BF16_PEAK,
+                                                diarization_device_flops,
+                                                total_flops)
+    per_file = [diarization_device_flops(m * 60.0) for m in file_minutes]
+    flops = sum(total_flops(s) for s in per_file)
+    stage_flops = {k: sum(s[k] for s in per_file)
+                   for k in ("sinc_whole_conv", "segmentation", "fbank",
+                             "trunk", "pool_and_embed")}
+    achieved_tflops = flops / elapsed / 1e12
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS",
+                                       V5E_BF16_PEAK / 1e12))
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak_hbm = int(stats.get("peak_bytes_in_use", 0)) or None
+    except Exception:
+        peak_hbm = None
 
     audio_hours = sum(file_minutes) / 60.0
     hours_per_minute = audio_hours / (elapsed / 60.0)
@@ -156,6 +195,15 @@ def main():
             "num_files": num_files,
             "wall_seconds": round(elapsed, 3),
             "seconds_per_audio_hour": round(elapsed / audio_hours, 2),
+            "flops": flops,
+            "stage_flops": stage_flops,
+            "achieved_tflops": round(achieved_tflops, 3),
+            "mfu": round(achieved_tflops / peak_tflops, 5),
+            "peak_tflops_assumed": peak_tflops,
+            "relay_probe_ms": round(min(probe_lat) * 1e3, 3),
+            "relay_matmul_tflops": round(max(probe_tf), 1),
+            "peak_hbm_bytes": peak_hbm,
+            "pass_seconds": [round(t, 3) for t in times],
         },
     }))
 

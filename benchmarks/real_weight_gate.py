@@ -1,0 +1,217 @@
+"""Mechanical A/B gate for every lossy accelerator default (VERDICT r3
+item 5).
+
+Given a pipeline checkpoint dir + a protocol, runs the CLI benchmark
+once per configuration — the EXACT baseline, each lossy default flipped
+on individually, and the shipped accelerator defaults — each in its own
+subprocess (the flags resolve at trace time, so flipping them inside one
+process would hit cached executables), then emits the DER-delta table
+REAL_CHECKPOINT_PARITY.md promises.
+
+Usage (the day real community-1 weights exist):
+
+    python benchmarks/real_weight_gate.py /ckpt AMI.SpeakerDiarization.only_words \
+        --registry /path/to/database.yml --subset test --out /tmp/gate --device
+
+Dry run on the synthetic debug corpus (no weights, CPU, works today):
+
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+        python benchmarks/real_weight_gate.py --dry-run
+
+Outputs <out>/gate_report.md + gate_report.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# the exact baseline: every lossy accelerator default off
+EXACT = {
+    "PYANNOTE_TPU_UPLOAD_QUANT": "int16",
+    "PYANNOTE_TPU_SEG_BF16": "0",
+    "PYANNOTE_TPU_SHARED_TRUNK": "0",
+    "PYANNOTE_TPU_SHARED_SINC": "0",
+    "PYANNOTE_TPU_CONV_FBANK": "0",
+}
+
+# each lossy default flipped on alone (vs EXACT), plus the shipped stack
+CONFIGS = [
+    ("exact", EXACT),
+    ("+mulaw_upload", {**EXACT, "PYANNOTE_TPU_UPLOAD_QUANT": "mulaw"}),
+    ("+seg_bf16", {**EXACT, "PYANNOTE_TPU_SEG_BF16": "1"}),
+    ("+shared_sinc", {**EXACT, "PYANNOTE_TPU_SHARED_SINC": "1"}),
+    ("+shared_trunk", {**EXACT, "PYANNOTE_TPU_SHARED_TRUNK": "1"}),
+    ("+conv_fbank", {**EXACT, "PYANNOTE_TPU_CONV_FBANK": "1"}),
+    ("default", {}),          # shipped accelerator defaults, all on
+]
+
+
+def run_config(name: str, flags: dict, args, out_root: Path) -> dict:
+    out = out_root / name.lstrip("+")
+    env = dict(os.environ)
+    for key in EXACT:
+        env.pop(key, None)
+    env.update(flags)
+    if not args.device:
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   "/tmp/pyannote_tpu_jax_cache")
+    cmd = [sys.executable, "-m", "pyannote_audio_tpu", "benchmark",
+           str(args.pipeline), args.protocol, str(out),
+           "--registry", str(args.registry), "--subset", args.subset]
+    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                          text=True, timeout=args.timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"config {name!r} failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+    metric = (out / "metric.txt").read_text()
+    der = float(re.search(r"DER = ([\d.]+)%", metric).group(1)) / 100.0
+    import yaml
+    speed = yaml.safe_load((out / "speed.yml").read_text())
+    return {"name": name, "der": der,
+            "seconds_per_hour": speed["seconds_per_hour"]}
+
+
+def build_dry_fixture(root: Path) -> argparse.Namespace:
+    """Debug pipeline checkpoint + 2-file corpus (tests/corpus.py)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    import yaml
+
+    from corpus import default_two_speaker_file, make_file
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.embedding.debug import \
+        SimpleEmbeddingModel
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    ckpt = root / "ckpt"
+    seg = SimpleSegmentationModel()
+    seg.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=5.0,
+        classes=["s0", "s1", "s2"], powerset_max_classes=2)
+    seg.build()
+    seg.save_checkpoint(ckpt / "segmentation")
+    emb = SimpleEmbeddingModel()
+    emb.build()
+    emb.save_checkpoint(ckpt / "embedding")
+    (ckpt / "config.yaml").write_text(yaml.safe_dump({
+        "pipeline": {
+            "name": "pyannote_audio_tpu.pipelines.SpeakerDiarization",
+            "params": {"segmentation": "$model/segmentation",
+                       "embedding": "$model/embedding",
+                       "clustering": "AgglomerativeClustering",
+                       "segmentation_batch_size": 8,
+                       "embedding_batch_size": 8}},
+        "params": {"segmentation": {"min_duration_off": 0.0},
+                   "clustering": {"method": "centroid", "threshold": 0.6,
+                                  "min_cluster_size": 1}},
+    }))
+
+    files = [default_two_speaker_file(root / "f0.wav"),
+             make_file(root / "f1.wav",
+                       [("carol", 1.0, 6.0), ("dave", 7.0, 12.0)],
+                       duration=14.0, seed=3)]
+    with open(root / "all.rttm", "w") as f:
+        for file in files:
+            file["annotation"].write_rttm(f)
+    with open(root / "all.uem", "w") as f:
+        for file in files:
+            for seg_ in file["annotated"]:
+                f.write(f"{file['uri']} 1 {seg_.start:.3f} "
+                        f"{seg_.end:.3f}\n")
+    (root / "database.yml").write_text(f"""
+Databases:
+  GateDB: {root}/{{uri}}.wav
+Protocols:
+  GateDB:
+    SpeakerDiarization:
+      P:
+        test:
+          annotation: {root}/all.rttm
+          annotated: {root}/all.uem
+""")
+    return argparse.Namespace(pipeline=ckpt,
+                              protocol="GateDB.SpeakerDiarization.P",
+                              registry=root / "database.yml")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("pipeline", nargs="?")
+    parser.add_argument("protocol", nargs="?")
+    parser.add_argument("--registry")
+    parser.add_argument("--subset", default="test")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--device", action="store_true",
+                        help="run on the accelerator (default: CPU-only "
+                             "subprocesses, safe next to a TPU session)")
+    parser.add_argument("--configs", default=None,
+                        help="comma-separated subset of config names")
+    parser.add_argument("--timeout", type=int, default=3600,
+                        help="per-config subprocess timeout (s)")
+    parser.add_argument("--dry-run", action="store_true",
+                        help="build the synthetic debug corpus + debug "
+                             "pipeline and gate that (no weights needed)")
+    args = parser.parse_args(argv)
+
+    tmp = None
+    if args.dry_run:
+        tmp = tempfile.mkdtemp(prefix="pat_gate_dry_")
+        fixture = build_dry_fixture(Path(tmp))
+        args.pipeline = fixture.pipeline
+        args.protocol = fixture.protocol
+        args.registry = fixture.registry
+    elif not (args.pipeline and args.protocol and args.registry):
+        parser.error("pipeline, protocol and --registry are required "
+                     "(or use --dry-run)")
+
+    out_root = Path(args.out or (Path(tmp or ".") / "gate_out"))
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    wanted = set(args.configs.split(",")) if args.configs else None
+    configs = [(n, f) for n, f in CONFIGS
+               if wanted is None or n in wanted]
+    results = [run_config(n, f, args, out_root) for n, f in configs]
+
+    base = next((r for r in results if r["name"] == "exact"), results[0])
+    lines = ["# Lossy-default DER gate", "",
+             f"pipeline: `{args.pipeline}`  protocol: `{args.protocol}`  "
+             f"subset: `{args.subset}`  device: {args.device}", "",
+             "| config | DER | delta vs exact | s/audio-hour |",
+             "|---|---|---|---|"]
+    for r in results:
+        r["der_delta"] = round(r["der"] - base["der"], 6)
+        lines.append(f"| {r['name']} | {r['der']:.4f} "
+                     f"| {r['der_delta']:+.4f} | {r['seconds_per_hour']} |")
+    lines += ["", "Gate rule: every `+flag` row and `default` must sit "
+              "within the DER noise floor of `exact` (document the "
+              "accepted delta in docs/PARITY.md when run on real "
+              "weights)."]
+    (out_root / "gate_report.md").write_text("\n".join(lines) + "\n")
+    (out_root / "gate_report.json").write_text(json.dumps(results,
+                                                          indent=2))
+    print(json.dumps({"gate": "lossy-defaults", "exact_der": base["der"],
+                      "max_abs_delta": max(abs(r["der_delta"])
+                                           for r in results),
+                      "results": {r["name"]: r["der"] for r in results},
+                      "report": str(out_root / "gate_report.md")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -352,3 +352,133 @@ def wespeaker_fbank(waveforms: jnp.ndarray, num_mel_bins: int = 80,
                   num_mel_bins=num_mel_bins, frame_length=frame_length,
                   frame_shift=frame_shift, window_type=window_type)
     return feats - jnp.mean(feats, axis=-2, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _slaney_mel_banks(n_mels: int, n_fft: int, sample_rate: int,
+                      f_min: float, f_max: float) -> np.ndarray:
+    """(n_fft//2+1, n_mels) librosa-style mel filterbank: Slaney mel
+    scale (linear below 1 kHz, log above) with Slaney area
+    normalization — what NeMo's FilterbankFeatures builds via
+    librosa.filters.mel(norm='slaney', htk=False)."""
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+
+    def to_mel(hz):
+        hz = np.asarray(hz, dtype=np.float64)
+        mel = hz / f_sp
+        log_t = hz >= min_log_hz
+        mel = np.where(log_t,
+                       min_log_mel + np.log(np.maximum(hz, min_log_hz)
+                                            / min_log_hz) / logstep,
+                       mel)
+        return mel
+
+    def to_hz(mel):
+        mel = np.asarray(mel, dtype=np.float64)
+        hz = f_sp * mel
+        log_t = mel >= min_log_mel
+        hz = np.where(log_t,
+                      min_log_hz * np.exp(logstep * (mel - min_log_mel)),
+                      hz)
+        return hz
+
+    pts = to_hz(np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2))
+    all_freqs = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    fdiff = np.diff(pts)
+    ramps = pts[:, None] - all_freqs[None, :]       # (n_mels+2, F)
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (pts[2:] - pts[:-2])              # Slaney normalization
+    weights *= enorm[:, None]
+    return weights.T.astype(np.float32)             # (F, n_mels)
+
+
+def nemo_mel_num_frames(num_samples: int, hop: int = 160) -> int:
+    """Centered STFT frame count (torch.stft center=True): 1 + n//hop."""
+    return 1 + num_samples // hop
+
+
+def nemo_mel_spectrogram(waveforms: jnp.ndarray,
+                         lengths: Optional[jnp.ndarray] = None,
+                         n_mels: int = 80,
+                         sample_rate: int = 16000,
+                         n_fft: int = 512,
+                         win_length: int = 400,
+                         hop_length: int = 160,
+                         preemph: float = 0.97,
+                         log_zero_guard: float = 2.0 ** -24,
+                         normalize: str = "per_feature",
+                         frame_mask: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """NeMo ``AudioToMelSpectrogramPreprocessor`` (TitaNet front-end).
+
+    Replicates nemo.collections.asr FilterbankFeatures eval-mode
+    semantics: pre-emphasis, centered reflect-padded STFT (periodic hann
+    window of ``win_length`` zero-padded symmetrically to ``n_fft``,
+    torch.stft layout), magnitude^2, Slaney mel filterbank,
+    log(mel + 2^-24), then per-feature normalization over the VALID
+    frames (unbiased std + 1e-5) with padded frames zeroed. ``lengths``
+    are sample counts per batch item (defaults to full length).
+
+    ``frame_mask`` (batch, frames) overrides ``lengths`` for the
+    normalization statistics — it may have interior holes (the
+    pipeline's speaker-weight masks), where NeMo's own path only ever
+    sees prefix lengths because the wrapper compacts speech first.
+
+    Input (batch[, channel], samples) -> (batch, 1 + samples//hop,
+    n_mels) — note the (T, F) layout; NeMo emits (F, T).
+    """
+    x = waveforms[..., 0, :] if waveforms.ndim == 3 else waveforms
+    num_samples = x.shape[-1]
+    num_frames = nemo_mel_num_frames(num_samples, hop_length)
+    if lengths is None:
+        valid_frames = jnp.full((x.shape[0],), num_frames, jnp.int32)
+    else:
+        valid_frames = 1 + lengths.astype(jnp.int32) // hop_length
+
+    # pre-emphasis (before padding, matching NeMo)
+    x = jnp.concatenate([x[:, :1], x[:, 1:] - preemph * x[:, :-1]],
+                        axis=-1)
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    needed = (num_frames - 1) * hop_length + n_fft
+    if x.shape[-1] < needed:
+        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
+    idx = (jnp.arange(num_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx]                                  # (B, T, n_fft)
+    # periodic hann of win_length, centered in an n_fft-wide buffer
+    # (torch.stft pads the window symmetrically when win_length < n_fft)
+    n = np.arange(win_length, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / win_length)
+    window = np.zeros(n_fft, dtype=np.float32)
+    left = (n_fft - win_length) // 2
+    window[left:left + win_length] = hann.astype(np.float32)
+    frames = frames * jnp.asarray(window)
+    spectrum = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+    banks = jnp.asarray(_slaney_mel_banks(n_mels, n_fft, sample_rate,
+                                          0.0, sample_rate / 2.0))
+    mel = jnp.einsum("btf,fm->btm", power, banks,
+                     precision=jax.lax.Precision.HIGHEST)
+    feats = jnp.log(mel + log_zero_guard)               # (B, T, M)
+
+    if frame_mask is not None:
+        mask = frame_mask[:, :, None].astype(feats.dtype)
+    else:
+        frame_ids = jnp.arange(num_frames)[None, :, None]
+        mask = (frame_ids < valid_frames[:, None, None]).astype(
+            feats.dtype)
+    if normalize == "per_feature":
+        count = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+        mean = (feats * mask).sum(axis=1, keepdims=True) / count
+        var = (jnp.square(feats - mean) * mask).sum(
+            axis=1, keepdims=True) / jnp.maximum(count - 1.0, 1.0)
+        feats = (feats - mean) / (jnp.sqrt(var) + 1e-5)
+    elif normalize not in (None, "none"):
+        raise ValueError(f"unsupported normalize mode {normalize!r}")
+    return feats * mask

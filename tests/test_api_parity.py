@@ -257,7 +257,11 @@ def test_base_inference_hierarchy_and_external_backends():
     assert issubclass(Inference, BaseInference)
     assert issubclass(PyannoteAudioPretrainedSpeakerEmbedding,
                       BaseInference)
-    with pytest.raises(ImportError, match="speechbrain"):
+    # SpeechBrain backend is REAL (native ECAPA-TDNN): with no local
+    # snapshot and no network, construction fails with an actionable
+    # checkpoint-resolution error rather than an ImportError stub
+    with pytest.raises((FileNotFoundError, OSError),
+                       match="spkrec-ecapa-voxceleb"):
         SpeechBrainPretrainedSpeakerEmbedding()
     with pytest.raises(ImportError, match="NeMo"):
         NeMoPretrainedSpeakerEmbedding()

@@ -36,3 +36,30 @@ def test_train_and_diarize_example():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "training:" in proc.stdout
     assert "overall DER" in proc.stdout
+
+
+def test_finetune_and_adapt_example():
+    proc = _run([EXAMPLES / "finetune_and_adapt.py",
+                 "--epochs", "1", "--files", "3"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "pretrained pipeline checkpoint" in proc.stdout
+    assert "adapted pipeline applied OK" in proc.stdout
+
+
+def test_optimize_pipeline_example():
+    proc = _run([EXAMPLES / "optimize_pipeline.py", "--trials", "2"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "optimize + journal resume OK" in proc.stdout
+
+
+def test_export_to_reference_example():
+    proc = _run([EXAMPLES / "export_to_reference.py"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PyanNet roundtrip exact" in proc.stdout
+    assert "WeSpeaker roundtrip exact" in proc.stdout
+
+
+def test_serve_and_sdk_example():
+    proc = _run([EXAMPLES / "serve_and_sdk.py"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SDK round trip OK" in proc.stdout

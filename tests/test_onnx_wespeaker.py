@@ -102,9 +102,11 @@ def test_factory_dispatch_shapes(tmp_path):
     from pyannote_audio_tpu.pipelines.speaker_verification import \
         PretrainedSpeakerEmbedding
 
-    # external runtimes raise the reference's ImportError through the
-    # named backend classes (speaker_verification.py:65-75, 202-...)
-    with pytest.raises(ImportError, match="speechbrain"):
+    # speechbrain ids dispatch to the NATIVE ECAPA backend, which fails
+    # with an actionable checkpoint-resolution error when the snapshot
+    # is neither local nor downloadable (no egress in CI)
+    with pytest.raises((FileNotFoundError, OSError),
+                       match="spkrec-ecapa-voxceleb"):
         PretrainedSpeakerEmbedding("speechbrain/spkrec-ecapa-voxceleb")
     with pytest.raises(ImportError, match="NeMo"):
         PretrainedSpeakerEmbedding("nvidia/speakerverification_en_titanet_large")
