@@ -1,5 +1,6 @@
 from .debug import SimpleEmbeddingModel
 from .ecapa import ECAPA_TDNN
+from .titanet import TitaNet
 from .wespeaker import (BaseWeSpeakerResNet, WeSpeakerResNet34,
                         WeSpeakerResNet152, WeSpeakerResNet221,
                         WeSpeakerResNet293)
@@ -8,6 +9,7 @@ from .xvector import XVectorMFCC, XVectorSincNet
 __all__ = [
     "SimpleEmbeddingModel",
     "ECAPA_TDNN",
+    "TitaNet",
     "BaseWeSpeakerResNet",
     "WeSpeakerResNet34",
     "WeSpeakerResNet152",

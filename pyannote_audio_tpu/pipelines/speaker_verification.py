@@ -228,29 +228,106 @@ class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
 
 
 class NeMoPretrainedSpeakerEmbedding(BaseInference):
-    """Parity: NeMoPretrainedSpeakerEmbedding (reference
-    speaker_verification.py:65-199). The NeMo runtime is not part of
-    this stack; construction raises the same actionable ImportError the
-    reference raises when NeMo is absent."""
+    """NeMo `.nemo` checkpoints (TitaNet family) on the NATIVE flax model.
+
+    Parity: NeMoPretrainedSpeakerEmbedding (reference
+    speaker_verification.py:65-199) — but instead of wrapping the NeMo
+    runtime, the archive's ``model_config.yaml`` + ``model_weights.ckpt``
+    convert onto models/embedding/titanet.py (no nemo_toolkit needed).
+    ``embedding`` accepts a local ``.nemo`` tar, an extracted directory,
+    or a hub id like "nvidia/speakerverification_en_titanet_large".
+
+    The masked path mirrors the reference (:135-190): masks are
+    nearest-upsampled to sample resolution, thresholded at 0.5, the
+    speech samples COMPACTED to the front (pad_sequence semantics), and
+    wav_lens become the frame mask the masked convs/pooling consume;
+    all-too-short batches return NaN embeddings.
+    """
 
     def __init__(self,
                  embedding: Text = "nvidia/speakerverification_en_titanet_large",
-                 device=None):
-        raise ImportError(
-            f"'NeMo' must be installed to use {embedding!r} embeddings, "
-            "and this framework does not bundle it; convert the "
-            "checkpoint to a native model instead.")
+                 device=None, token=None, cache_dir=None):
+        from ..models.embedding.titanet import TitaNet
+
+        if isinstance(embedding, str) and "@" in embedding \
+                and not Path(embedding).exists():
+            self.embedding, revision = embedding.split("@", 1)
+        else:
+            self.embedding, revision = embedding, None
+        self.model = TitaNet.from_nemo(
+            self.embedding, revision=revision, token=token,
+            cache_dir=cache_dir)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.model.sample_rate
+
+    @property
+    def dimension(self) -> int:
+        return self.model.dimension
+
+    @property
+    def metric(self) -> Text:
+        return "cosine"
+
+    @property
+    def min_num_samples(self) -> int:
+        return self.model.min_num_samples
+
+    def __call__(self, waveforms, masks=None) -> np.ndarray:
+        waveforms = np.asarray(waveforms, dtype=np.float32)
+        batch_size, num_channels, num_samples = waveforms.shape
+        assert num_channels == 1
+        signals = waveforms[:, 0, :]
+
+        if masks is None:
+            wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
+        else:
+            masks = np.asarray(masks, dtype=np.float32)
+            # nearest upsample to sample resolution (reference :165-171)
+            idx = np.minimum(
+                (np.arange(num_samples) * masks.shape[-1]) // num_samples,
+                masks.shape[-1] - 1)
+            imasks = masks[:, idx] > 0.5
+            wav_lens = imasks.sum(axis=1)
+            compacted = np.zeros_like(signals)
+            for i in range(batch_size):
+                keep = signals[i, imasks[i]]
+                compacted[i, :keep.shape[0]] = keep
+            signals = compacted
+
+        max_len = int(wav_lens.max())
+        if max_len < self.min_num_samples:
+            return np.nan * np.zeros((batch_size, self.dimension))
+        too_short = wav_lens < self.min_num_samples
+        wav_lens = wav_lens.astype(np.float64)
+        wav_lens[too_short] = max_len
+
+        signals = signals[:, :max_len]
+        # prefix frame mask from valid lengths (NeMo length semantics:
+        # valid frames = 1 + samples // hop)
+        num_frames = self.model.num_frames(max_len)
+        valid = 1 + (wav_lens // 160).astype(np.int64)
+        frame_mask = (np.arange(num_frames)[None, :]
+                      < np.minimum(valid, num_frames)[:, None]
+                      ).astype(np.float32)
+
+        emb = np.array(self.model.forward_with_frame_mask(
+            signals, frame_mask))
+        emb[too_short] = np.nan
+        return emb
 
 
 def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                                token=None, cache_dir=None):
     """Dispatch factory (parity: speaker_verification.py:719-778).
 
-    Resolves the reference's four name shapes: "pyannote/*" (native
-    Model), "*wespeaker*" (ONNX weights -> native ResNet),
-    "speechbrain/*" (snapshot converts onto the native flax ECAPA-TDNN)
-    and "nvidia/*" (NeMo runtime — actionable error until a .nemo
-    converter lands). Anything else loads through the native Model path.
+    Resolves the reference's four name shapes, ALL working natively:
+    "pyannote/*" (native Model), "*wespeaker*" (ONNX weights -> native
+    ResNet), "speechbrain/*" (snapshot converts onto the native flax
+    ECAPA-TDNN) and "nvidia/*" / "*.nemo" (archive converts onto the
+    native flax TitaNet). Anything else loads through the native Model
+    path.
     """
     if isinstance(embedding, str):
         lowered = embedding.lower()
@@ -260,8 +337,12 @@ def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                 and (Path(embedding) / "embedding_model.ckpt").is_file()):
             return SpeechBrainPretrainedSpeakerEmbedding(
                 embedding, device=device, token=token, cache_dir=cache_dir)
-        if "nvidia" in lowered or "nemo" in lowered:
-            return NeMoPretrainedSpeakerEmbedding(embedding, device=device)
+        if "nvidia" in lowered or "nemo" in lowered or (
+                Path(embedding).is_dir()
+                and (Path(embedding) / "model_weights.ckpt").is_file()):
+            return NeMoPretrainedSpeakerEmbedding(
+                embedding, device=device, token=token,
+                cache_dir=cache_dir)
         # native checkpoint DIRECTORIES (even ones named *wespeaker*)
         # stay on the native path; files / hub names go through ONNX
         if ("wespeaker" in lowered or lowered.endswith(".onnx")) \

@@ -263,7 +263,9 @@ def test_base_inference_hierarchy_and_external_backends():
     with pytest.raises((FileNotFoundError, OSError),
                        match="spkrec-ecapa-voxceleb"):
         SpeechBrainPretrainedSpeakerEmbedding()
-    with pytest.raises(ImportError, match="NeMo"):
+    # NeMo backend is REAL too (native TitaNet + .nemo converter)
+    with pytest.raises((FileNotFoundError, OSError),
+                       match="titanet"):
         NeMoPretrainedSpeakerEmbedding()
 
 

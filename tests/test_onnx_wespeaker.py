@@ -108,7 +108,7 @@ def test_factory_dispatch_shapes(tmp_path):
     with pytest.raises((FileNotFoundError, OSError),
                        match="spkrec-ecapa-voxceleb"):
         PretrainedSpeakerEmbedding("speechbrain/spkrec-ecapa-voxceleb")
-    with pytest.raises(ImportError, match="NeMo"):
+    with pytest.raises((FileNotFoundError, OSError), match="titanet"):
         PretrainedSpeakerEmbedding("nvidia/speakerverification_en_titanet_large")
     with pytest.raises(ValueError, match="not a local file"):
         PretrainedSpeakerEmbedding("wespeaker/wespeaker-voxceleb-resnet34-LM")

@@ -364,3 +364,45 @@ def test_titanet_num_frames_and_min_samples():
     assert model.num_frames(16000) == 101
     assert model.min_num_samples == 160
     assert model.dimension == 16
+
+
+def test_nemo_wrapper_end_to_end(tmp_path):
+    """PretrainedSpeakerEmbedding dispatches a local .nemo archive to
+    the native NeMo wrapper; the masked/compacted path mirrors the
+    reference semantics (NaN for too-short rows)."""
+    from pyannote_audio_tpu.pipelines.speaker_verification import (
+        NeMoPretrainedSpeakerEmbedding, PretrainedSpeakerEmbedding)
+
+    n_mels, emb_dim, att = 12, 16, 8
+    replica = TitaNetReplica(n_mels, SMALL_BLOCKS, emb_dim, att).eval()
+    nemo_path = tmp_path / "tiny.nemo"
+    nemo_path.write_bytes(
+        _nemo_tar_bytes(replica, n_mels, SMALL_BLOCKS, emb_dim, att))
+
+    backend = PretrainedSpeakerEmbedding(str(nemo_path))
+    assert isinstance(backend, NeMoPretrainedSpeakerEmbedding)
+    assert backend.dimension == emb_dim
+    assert backend.metric == "cosine"
+
+    rng = np.random.default_rng(4)
+    wav = (rng.standard_normal((3, 1, 16000)) * 0.2).astype(np.float32)
+    full = backend(wav)
+    assert full.shape == (3, emb_dim) and np.isfinite(full).all()
+
+    masks = np.ones((3, 100), np.float32)
+    masks[1, 40:] = 0.0              # half speech
+    masks[2, :] = 0.0                # all masked -> too short -> NaN
+    masked = backend(wav, masks=masks)
+    assert masked.shape == (3, emb_dim)
+    assert np.isfinite(masked[0]).all() and np.isfinite(masked[1]).all()
+    assert np.isnan(masked[2]).all()
+    # the fully-unmasked row reproduces the unmasked embedding
+    np.testing.assert_allclose(masked[0], full[0], atol=1e-4)
+
+    # extracted-directory form loads too
+    ext = tmp_path / "extracted"
+    with tarfile.open(nemo_path) as tar:
+        tar.extractall(ext)
+    backend2 = PretrainedSpeakerEmbedding(str(ext))
+    assert isinstance(backend2, NeMoPretrainedSpeakerEmbedding)
+    np.testing.assert_allclose(backend2(wav), full, atol=1e-5)
