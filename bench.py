@@ -38,15 +38,19 @@ def main():
     audio_minutes = float(os.environ.get("BENCH_AUDIO_MINUTES", "10"))
     num_files = int(os.environ.get("BENCH_NUM_FILES", "3"))
     # file-LENGTH diversity (round-2 review): the batch exercises several
-    # shape buckets (10/7.5/5 min -> distinct 30 s padded-length buckets
-    # + a half-size tail batch), not 3x the same length. Override with
-    # BENCH_FILE_MINUTES="10,10,10" for the legacy uniform batch.
-    # explicit BENCH_AUDIO_MINUTES (the legacy knob) without
-    # BENCH_FILE_MINUTES keeps its old meaning: uniform-length files
+    # shape buckets + the half-size tail batch, not 3x the same length.
+    # Round 4: the default mix leads with a 60-MINUTE file — the
+    # reference baseline's speed rows are ~1h files and the north star
+    # is "diarize 1 hour in <5 s", so the headline artifact must measure
+    # that length, not extrapolate from 10-min files (VERDICT r3 item 1;
+    # first hour-scale measurement: 6.67 s wall in a LOADED window,
+    # relay_probe 24 ms). Override with BENCH_FILE_MINUTES="10,10,10"
+    # for a uniform batch. Explicit BENCH_AUDIO_MINUTES (the legacy
+    # knob) without BENCH_FILE_MINUTES keeps its old meaning.
     lengths_env = os.environ.get("BENCH_FILE_MINUTES")
     if lengths_env is None:
         lengths_env = ",".join([str(audio_minutes)] * num_files) \
-            if "BENCH_AUDIO_MINUTES" in os.environ else "10,7.5,5"
+            if "BENCH_AUDIO_MINUTES" in os.environ else "60,20,10"
     file_minutes = [float(x) for x in lengths_env.split(",") if x]
     while len(file_minutes) < num_files:
         file_minutes.append(audio_minutes)

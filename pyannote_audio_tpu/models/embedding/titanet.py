@@ -459,6 +459,11 @@ class TitaNet(Model):
 
     convert_torch_state_dict = convert_nemo_state_dict
 
+    def export_torch_state_dict(self) -> Dict[str, np.ndarray]:
+        """NeMo-layout state dict (utils/torch_export plain-dict path;
+        for a loadable archive use :func:`export_nemo_checkpoint`)."""
+        return export_nemo_state_dict(self)
+
     @classmethod
     def from_nemo(cls, source: Union[str, Path], revision=None,
                   token=None, cache_dir=None) -> "TitaNet":
@@ -570,3 +575,146 @@ def _torch_load(data: bytes) -> Dict[str, np.ndarray]:
         state = state["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in state.items()}
+
+
+def _mconv_layout(cfg: Dict) -> Dict[str, int]:
+    """NeMo JasperBlock mconv ModuleList indices for one block config:
+    per repeat [conv(s), BN] with [activation, dropout] placeholders
+    BETWEEN repeats, SqueezeExcite appended last (jasper.py ordering —
+    the placeholders own no params but occupy indices)."""
+    layout: Dict[str, int] = {}
+    idx = 0
+    repeat = int(cfg.get("repeat", 1))
+    for r in range(repeat):
+        if cfg.get("separable", False):
+            layout[f"dw_{r}"] = idx
+            layout[f"pw_{r}"] = idx + 1
+            layout[f"bn_{r}"] = idx + 2
+            idx += 3
+        else:
+            layout[f"conv_{r}"] = idx
+            layout[f"bn_{r}"] = idx + 1
+            idx += 2
+        if r != repeat - 1:
+            idx += 2                      # activation + dropout
+    if cfg.get("se", True):
+        layout["se"] = idx
+    return layout
+
+
+def export_nemo_state_dict(model: "TitaNet") -> Dict[str, np.ndarray]:
+    """Inverse of :meth:`TitaNet.convert_nemo_state_dict`: flax params ->
+    the exact NeMo ``EncDecSpeakerLabelModel`` state-dict layout
+    (loadable by nemo_toolkit, classification head zero-initialized —
+    NeMo keeps it for fine-tuning but embeddings never touch it)."""
+    variables = model.params
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def a(x):
+        return np.asarray(x, dtype=np.float32)
+
+    state: Dict[str, np.ndarray] = {}
+
+    def put_bn(prefix, p, s):
+        state[f"{prefix}.weight"] = a(p["scale"])
+        state[f"{prefix}.bias"] = a(p["bias"])
+        state[f"{prefix}.running_mean"] = a(s["mean"])
+        state[f"{prefix}.running_var"] = a(s["var"])
+        state[f"{prefix}.num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64)
+
+    def put_conv(key, kernel, bias=None):
+        # flax (k, I, O) -> torch (O, I, k)
+        state[f"{key}.weight"] = a(kernel).transpose(2, 1, 0)
+        if bias is not None:
+            state[f"{key}.bias"] = a(bias)
+
+    for i, cfg in enumerate(model.blocks):
+        prefix = f"encoder.encoder.{i}"
+        bp = params[f"block_{i}"]
+        bs = stats.get(f"block_{i}", {})
+        layout = _mconv_layout(cfg)
+        for name, idx in layout.items():
+            if name.startswith("bn_"):
+                put_bn(f"{prefix}.mconv.{idx}", bp[name], bs[name])
+            elif name == "se":
+                state[f"{prefix}.mconv.{idx}.fc.0.weight"] = \
+                    a(bp["se"]["fc1"]["kernel"]).T
+                state[f"{prefix}.mconv.{idx}.fc.0.bias"] = \
+                    a(bp["se"]["fc1"]["bias"])
+                state[f"{prefix}.mconv.{idx}.fc.2.weight"] = \
+                    a(bp["se"]["fc2"]["kernel"]).T
+                state[f"{prefix}.mconv.{idx}.fc.2.bias"] = \
+                    a(bp["se"]["fc2"]["bias"])
+            else:
+                put_conv(f"{prefix}.mconv.{idx}.conv",
+                         bp[name]["kernel"])
+        if cfg.get("residual", False):
+            put_conv(f"{prefix}.res.0.0.conv", bp["res_conv"]["kernel"])
+            put_bn(f"{prefix}.res.0.1", bp["res_bn"], bs["res_bn"])
+
+    pool = "decoder._pooling.attention_layer"
+    put_conv(f"{pool}.0.conv_layer", params["pool"]["tdnn_conv"]["kernel"],
+             params["pool"]["tdnn_conv"]["bias"])
+    put_bn(f"{pool}.0.bn", params["pool"]["tdnn_bn"],
+           stats["pool"]["tdnn_bn"])
+    put_conv(f"{pool}.2", params["pool"]["attn_conv"]["kernel"],
+             params["pool"]["attn_conv"]["bias"])
+    put_bn("decoder.emb_layers.0.0", params["emb_bn"], stats["emb_bn"])
+    # 1x1 conv: flax Dense kernel (2C, emb) -> torch (emb, 2C, 1)
+    state["decoder.emb_layers.0.1.weight"] = \
+        a(params["emb"]["kernel"]).T[:, :, None]
+    state["decoder.emb_layers.0.1.bias"] = a(params["emb"]["bias"])
+    # classification head: training-only, not represented in flax
+    last = model.blocks[-1]["filters"]  # noqa: F841 (doc: head is (n, emb))
+    state["decoder.final.weight"] = np.zeros(
+        (7, model.emb_dim), dtype=np.float32)
+    return state
+
+
+def export_nemo_checkpoint(model: "TitaNet",
+                           path: Union[str, Path]) -> Path:
+    """Write ``model`` as a loadable ``.nemo`` archive (tar with
+    model_config.yaml + model_weights.ckpt) — the inverse of
+    :meth:`TitaNet.from_nemo`, so TPU-trained TitaNets deploy on stock
+    NeMo deployments."""
+    import torch
+    import yaml
+
+    config = {
+        "preprocessor": {"sample_rate": model.sample_rate,
+                         "features": model.n_mels, "n_fft": 512,
+                         "window_size": 0.025, "window_stride": 0.01,
+                         "normalize": "per_feature", "window": "hann"},
+        "encoder": {"feat_in": model.n_mels, "jasper": [
+            {"filters": b["filters"], "repeat": b.get("repeat", 1),
+             "kernel": [b["kernel"]], "stride": [1],
+             "dilation": [b.get("dilation", 1)],
+             "residual": b.get("residual", False),
+             "separable": b.get("separable", False),
+             "se": b.get("se", True), "se_context_size": -1}
+            for b in model.blocks]},
+        "decoder": {"feat_in": model.blocks[-1]["filters"],
+                    "num_classes": 7, "pool_mode": "attention",
+                    "emb_sizes": model.emb_dim,
+                    "attention_channels": model.attention_channels,
+                    "angular": True},
+    }
+    state = {k: __import__("torch").from_numpy(np.array(v, copy=True))
+             for k, v in export_nemo_state_dict(model).items()}
+    weights = io.BytesIO()
+    torch.save(state, weights)
+    path = Path(path)
+    if path.is_dir() or path.suffix == "":
+        path.mkdir(parents=True, exist_ok=True)
+        path = path / "model.nemo"
+    with tarfile.open(path, "w:gz") as tar:
+        for name, payload in [
+                ("./model_config.yaml",
+                 yaml.safe_dump(config).encode()),
+                ("./model_weights.ckpt", weights.getvalue())]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    return path

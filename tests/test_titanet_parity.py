@@ -406,3 +406,42 @@ def test_nemo_wrapper_end_to_end(tmp_path):
     backend2 = PretrainedSpeakerEmbedding(str(ext))
     assert isinstance(backend2, NeMoPretrainedSpeakerEmbedding)
     np.testing.assert_allclose(backend2(wav), full, atol=1e-5)
+
+
+def test_export_nemo_state_dict_roundtrip():
+    """Flax -> NeMo state dict loads into the torch replica with
+    strict=True (exact key layout) and reproduces the flax outputs."""
+    from pyannote_audio_tpu.models.embedding.titanet import \
+        export_nemo_state_dict
+
+    replica0, model = _build_pair()
+    state = export_nemo_state_dict(model)
+    fresh = TitaNetReplica(12, SMALL_BLOCKS, 16, 8).eval()
+    missing, unexpected = fresh.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True))
+         for k, v in state.items()}, strict=True)
+    assert not missing and not unexpected
+
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((2, 30, 12)).astype(np.float32)
+    with torch.no_grad():
+        expected = fresh(torch.from_numpy(
+            feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(model.module.apply(model.params, np.asarray(feats)))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_export_nemo_checkpoint_roundtrip(tmp_path):
+    """export_nemo_checkpoint writes a .nemo archive that from_nemo
+    loads back to identical embeddings (two-way conversion)."""
+    from pyannote_audio_tpu.models.embedding.titanet import (
+        TitaNet, export_nemo_checkpoint)
+
+    _, model = _build_pair()
+    path = export_nemo_checkpoint(model, tmp_path / "out")
+    assert path.name == "model.nemo"
+    reloaded = TitaNet.from_nemo(path)
+    rng = np.random.default_rng(6)
+    wav = (rng.standard_normal((2, 1, 16000)) * 0.2).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(model(wav)),
+                               np.asarray(reloaded(wav)), atol=1e-5)
