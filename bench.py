@@ -146,22 +146,36 @@ def main():
     elapsed = min(times)
 
     # window calibration (VERDICT r3 item 3): round-trip latency of a
-    # tiny program + achieved TFLOP/s of a 4096^3 bf16 matmul, so future
-    # BENCH_r*.json can tell pool-load swings from real regressions
+    # tiny program + achieved TFLOP/s of a CHAIN of 64 4096^3 bf16
+    # matmuls inside one program — one matmul is ~0.7 ms at peak, far
+    # below the relay sync (~2-25 ms), so a single-matmul probe would
+    # just re-measure latency; 64 chained ones (~45 ms at peak) make
+    # the number compute-dominated. The final jnp.sum forces every
+    # entry (a [:1,:1] slice could let XLA elide work), and the operand
+    # is scaled to spectral norm <1 so 64 powers stay in bf16 range.
     import jax
     import jax.numpy as jnp
-    mm = jax.jit(lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
+    MM_ITERS = 64
+    mm_small = jax.jit(lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
+
+    def mm_chain(a):
+        x = jax.lax.fori_loop(0, MM_ITERS, lambda i, x: x @ a, a)
+        return jnp.sum(x.astype(jnp.float32))
+
+    mm_big = jax.jit(mm_chain)
     small = jnp.zeros((128, 128), jnp.bfloat16)
-    big_a = jnp.ones((4096, 4096), jnp.bfloat16)
+    big_a = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
     probe_lat, probe_tf = [], []
-    np.asarray(mm(small, small)), np.asarray(mm(big_a, big_a))  # compile
+    np.asarray(mm_small(small, small)), np.asarray(mm_big(big_a))
     for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(mm(small, small))
+        np.asarray(mm_small(small, small))
         probe_lat.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(mm(big_a, big_a))
-        probe_tf.append(2 * 4096**3 / (time.perf_counter() - t0) / 1e12)
+        np.asarray(mm_big(big_a))
+        probe_tf.append(2 * 4096**3 * (MM_ITERS + 1)
+                        / (time.perf_counter() - t0) / 1e12)
 
     # analytic device FLOPs for the exact files processed (utils/flops.py,
     # XLA-cost-analysis-cross-checked) -> achieved TFLOP/s + MFU. The

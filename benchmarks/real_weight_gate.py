@@ -8,10 +8,15 @@ subprocess (the flags resolve at trace time, so flipping them inside one
 process would hit cached executables), then emits the DER-delta table
 REAL_CHECKPOINT_PARITY.md promises.
 
-Usage (the day real community-1 weights exist):
+Usage (the day real community-1 weights exist; the env dance keeps the
+TPU session claimable by the CHILD benchmarks only — any python process
+holding PALLAS_AXON_POOL_IPS claims it at interpreter start):
 
-    python benchmarks/real_weight_gate.py /ckpt AMI.SpeakerDiarization.only_words \
-        --registry /path/to/database.yml --subset test --out /tmp/gate --device
+    env PAT_GATE_POOL_IPS="$PALLAS_AXON_POOL_IPS" PALLAS_AXON_POOL_IPS= \
+        python benchmarks/real_weight_gate.py /ckpt \
+        AMI.SpeakerDiarization.only_words \
+        --registry /path/to/database.yml --subset test --out /tmp/gate \
+        --device
 
 Dry run on the synthetic debug corpus (no weights, CPU, works today):
 
@@ -63,7 +68,13 @@ def run_config(name: str, flags: dict, args, out_root: Path) -> dict:
     for key in EXACT:
         env.pop(key, None)
     env.update(flags)
-    if not args.device:
+    if args.device:
+        # the pool IPs travel via PAT_GATE_POOL_IPS (see main()): the
+        # PARENT must never hold them or it claims the single TPU
+        # session at interpreter start and every child deadlocks
+        env["PALLAS_AXON_POOL_IPS"] = os.environ["PAT_GATE_POOL_IPS"]
+        env.pop("JAX_PLATFORMS", None)
+    else:
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -158,8 +169,17 @@ def main(argv=None) -> int:
     parser.add_argument("--subset", default="test")
     parser.add_argument("--out", default=None)
     parser.add_argument("--device", action="store_true",
-                        help="run on the accelerator (default: CPU-only "
-                             "subprocesses, safe next to a TPU session)")
+                        help="run each config on the accelerator. The "
+                             "single TPU session is claimed by ANY "
+                             "python process holding "
+                             "PALLAS_AXON_POOL_IPS at interpreter "
+                             "start, so launch the gate itself with "
+                             "that var EMPTY and hand the pool to the "
+                             "children via PAT_GATE_POOL_IPS: "
+                             "env PAT_GATE_POOL_IPS=\"$PALLAS_AXON_POOL"
+                             "_IPS\" PALLAS_AXON_POOL_IPS= python "
+                             "benchmarks/real_weight_gate.py ... "
+                             "--device")
     parser.add_argument("--configs", default=None,
                         help="comma-separated subset of config names")
     parser.add_argument("--timeout", type=int, default=3600,
@@ -168,6 +188,21 @@ def main(argv=None) -> int:
                         help="build the synthetic debug corpus + debug "
                              "pipeline and gate that (no weights needed)")
     args = parser.parse_args(argv)
+
+    if args.device:
+        if os.environ.get("PALLAS_AXON_POOL_IPS"):
+            parser.error(
+                "--device: this parent process is holding "
+                "PALLAS_AXON_POOL_IPS, which claims the single TPU "
+                "session at interpreter start and deadlocks every "
+                "child. Relaunch as: env "
+                "PAT_GATE_POOL_IPS=\"$PALLAS_AXON_POOL_IPS\" "
+                "PALLAS_AXON_POOL_IPS= python "
+                "benchmarks/real_weight_gate.py ... --device")
+        if not os.environ.get("PAT_GATE_POOL_IPS"):
+            parser.error(
+                "--device needs PAT_GATE_POOL_IPS=<pool ips> so the "
+                "child benchmarks (and only them) can claim the TPU")
 
     tmp = None
     if args.dry_run:

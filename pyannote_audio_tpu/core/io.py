@@ -201,7 +201,6 @@ def get_audio_metadata(file: AudioFile) -> AudioMetadata:
                              bits_per_sample=32, encoding="float")
     source = file["audio"]
     if isinstance(source, (str, Path)):
-        import os
         with open(source, "rb") as f:
             header = f.read(65536)
         try:

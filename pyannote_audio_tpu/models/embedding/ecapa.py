@@ -577,7 +577,11 @@ def _infer_ecapa_config(state: Dict[str, np.ndarray],
         "res2net_scale": scale,
         "se_channels": int(
             state["blocks.1.se_block.conv1.conv.weight"].shape[0]),
-        "global_context": bool(w_att.shape[1] == 3 * channels[-1]),
+        # shape inference is authoritative (attention input width is
+        # 3C with global context, C without); hyperparams.yaml may
+        # override like the other fields
+        "global_context": bool(hyper.get(
+            "global_context", w_att.shape[1] == 3 * channels[-1])),
         "lin_neurons": int(state["fc.conv.weight"].shape[0]),
     }
     if "n_mels" in hyper:

@@ -225,6 +225,8 @@ class TitaNet(Model):
                  n_mels: int = 80,
                  blocks: Optional[Sequence[dict]] = None,
                  emb_dim: int = 192, attention_channels: int = 128,
+                 n_fft: int = 512, win_length: int = 400,
+                 hop_length: int = 160,
                  task=None, **kwargs):
         super().__init__(sample_rate=sample_rate,
                          num_channels=num_channels, task=task)
@@ -232,9 +234,14 @@ class TitaNet(Model):
         self.blocks = [dict(b) for b in (blocks or TITANET_LARGE_BLOCKS)]
         self.emb_dim = emb_dim
         self.attention_channels = attention_channels
+        self.n_fft = n_fft
+        self.win_length = win_length
+        self.hop_length = hop_length
         self.hparams = {"n_mels": n_mels, "blocks": self.blocks,
                         "emb_dim": emb_dim,
-                        "attention_channels": attention_channels}
+                        "attention_channels": attention_channels,
+                        "n_fft": n_fft, "win_length": win_length,
+                        "hop_length": hop_length}
         if self._specifications is None and task is None:
             self._specifications = Specifications(
                 problem=Problem.REPRESENTATION,
@@ -257,7 +264,7 @@ class TitaNet(Model):
         return self.emb_dim
 
     def num_frames(self, num_samples: int) -> int:
-        return nemo_mel_num_frames(num_samples)
+        return nemo_mel_num_frames(num_samples, self.hop_length)
 
     @property
     def min_num_samples(self) -> int:
@@ -266,7 +273,7 @@ class TitaNet(Model):
         reference finds its NeMo bound by bisecting runtime failures
         (speaker_verification.py:109-131); the native forward is total,
         so this is a quality floor rather than a crash boundary."""
-        return 160
+        return self.hop_length
 
     # -- forward ----------------------------------------------------------
 
@@ -291,12 +298,18 @@ class TitaNet(Model):
     def _forward_from_audio(self, params, waveforms, mask):
         if mask is None:
             feats = nemo_mel_spectrogram(waveforms, n_mels=self.n_mels,
-                                         sample_rate=self.sample_rate)
+                                         sample_rate=self.sample_rate,
+                                         n_fft=self.n_fft,
+                                         win_length=self.win_length,
+                                         hop_length=self.hop_length)
             return self.module.apply(params, feats)
         # scattered frame mask (pipeline weights): the normalization
         # statistics and every masked conv/pool see only masked frames
         feats = nemo_mel_spectrogram(waveforms, n_mels=self.n_mels,
                                      sample_rate=self.sample_rate,
+                                     n_fft=self.n_fft,
+                                     win_length=self.win_length,
+                                     hop_length=self.hop_length,
                                      frame_mask=mask)
         return self.module.apply(params, feats, mask=mask)
 
@@ -316,6 +329,9 @@ class TitaNet(Model):
     def _forward_masked(self, params, signals, frame_mask):
         feats = nemo_mel_spectrogram(signals, n_mels=self.n_mels,
                                      sample_rate=self.sample_rate,
+                                     n_fft=self.n_fft,
+                                     win_length=self.win_length,
+                                     hop_length=self.hop_length,
                                      frame_mask=frame_mask)
         return self.module.apply(params, feats, mask=frame_mask)
 
@@ -509,15 +525,40 @@ def _model_kwargs_from_config(config: Dict) -> Dict:
     emb_sizes = dec.get("emb_sizes", 192)
     if isinstance(emb_sizes, (list, tuple)):
         emb_sizes = emb_sizes[0]
+    sample_rate = int(pre.get("sample_rate", 16000))
+    window = str(pre.get("window", "hann")).lower()
+    if window != "hann":
+        raise ValueError(
+            f"unsupported preprocessor window {window!r} (only 'hann' "
+            "— the TitaNet family default — is implemented)")
+    normalize = pre.get("normalize", "per_feature")
+    if normalize not in ("per_feature",):
+        raise ValueError(
+            f"unsupported preprocessor normalize {normalize!r}")
+    win_length = int(round(float(pre.get("window_size", 0.025))
+                           * sample_rate))
+    hop_length = int(round(float(pre.get("window_stride", 0.01))
+                           * sample_rate))
+    n_fft = int(pre.get("n_fft") or _next_pow2(win_length))
     kwargs = {
-        "sample_rate": int(pre.get("sample_rate", 16000)),
+        "sample_rate": sample_rate,
         "n_mels": int(pre.get("features", 80)),
         "emb_dim": int(emb_sizes),
         "attention_channels": int(dec.get("attention_channels", 128)),
+        "n_fft": n_fft,
+        "win_length": win_length,
+        "hop_length": hop_length,
     }
     if blocks:
         kwargs["blocks"] = blocks
     return kwargs
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def _load_nemo_archive(source: Union[str, Path], revision=None,
@@ -684,8 +725,11 @@ def export_nemo_checkpoint(model: "TitaNet",
 
     config = {
         "preprocessor": {"sample_rate": model.sample_rate,
-                         "features": model.n_mels, "n_fft": 512,
-                         "window_size": 0.025, "window_stride": 0.01,
+                         "features": model.n_mels, "n_fft": model.n_fft,
+                         "window_size": model.win_length
+                         / model.sample_rate,
+                         "window_stride": model.hop_length
+                         / model.sample_rate,
                          "normalize": "per_feature", "window": "hann"},
         "encoder": {"feat_in": model.n_mels, "jasper": [
             {"filters": b["filters"], "repeat": b.get("repeat", 1),

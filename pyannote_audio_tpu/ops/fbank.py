@@ -310,21 +310,23 @@ def speechbrain_fbank(waveforms: jnp.ndarray, n_mels: int = 80,
     num_frames = speechbrain_fbank_num_frames(num_samples, hop_length)
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)))
-    # make sure the final centered frame has a full window to gather
-    needed = (num_frames - 1) * hop_length + win_length
+    # make sure the final centered frame has a full n_fft to gather
+    needed = (num_frames - 1) * hop_length + n_fft
     if x.shape[-1] < needed:
         x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
     idx = (jnp.arange(num_frames)[:, None] * hop_length
-           + jnp.arange(win_length)[None, :])
-    frames = x[:, idx]                                   # (B, T, win)
-    # torch.hamming_window periodic=True: 0.54 - 0.46 cos(2 pi n / N)
+           + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx]                                   # (B, T, n_fft)
+    # torch.hamming_window periodic=True: 0.54 - 0.46 cos(2 pi n / N),
+    # CENTERED in the n_fft frame when win_length < n_fft (torch.stft
+    # pads the window symmetrically — not right-aligned)
     n = np.arange(win_length, dtype=np.float64)
-    window = (0.54 - 0.46 * np.cos(2 * np.pi * n / win_length)) \
+    hamming = (0.54 - 0.46 * np.cos(2 * np.pi * n / win_length)) \
         .astype(np.float32)
+    window = np.zeros(n_fft, dtype=np.float32)
+    left = (n_fft - win_length) // 2
+    window[left:left + win_length] = hamming
     frames = frames * jnp.asarray(window)
-    if n_fft > win_length:
-        frames = jnp.pad(frames, ((0, 0), (0, 0),
-                                  (0, n_fft - win_length)))
     spectrum = jnp.fft.rfft(frames, axis=-1)
     power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
     banks = jnp.asarray(_speechbrain_mel_banks(
@@ -451,10 +453,12 @@ def nemo_mel_spectrogram(waveforms: jnp.ndarray,
     idx = (jnp.arange(num_frames)[:, None] * hop_length
            + jnp.arange(n_fft)[None, :])
     frames = x[:, idx]                                  # (B, T, n_fft)
-    # periodic hann of win_length, centered in an n_fft-wide buffer
-    # (torch.stft pads the window symmetrically when win_length < n_fft)
+    # SYMMETRIC hann of win_length (NeMo FilterbankFeatures constructs
+    # torch.hann_window(win_length, periodic=False) — features.py),
+    # centered in an n_fft-wide buffer (torch.stft pads the window
+    # symmetrically when win_length < n_fft)
     n = np.arange(win_length, dtype=np.float64)
-    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / win_length)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win_length - 1))
     window = np.zeros(n_fft, dtype=np.float32)
     left = (n_fft - win_length) // 2
     window[left:left + win_length] = hann.astype(np.float32)

@@ -158,7 +158,10 @@ class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
                  device=None, token=None, cache_dir=None):
         from ..models.embedding.ecapa import ECAPA_TDNN
 
-        if isinstance(embedding, str) and "@" in embedding:
+        # "@revision" applies to hub ids only — a LOCAL path may
+        # legitimately contain '@'
+        if isinstance(embedding, str) and "@" in embedding \
+                and not Path(embedding).exists():
             self.embedding, revision = embedding.split("@", 1)
         else:
             self.embedding, revision = embedding, None
@@ -307,7 +310,7 @@ class NeMoPretrainedSpeakerEmbedding(BaseInference):
         # prefix frame mask from valid lengths (NeMo length semantics:
         # valid frames = 1 + samples // hop)
         num_frames = self.model.num_frames(max_len)
-        valid = 1 + (wav_lens // 160).astype(np.int64)
+        valid = 1 + (wav_lens // self.model.hop_length).astype(np.int64)
         frame_mask = (np.arange(num_frames)[None, :]
                       < np.minimum(valid, num_frames)[:, None]
                       ).astype(np.float32)

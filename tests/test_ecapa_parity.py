@@ -453,3 +453,40 @@ def test_min_num_samples_analytic():
                 + 0.01 * np.random.default_rng(0)
                 .standard_normal((1, 1, 640)).astype(np.float32))
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_speechbrain_fbank_padded_nfft_golden():
+    """n_fft > win_length: torch.stft CENTERS the win_length window
+    inside the n_fft frame (not right-aligned) — regression for the
+    round-4 review finding."""
+    from pyannote_audio_tpu.ops.fbank import speechbrain_fbank
+
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    ours = np.asarray(speechbrain_fbank(wav, n_mels=24, n_fft=512))
+
+    t = torch.from_numpy(wav)
+    stft = torch.stft(t, n_fft=512, hop_length=160, win_length=400,
+                      window=torch.hamming_window(400), center=True,
+                      pad_mode="constant", normalized=False,
+                      onesided=True, return_complex=True)
+    power = (stft.real ** 2 + stft.imag ** 2).transpose(1, 2)
+
+    def to_mel(hz):
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+    def to_hz(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    hz = to_hz(np.linspace(to_mel(0.0), to_mel(8000.0), 24 + 2))
+    band = (hz[1:] - hz[:-1])[:-1]
+    f_central = hz[1:-1]
+    all_freqs = np.linspace(0, 8000, 512 // 2 + 1)
+    slope = (all_freqs[:, None] - f_central[None, :]) / band[None, :]
+    banks = np.maximum(0.0, np.minimum(slope + 1, -slope + 1))
+    mel = power @ torch.from_numpy(banks.astype(np.float32))
+    x_db = 10.0 * torch.log10(mel.clamp(min=1e-10))
+    floor = x_db.amax(dim=(-2, -1), keepdim=True) - 80.0
+    theirs = torch.max(x_db, floor).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)

@@ -236,8 +236,10 @@ def test_nemo_mel_matches_torch_stft():
 
     x = torch.from_numpy(wav)
     x = torch.cat((x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]), dim=1)
+    # NeMo builds its window with periodic=False (symmetric hann):
+    # nemo FilterbankFeatures: window_fn(self.win_length, periodic=False)
     spec = torch.stft(x, n_fft=n_fft, hop_length=hop, win_length=win,
-                      window=torch.hann_window(win, periodic=True),
+                      window=torch.hann_window(win, periodic=False),
                       center=True, pad_mode="reflect",
                       return_complex=True)
     power = spec.abs().pow(2.0)                       # (B, F, T)
@@ -445,3 +447,34 @@ def test_export_nemo_checkpoint_roundtrip(tmp_path):
     wav = (rng.standard_normal((2, 1, 16000)) * 0.2).astype(np.float32)
     np.testing.assert_allclose(np.asarray(model(wav)),
                                np.asarray(reloaded(wav)), atol=1e-5)
+
+
+def test_config_stft_geometry_honored():
+    """A .nemo config with non-default STFT geometry must drive the
+    front-end (round-4 review finding: silently-wrong hop)."""
+    kwargs = _model_kwargs_from_config({
+        "preprocessor": {"features": 80, "sample_rate": 16000,
+                         "window_size": 0.025, "window_stride": 0.02,
+                         "n_fft": 512},
+        "encoder": {"jasper": []},
+        "decoder": {"emb_sizes": 192},
+    })
+    assert kwargs["hop_length"] == 320
+    model = TitaNet(n_mels=12, blocks=SMALL_BLOCKS, emb_dim=16,
+                    attention_channels=8, **{
+                        k: kwargs[k]
+                        for k in ("n_fft", "win_length", "hop_length")})
+    assert model.num_frames(16000) == 51           # 1 + 16000 // 320
+    assert model.min_num_samples == 320
+
+    # an n_fft omitted from the config falls back to next-pow2(win)
+    kwargs = _model_kwargs_from_config({
+        "preprocessor": {"window_size": 0.025, "window_stride": 0.01},
+        "encoder": {}, "decoder": {}})
+    assert kwargs["n_fft"] == 512
+
+    # unsupported window types fail loudly instead of converting wrong
+    with pytest.raises(ValueError, match="window"):
+        _model_kwargs_from_config({
+            "preprocessor": {"window": "hamming"},
+            "encoder": {}, "decoder": {}})
