@@ -155,7 +155,11 @@ def main():
     # is scaled to spectral norm <1 so 64 powers stay in bf16 range.
     import jax
     import jax.numpy as jnp
-    MM_ITERS = 64
+    # 64 chained matmuls = ~9 TFLOP: trivial on TPU, ~minutes on a CPU
+    # smoke — scale the chain down off-accelerator
+    MM_ITERS = int(os.environ.get(
+        "BENCH_MM_ITERS",
+        "64" if jax.devices()[0].platform != "cpu" else "2"))
     mm_small = jax.jit(lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
 
     def mm_chain(a):
