@@ -97,67 +97,15 @@ def run_config(name: str, flags: dict, args, out_root: Path) -> dict:
 
 
 def build_dry_fixture(root: Path) -> argparse.Namespace:
-    """Debug pipeline checkpoint + 2-file corpus (tests/corpus.py)."""
+    """Debug pipeline checkpoint + 2-file corpus — the shared dry-run
+    fixture (tests/corpus.py build_debug_corpus, same one the
+    REAL_CHECKPOINT_PARITY harness §0 uses)."""
     sys.path.insert(0, str(REPO / "tests"))
-    import yaml
+    from corpus import build_debug_corpus
 
-    from corpus import default_two_speaker_file, make_file
-    from pyannote_audio_tpu.core.model import (Problem, Resolution,
-                                               Specifications)
-    from pyannote_audio_tpu.models.embedding.debug import \
-        SimpleEmbeddingModel
-    from pyannote_audio_tpu.models.segmentation.debug import \
-        SimpleSegmentationModel
-
-    ckpt = root / "ckpt"
-    seg = SimpleSegmentationModel()
-    seg.specifications = Specifications(
-        problem=Problem.MONO_LABEL_CLASSIFICATION,
-        resolution=Resolution.FRAME, duration=5.0,
-        classes=["s0", "s1", "s2"], powerset_max_classes=2)
-    seg.build()
-    seg.save_checkpoint(ckpt / "segmentation")
-    emb = SimpleEmbeddingModel()
-    emb.build()
-    emb.save_checkpoint(ckpt / "embedding")
-    (ckpt / "config.yaml").write_text(yaml.safe_dump({
-        "pipeline": {
-            "name": "pyannote_audio_tpu.pipelines.SpeakerDiarization",
-            "params": {"segmentation": "$model/segmentation",
-                       "embedding": "$model/embedding",
-                       "clustering": "AgglomerativeClustering",
-                       "segmentation_batch_size": 8,
-                       "embedding_batch_size": 8}},
-        "params": {"segmentation": {"min_duration_off": 0.0},
-                   "clustering": {"method": "centroid", "threshold": 0.6,
-                                  "min_cluster_size": 1}},
-    }))
-
-    files = [default_two_speaker_file(root / "f0.wav"),
-             make_file(root / "f1.wav",
-                       [("carol", 1.0, 6.0), ("dave", 7.0, 12.0)],
-                       duration=14.0, seed=3)]
-    with open(root / "all.rttm", "w") as f:
-        for file in files:
-            file["annotation"].write_rttm(f)
-    with open(root / "all.uem", "w") as f:
-        for file in files:
-            for seg_ in file["annotated"]:
-                f.write(f"{file['uri']} 1 {seg_.start:.3f} "
-                        f"{seg_.end:.3f}\n")
-    (root / "database.yml").write_text(f"""
-Databases:
-  GateDB: {root}/{{uri}}.wav
-Protocols:
-  GateDB:
-    SpeakerDiarization:
-      P:
-        test:
-          annotation: {root}/all.rttm
-          annotated: {root}/all.uem
-""")
-    return argparse.Namespace(pipeline=ckpt,
-                              protocol="GateDB.SpeakerDiarization.P",
+    protocol = build_debug_corpus(root)
+    return argparse.Namespace(pipeline=root / "pipeline",
+                              protocol=protocol,
                               registry=root / "database.yml")
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import io
 import tarfile
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -149,7 +149,6 @@ class _AttentivePool(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
-        num_frames = x.shape[1]
         if mask is None:
             mask = jnp.ones(x.shape[:2] + (1,), x.dtype)
         w = mask / jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
@@ -374,12 +373,14 @@ class TitaNet(Model):
             prefix = f"encoder.encoder.{i}"
             block_p: Dict = {}
             block_s: Dict = {}
-            conv_ids = sorted(
-                int(m.group(1)) for m in
-                (re.fullmatch(rf"mconv\.(\d+)\.conv\.weight",
-                              k[len(prefix) + 1:])
-                 for k in state if k.startswith(prefix + ".mconv."))
-                if m)
+            def mconv_ids(pattern, prefix=prefix):
+                return sorted(
+                    int(m.group(1)) for m in
+                    (re.fullmatch(pattern, k[len(prefix) + 1:])
+                     for k in state
+                     if k.startswith(prefix + ".mconv.")) if m)
+
+            conv_ids = mconv_ids(r"mconv\.(\d+)\.conv\.weight")
             separable = bool(cfg.get("separable", False))
             per_repeat = 2 if separable else 1
             repeat = int(cfg.get("repeat", 1))
@@ -388,18 +389,8 @@ class TitaNet(Model):
                     f"block {i}: found {len(conv_ids)} convs, expected "
                     f"{per_repeat * repeat} (separable={separable}, "
                     f"repeat={repeat})")
-            bn_ids = sorted(
-                int(m.group(1)) for m in
-                (re.fullmatch(rf"mconv\.(\d+)\.weight",
-                              k[len(prefix) + 1:])
-                 for k in state if k.startswith(prefix + ".mconv."))
-                if m)
-            se_ids = sorted(set(
-                int(m.group(1)) for m in
-                (re.fullmatch(rf"mconv\.(\d+)\.fc\.0\.weight",
-                              k[len(prefix) + 1:])
-                 for k in state if k.startswith(prefix + ".mconv."))
-                if m))
+            bn_ids = mconv_ids(r"mconv\.(\d+)\.weight")
+            se_ids = mconv_ids(r"mconv\.(\d+)\.fc\.0\.weight")
             if len(bn_ids) != repeat:
                 raise ValueError(
                     f"block {i}: found {len(bn_ids)} batch norms, "
@@ -708,7 +699,6 @@ def export_nemo_state_dict(model: "TitaNet") -> Dict[str, np.ndarray]:
         a(params["emb"]["kernel"]).T[:, :, None]
     state["decoder.emb_layers.0.1.bias"] = a(params["emb"]["bias"])
     # classification head: training-only, not represented in flax
-    last = model.blocks[-1]["filters"]  # noqa: F841 (doc: head is (n, emb))
     state["decoder.final.weight"] = np.zeros(
         (7, model.emb_dim), dtype=np.float32)
     return state
@@ -745,7 +735,7 @@ def export_nemo_checkpoint(model: "TitaNet",
                     "attention_channels": model.attention_channels,
                     "angular": True},
     }
-    state = {k: __import__("torch").from_numpy(np.array(v, copy=True))
+    state = {k: torch.from_numpy(np.array(v, copy=True))
              for k, v in export_nemo_state_dict(model).items()}
     weights = io.BytesIO()
     torch.save(state, weights)

@@ -7,11 +7,11 @@ speaker_verification.py: a uniform ``__call__(waveforms, masks) ->
 and the whole-file ``SpeakerEmbedding`` pipeline with VAD-weighted pooling
 (:781-855).
 
-The reference's external backends load through NATIVE implementations
-instead of their runtimes: WeSpeaker ``.onnx`` weights convert onto
-models/embedding/wespeaker.py, speechbrain ECAPA snapshots convert onto
-models/embedding/ecapa.py. Only the NeMo backend (nvidia/*) still raises
-an actionable error (no .nemo converter yet).
+The reference's external backends ALL load through NATIVE
+implementations instead of their runtimes: WeSpeaker ``.onnx`` weights
+convert onto models/embedding/wespeaker.py, speechbrain ECAPA snapshots
+onto models/embedding/ecapa.py, and NeMo ``.nemo`` archives (TitaNet
+family) onto models/embedding/titanet.py.
 """
 
 from __future__ import annotations
@@ -137,6 +137,51 @@ class ONNXWeSpeakerPretrainedSpeakerEmbedding(
         super().__init__(model, device=device)
 
 
+def _compacted_masked_embed(model, waveforms, masks, frame_mask_fn
+                            ) -> np.ndarray:
+    """Shared masked/compacted batch embed (reference wrapper semantics,
+    speaker_verification.py:135-190 NeMo / :333-381 SpeechBrain): masks
+    are nearest-upsampled to sample resolution, thresholded at 0.5, the
+    speech samples COMPACTED to the front (pad_sequence shape), and
+    ``frame_mask_fn(wav_lens, max_len, num_frames)`` builds the
+    backend-specific binary frame mask; all-too-short rows return NaN.
+    """
+    waveforms = np.asarray(waveforms, dtype=np.float32)
+    batch_size, num_channels, num_samples = waveforms.shape
+    assert num_channels == 1
+    signals = waveforms[:, 0, :]
+
+    if masks is None:
+        wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
+    else:
+        masks = np.asarray(masks, dtype=np.float32)
+        idx = np.minimum(
+            (np.arange(num_samples) * masks.shape[-1]) // num_samples,
+            masks.shape[-1] - 1)
+        imasks = masks[:, idx] > 0.5
+        wav_lens = imasks.sum(axis=1)
+        compacted = np.zeros_like(signals)
+        for i in range(batch_size):
+            keep = signals[i, imasks[i]]
+            compacted[i, :keep.shape[0]] = keep
+        signals = compacted
+
+    max_len = int(wav_lens.max())
+    if max_len < model.min_num_samples:
+        return np.nan * np.zeros((batch_size, model.dimension))
+    too_short = wav_lens < model.min_num_samples
+    wav_lens = wav_lens.astype(np.float64)
+    wav_lens[too_short] = max_len
+
+    # trim to the longest compacted signal (pad_sequence shape)
+    signals = signals[:, :max_len]
+    num_frames = model.num_frames(max_len)
+    frame_mask = frame_mask_fn(wav_lens, max_len, num_frames)
+    emb = np.array(model.forward_with_frame_mask(signals, frame_mask))
+    emb[too_short] = np.nan
+    return emb
+
+
 class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
     """SpeechBrain ECAPA checkpoints on the NATIVE flax model.
 
@@ -186,48 +231,15 @@ class SpeechBrainPretrainedSpeakerEmbedding(BaseInference):
         return self.model.min_num_samples
 
     def __call__(self, waveforms, masks=None) -> np.ndarray:
-        waveforms = np.asarray(waveforms, dtype=np.float32)
-        batch_size, num_channels, num_samples = waveforms.shape
-        assert num_channels == 1
-        signals = waveforms[:, 0, :]
+        def rel_frame_mask(wav_lens, max_len, num_frames):
+            # binary frame mask from RELATIVE lengths: arange(T) <
+            # rel * T (speechbrain length_to_mask semantics)
+            rel = wav_lens / max_len
+            return (np.arange(num_frames)[None, :]
+                    < rel[:, None] * num_frames).astype(np.float32)
 
-        if masks is None:
-            wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
-        else:
-            masks = np.asarray(masks, dtype=np.float32)
-            # nearest upsample to sample resolution (reference :348-352)
-            idx = np.minimum(
-                (np.arange(num_samples) * masks.shape[-1]) // num_samples,
-                masks.shape[-1] - 1)
-            imasks = masks[:, idx] > 0.5
-            wav_lens = imasks.sum(axis=1)
-            compacted = np.zeros_like(signals)
-            for i in range(batch_size):
-                keep = signals[i, imasks[i]]
-                compacted[i, :keep.shape[0]] = keep
-            signals = compacted
-
-        max_len = int(wav_lens.max())
-        if max_len < self.min_num_samples:
-            return np.nan * np.zeros((batch_size, self.dimension))
-        too_short = wav_lens < self.min_num_samples
-        wav_lens = wav_lens.astype(np.float64)
-        wav_lens[too_short] = max_len
-
-        # trim the batch to the longest compacted signal (reference's
-        # pad_sequence produces exactly this shape)
-        signals = signals[:, :max_len]
-        # binary frame mask from relative lengths: arange(T) < rel * T
-        # (speechbrain length_to_mask semantics)
-        num_frames = self.model.num_frames(max_len)
-        rel = wav_lens / max_len
-        frame_mask = (np.arange(num_frames)[None, :]
-                      < rel[:, None] * num_frames).astype(np.float32)
-
-        emb = np.array(self.model.forward_with_frame_mask(
-            signals, frame_mask))
-        emb[too_short] = np.nan
-        return emb
+        return _compacted_masked_embed(self.model, waveforms, masks,
+                                       rel_frame_mask)
 
 
 class NeMoPretrainedSpeakerEmbedding(BaseInference):
@@ -278,47 +290,17 @@ class NeMoPretrainedSpeakerEmbedding(BaseInference):
         return self.model.min_num_samples
 
     def __call__(self, waveforms, masks=None) -> np.ndarray:
-        waveforms = np.asarray(waveforms, dtype=np.float32)
-        batch_size, num_channels, num_samples = waveforms.shape
-        assert num_channels == 1
-        signals = waveforms[:, 0, :]
+        def prefix_frame_mask(wav_lens, max_len, num_frames):
+            # prefix mask from valid lengths (NeMo length semantics:
+            # valid frames = 1 + samples // hop)
+            valid = 1 + (wav_lens // self.model.hop_length).astype(
+                np.int64)
+            return (np.arange(num_frames)[None, :]
+                    < np.minimum(valid, num_frames)[:, None]
+                    ).astype(np.float32)
 
-        if masks is None:
-            wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
-        else:
-            masks = np.asarray(masks, dtype=np.float32)
-            # nearest upsample to sample resolution (reference :165-171)
-            idx = np.minimum(
-                (np.arange(num_samples) * masks.shape[-1]) // num_samples,
-                masks.shape[-1] - 1)
-            imasks = masks[:, idx] > 0.5
-            wav_lens = imasks.sum(axis=1)
-            compacted = np.zeros_like(signals)
-            for i in range(batch_size):
-                keep = signals[i, imasks[i]]
-                compacted[i, :keep.shape[0]] = keep
-            signals = compacted
-
-        max_len = int(wav_lens.max())
-        if max_len < self.min_num_samples:
-            return np.nan * np.zeros((batch_size, self.dimension))
-        too_short = wav_lens < self.min_num_samples
-        wav_lens = wav_lens.astype(np.float64)
-        wav_lens[too_short] = max_len
-
-        signals = signals[:, :max_len]
-        # prefix frame mask from valid lengths (NeMo length semantics:
-        # valid frames = 1 + samples // hop)
-        num_frames = self.model.num_frames(max_len)
-        valid = 1 + (wav_lens // self.model.hop_length).astype(np.int64)
-        frame_mask = (np.arange(num_frames)[None, :]
-                      < np.minimum(valid, num_frames)[:, None]
-                      ).astype(np.float32)
-
-        emb = np.array(self.model.forward_with_frame_mask(
-            signals, frame_mask))
-        emb[too_short] = np.nan
-        return emb
+        return _compacted_masked_embed(self.model, waveforms, masks,
+                                       prefix_frame_mask)
 
 
 def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,

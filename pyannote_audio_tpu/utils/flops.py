@@ -140,12 +140,15 @@ def resnet_trunk_flops_per_frame(m_channels: int = 32,
 
 
 def _tail_padded(n_chunks: int, batch: int = 256) -> int:
-    """Executed chunk count: full batches of ``batch`` plus a tail padded
-    to batch/2 when it fits (core/inference.py _tail_pad_to)."""
+    """Executed chunk count: full batches of ``batch`` plus the tail
+    padded by the inference engine's own rule (so the FLOPs model can
+    never drift from what actually executes)."""
+    from ..core.inference import _tail_pad_to
+
     full, rem = divmod(n_chunks, batch)
     if rem == 0:
         return n_chunks
-    return full * batch + (batch // 2 if rem <= batch // 2 else batch)
+    return full * batch + _tail_pad_to(batch, rem)
 
 
 def diarization_device_flops(
