@@ -230,7 +230,19 @@ class TitaNet(Model):
         super().__init__(sample_rate=sample_rate,
                          num_channels=num_channels, task=task)
         self.n_mels = n_mels
-        self.blocks = [dict(b) for b in (blocks or TITANET_LARGE_BLOCKS)]
+        # accept NeMo config-style blocks too (kernel/dilation wrapped
+        # in one-element lists) so callers can hand the yaml's jasper
+        # entries straight in
+        def norm(b):
+            b = dict(b)
+            for key in ("kernel", "dilation", "stride"):
+                v = b.get(key)
+                if isinstance(v, (list, tuple)):
+                    b[key] = v[0]
+            b.pop("stride", None)
+            return b
+
+        self.blocks = [norm(b) for b in (blocks or TITANET_LARGE_BLOCKS)]
         self.emb_dim = emb_dim
         self.attention_channels = attention_channels
         self.n_fft = n_fft
