@@ -170,16 +170,29 @@ def main():
     small = jnp.zeros((128, 128), jnp.bfloat16)
     big_a = jnp.asarray(np.random.default_rng(0).standard_normal(
         (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
-    probe_lat, probe_tf = [], []
+    # transfer-bandwidth probe: loaded windows degrade the relay's
+    # host->device bandwidth far more than chip compute (upload bytes
+    # are the pipeline's hard floor), so record it explicitly
+    upload_bytes = 16 * 1024 * 1024
+    payload = np.zeros(upload_bytes, np.uint8)
+    touch = jax.jit(lambda x: x[:1].astype(jnp.int32))
+    probe_lat, probe_tf, probe_bw = [], [], []
     np.asarray(mm_small(small, small)), np.asarray(mm_big(big_a))
-    for _ in range(5):
+    np.asarray(touch(jnp.asarray(payload)))
+    for rep in range(5):
         t0 = time.perf_counter()
         np.asarray(mm_small(small, small))
         probe_lat.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(mm_big(big_a))
-        probe_tf.append(2 * 4096**3 * (MM_ITERS + 1)
+        # fori_loop(0, MM_ITERS) with init `a` performs exactly MM_ITERS
+        # products (the init is free)
+        probe_tf.append(2 * 4096**3 * MM_ITERS
                         / (time.perf_counter() - t0) / 1e12)
+        payload[rep] = rep + 1         # defeat any host-buffer reuse
+        t0 = time.perf_counter()
+        np.asarray(touch(jnp.asarray(payload)))
+        probe_bw.append(upload_bytes / (time.perf_counter() - t0) / 1e6)
 
     # analytic device FLOPs for the exact files processed (utils/flops.py,
     # XLA-cost-analysis-cross-checked) -> achieved TFLOP/s + MFU. The
@@ -224,6 +237,7 @@ def main():
             "peak_tflops_assumed": peak_tflops,
             "relay_probe_ms": round(min(probe_lat) * 1e3, 3),
             "relay_matmul_tflops": round(max(probe_tf), 1),
+            "relay_upload_mb_per_s": round(max(probe_bw), 1),
             "peak_hbm_bytes": peak_hbm,
             "pass_seconds": [round(t, 3) for t in times],
         },

@@ -46,6 +46,7 @@ import numpy as np
 
 from ...core.model import Model, Problem, Resolution, Specifications
 from ...ops.fbank import speechbrain_fbank, speechbrain_fbank_num_frames
+from ...utils.signal import nearest_binary_mask
 
 
 class _TDNNBlock(nn.Module):
@@ -251,10 +252,24 @@ class ECAPA_TDNN(Model):
                  dilations: Sequence[int] = (1, 2, 3, 4, 1),
                  attention_channels: int = 128, res2net_scale: int = 8,
                  se_channels: int = 128, global_context: bool = True,
-                 lin_neurons: int = 192, task=None, **kwargs):
+                 lin_neurons: int = 192, n_fft: int = 400,
+                 win_length: Optional[int] = None,
+                 hop_length: Optional[int] = None,
+                 f_min: float = 0.0, f_max: float = 8000.0,
+                 task=None, **kwargs):
         super().__init__(sample_rate=sample_rate,
                          num_channels=num_channels, task=task)
         self.n_mels = n_mels
+        # SpeechBrain Fbank geometry: 25 ms / 10 ms windows at the
+        # model's rate; n_fft and f_max are rate-INdependent upstream
+        # defaults (speechbrain.lobes.features.Fbank)
+        self.n_fft = int(n_fft)
+        self.win_length = int(win_length if win_length is not None
+                              else round(sample_rate * 0.025))
+        self.hop_length = int(hop_length if hop_length is not None
+                              else round(sample_rate * 0.010))
+        self.f_min = float(f_min)
+        self.f_max = float(f_max)
         self.channels = tuple(int(c) for c in channels)
         self.kernel_sizes = tuple(int(k) for k in kernel_sizes)
         self.dilations = tuple(int(d) for d in dilations)
@@ -270,7 +285,9 @@ class ECAPA_TDNN(Model):
             "attention_channels": attention_channels,
             "res2net_scale": res2net_scale, "se_channels": se_channels,
             "global_context": self.global_context,
-            "lin_neurons": lin_neurons}
+            "lin_neurons": lin_neurons, "n_fft": self.n_fft,
+            "win_length": self.win_length, "hop_length": self.hop_length,
+            "f_min": self.f_min, "f_max": self.f_max}
         if self._specifications is None and task is None:
             self._specifications = Specifications(
                 problem=Problem.REPRESENTATION,
@@ -296,18 +313,18 @@ class ECAPA_TDNN(Model):
         return self.lin_neurons
 
     def num_frames(self, num_samples: int) -> int:
-        return speechbrain_fbank_num_frames(num_samples)
+        return speechbrain_fbank_num_frames(num_samples, self.hop_length)
 
     @property
     def min_num_samples(self) -> int:
         """Smallest input every reflect pad accepts (analytic, replacing
         the reference's binary search over forward failures): reflect
         padding needs T > d*(k-1)//2 frames; with the centered STFT,
-        T = 1 + samples//160."""
+        T = 1 + samples//hop."""
         pad = max(d * (k - 1) // 2
                   for k, d in zip(self.kernel_sizes, self.dilations))
-        # reflect pad needs T >= pad + 1 frames; T = 1 + samples // 160
-        return pad * 160
+        # reflect pad needs T >= pad + 1 frames; T = 1 + samples // hop
+        return pad * self.hop_length
 
     def __call__(self, waveforms, weights=None):
         """(batch, [1,] samples) [+ (batch, frames) weights] -> (B, dim).
@@ -325,17 +342,17 @@ class ECAPA_TDNN(Model):
         num_frames = self.num_frames(waveforms.shape[-1])
         mask = None
         if weights is not None:
-            weights = np.asarray(weights, np.float32)
-            idx = np.minimum(
-                (np.arange(num_frames) * weights.shape[-1])
-                // num_frames, weights.shape[-1] - 1)
-            mask = jnp.asarray(
-                (weights[..., idx] > 0.5).astype(np.float32))
+            mask = jnp.asarray(nearest_binary_mask(weights, num_frames),
+                               jnp.float32)
         return self._jitted_apply(self.params, waveforms, mask)
 
     def _forward_from_audio(self, params, waveforms, mask):
         feats = speechbrain_fbank(waveforms, n_mels=self.n_mels,
-                                  sample_rate=self.sample_rate)
+                                  sample_rate=self.sample_rate,
+                                  n_fft=self.n_fft,
+                                  win_length=self.win_length,
+                                  hop_length=self.hop_length,
+                                  f_min=self.f_min, f_max=self.f_max)
         return self.module.apply(params, feats, mask=mask)
 
     def forward_with_frame_mask(self, signals, frame_mask):
@@ -529,8 +546,8 @@ def _parse_hyperparams(text: str) -> Dict[str, object]:
     (!new: tags make it invalid plain YAML; only scalar/list fields under
     the embedding_model block and top-level n_mels are needed)."""
     out: Dict[str, object] = {}
-    for key in ("n_mels", "lin_neurons", "attention_channels",
-                "res2net_scale", "se_channels"):
+    for key in ("sample_rate", "n_mels", "lin_neurons",
+                "attention_channels", "res2net_scale", "se_channels"):
         match = re.search(rf"^\s*{key}:\s*(\d+)\s*$", text, re.M)
         if match:
             out[key] = int(match.group(1))
@@ -586,4 +603,8 @@ def _infer_ecapa_config(state: Dict[str, np.ndarray],
     }
     if "n_mels" in hyper:
         config["n_mels"] = int(hyper["n_mels"])   # should agree w/ shapes
+    if "sample_rate" in hyper:
+        # drives the 25 ms/10 ms STFT geometry + pipeline resampling; a
+        # non-16k snapshot silently produced 16k features before
+        config["sample_rate"] = int(hyper["sample_rate"])
     return config

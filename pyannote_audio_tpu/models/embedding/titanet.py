@@ -39,6 +39,7 @@ import numpy as np
 
 from ...core.model import Model, Problem, Resolution, Specifications
 from ...ops.fbank import nemo_mel_num_frames, nemo_mel_spectrogram
+from ...utils.signal import nearest_binary_mask
 
 # titanet_large.yaml encoder layout (model_defaults filters=1024):
 # one prologue block, three repeated separable blocks (k=7/11/15) with
@@ -239,7 +240,14 @@ class TitaNet(Model):
                 v = b.get(key)
                 if isinstance(v, (list, tuple)):
                     b[key] = v[0]
-            b.pop("stride", None)
+            # conv weight shapes do not encode stride, so a strided
+            # ConvASREncoder config would convert cleanly and run at the
+            # wrong frame rate — refuse loudly instead
+            stride = b.pop("stride", 1)
+            if int(stride) != 1:
+                raise ValueError(
+                    "only stride-1 ConvASREncoder blocks are supported "
+                    f"(TitaNet layout); got stride={stride}")
             return b
 
         self.blocks = [norm(b) for b in (blocks or TITANET_LARGE_BLOCKS)]
@@ -298,12 +306,8 @@ class TitaNet(Model):
         num_frames = self.num_frames(waveforms.shape[-1])
         mask = None
         if weights is not None:
-            weights = np.asarray(weights, np.float32)
-            idx = np.minimum(
-                (np.arange(num_frames) * weights.shape[-1])
-                // num_frames, weights.shape[-1] - 1)
-            mask = jnp.asarray(
-                (weights[..., idx] > 0.5).astype(np.float32))
+            mask = jnp.asarray(nearest_binary_mask(weights, num_frames),
+                               jnp.float32)
         return self._jitted_apply(self.params, waveforms, mask)
 
     def _forward_from_audio(self, params, waveforms, mask):
@@ -590,13 +594,11 @@ def _load_nemo_archive(source: Union[str, Path], revision=None,
             names = tar.getnames()
 
             def member(suffix):
+                # exact basename match: accepts NeMo's './'-prefixed
+                # members while rejecting hidden/AppleDouble entries
+                # like '._model_weights.ckpt' from repacked archives
                 for n in names:
-                    if n.endswith(suffix) and "/." not in n \
-                            and not n.startswith("."):
-                        return n
-                # NeMo archives prefix members with ./
-                for n in names:
-                    if n.endswith(suffix):
+                    if n.rsplit("/", 1)[-1] == suffix:
                         return n
                 raise FileNotFoundError(
                     f"{suffix} not found in {path} (members: "

@@ -286,9 +286,38 @@ def speechbrain_fbank_num_frames(num_samples: int, hop: int = 160) -> int:
     return 1 + num_samples // hop
 
 
+def _centered_stft_power(x: jnp.ndarray, n_fft: int, win_length: int,
+                         hop_length: int, num_frames: int,
+                         window: np.ndarray,
+                         pad_mode: str = "constant") -> jnp.ndarray:
+    """torch.stft(center=True)-layout power spectrum shared by the
+    SpeechBrain and NeMo front-ends: pad ``n_fft//2`` on both sides
+    (``pad_mode``), gather ``num_frames`` hop-strided frames, apply
+    ``window`` (length ``win_length``, centered in the n_fft frame
+    exactly as torch.stft pads a short window — NOT right-aligned),
+    rfft, |X|^2.  (batch, samples) -> (batch, num_frames, n_fft//2+1).
+    """
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
+    # make sure the final centered frame has a full n_fft to gather
+    needed = (num_frames - 1) * hop_length + n_fft
+    if x.shape[-1] < needed:
+        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
+    idx = (jnp.arange(num_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx]                                   # (B, T, n_fft)
+    full = np.zeros(n_fft, dtype=np.float32)
+    left = (n_fft - win_length) // 2
+    full[left:left + win_length] = np.asarray(window, dtype=np.float32)
+    frames = frames * jnp.asarray(full)
+    spectrum = jnp.fft.rfft(frames, axis=-1)
+    return jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+
+
 def speechbrain_fbank(waveforms: jnp.ndarray, n_mels: int = 80,
                       sample_rate: int = 16000, n_fft: int = 400,
-                      win_length: int = 400, hop_length: int = 160,
+                      win_length: Optional[int] = None,
+                      hop_length: Optional[int] = None,
                       f_min: float = 0.0, f_max: float = 8000.0,
                       amin: float = 1e-10, top_db: float = 80.0
                       ) -> jnp.ndarray:
@@ -301,34 +330,27 @@ def speechbrain_fbank(waveforms: jnp.ndarray, n_mels: int = 80,
     filterbank, and 10*log10 dB conversion with a per-utterance
     ``max - top_db`` floor (Filterbank._amplitude_to_DB).
 
+    ``win_length``/``hop_length`` default to SpeechBrain's 25 ms/10 ms
+    at the given ``sample_rate`` (STFT converts ms -> samples the same
+    way); ``n_fft`` and ``f_max`` stay 400/8000 regardless of rate,
+    matching the upstream defaults.
+
     Input (batch[, channel], samples) — channel squeezed if present;
     output (batch, 1 + samples//hop, n_mels). TPU-native: one framing
     gather + rfft + one MXU mel matmul; no torch.
     """
+    if win_length is None:
+        win_length = int(round(sample_rate * 0.025))
+    if hop_length is None:
+        hop_length = int(round(sample_rate * 0.010))
     x = waveforms[..., 0, :] if waveforms.ndim == 3 else waveforms
     num_samples = x.shape[-1]
     num_frames = speechbrain_fbank_num_frames(num_samples, hop_length)
-    pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)))
-    # make sure the final centered frame has a full n_fft to gather
-    needed = (num_frames - 1) * hop_length + n_fft
-    if x.shape[-1] < needed:
-        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
-    idx = (jnp.arange(num_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])
-    frames = x[:, idx]                                   # (B, T, n_fft)
-    # torch.hamming_window periodic=True: 0.54 - 0.46 cos(2 pi n / N),
-    # CENTERED in the n_fft frame when win_length < n_fft (torch.stft
-    # pads the window symmetrically — not right-aligned)
+    # torch.hamming_window periodic=True: 0.54 - 0.46 cos(2 pi n / N)
     n = np.arange(win_length, dtype=np.float64)
-    hamming = (0.54 - 0.46 * np.cos(2 * np.pi * n / win_length)) \
-        .astype(np.float32)
-    window = np.zeros(n_fft, dtype=np.float32)
-    left = (n_fft - win_length) // 2
-    window[left:left + win_length] = hamming
-    frames = frames * jnp.asarray(window)
-    spectrum = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+    hamming = 0.54 - 0.46 * np.cos(2 * np.pi * n / win_length)
+    power = _centered_stft_power(x, n_fft, win_length, hop_length,
+                                 num_frames, hamming)
     banks = jnp.asarray(_speechbrain_mel_banks(
         n_mels, n_fft, sample_rate, f_min, f_max))
     mel = jnp.einsum("btf,fm->btm", power, banks,
@@ -445,26 +467,12 @@ def nemo_mel_spectrogram(waveforms: jnp.ndarray,
     # pre-emphasis (before padding, matching NeMo)
     x = jnp.concatenate([x[:, :1], x[:, 1:] - preemph * x[:, :-1]],
                         axis=-1)
-    pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    needed = (num_frames - 1) * hop_length + n_fft
-    if x.shape[-1] < needed:
-        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
-    idx = (jnp.arange(num_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])
-    frames = x[:, idx]                                  # (B, T, n_fft)
     # SYMMETRIC hann of win_length (NeMo FilterbankFeatures constructs
-    # torch.hann_window(win_length, periodic=False) — features.py),
-    # centered in an n_fft-wide buffer (torch.stft pads the window
-    # symmetrically when win_length < n_fft)
+    # torch.hann_window(win_length, periodic=False) — features.py)
     n = np.arange(win_length, dtype=np.float64)
     hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win_length - 1))
-    window = np.zeros(n_fft, dtype=np.float32)
-    left = (n_fft - win_length) // 2
-    window[left:left + win_length] = hann.astype(np.float32)
-    frames = frames * jnp.asarray(window)
-    spectrum = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
+    power = _centered_stft_power(x, n_fft, win_length, hop_length,
+                                 num_frames, hann, pad_mode="reflect")
     banks = jnp.asarray(_slaney_mel_banks(n_mels, n_fft, sample_rate,
                                           0.0, sample_rate / 2.0))
     mel = jnp.einsum("btf,fm->btm", power, banks,

@@ -27,6 +27,7 @@ from ..core.io import Audio, AudioFile
 from ..core.model import Model
 from ..core.pipeline import Pipeline
 from .utils.getter import PipelineModel, get_model
+from ..utils.signal import nearest_binary_mask
 
 
 class PyannoteAudioPretrainedSpeakerEmbedding(BaseInference):
@@ -154,11 +155,7 @@ def _compacted_masked_embed(model, waveforms, masks, frame_mask_fn
     if masks is None:
         wav_lens = np.full(batch_size, num_samples, dtype=np.int64)
     else:
-        masks = np.asarray(masks, dtype=np.float32)
-        idx = np.minimum(
-            (np.arange(num_samples) * masks.shape[-1]) // num_samples,
-            masks.shape[-1] - 1)
-        imasks = masks[:, idx] > 0.5
+        imasks = nearest_binary_mask(masks, num_samples)
         wav_lens = imasks.sum(axis=1)
         compacted = np.zeros_like(signals)
         for i in range(batch_size):
@@ -252,11 +249,16 @@ class NeMoPretrainedSpeakerEmbedding(BaseInference):
     ``embedding`` accepts a local ``.nemo`` tar, an extracted directory,
     or a hub id like "nvidia/speakerverification_en_titanet_large".
 
-    The masked path mirrors the reference (:135-190): masks are
-    nearest-upsampled to sample resolution, thresholded at 0.5, the
-    speech samples COMPACTED to the front (pad_sequence semantics), and
-    wav_lens become the frame mask the masked convs/pooling consume;
-    all-too-short batches return NaN embeddings.
+    The masked path (:135-190): masks are nearest-upsampled to sample
+    resolution, thresholded at 0.5, the speech samples COMPACTED to the
+    front (pad_sequence semantics), and wav_lens become the frame mask
+    the masked convs/pooling consume; all-too-short batches return NaN
+    embeddings. DELIBERATE deviation: the reference builds the compacted
+    ``signals`` then passes the UNcompacted waveforms with compacted
+    lengths to the model (:190-193 — ``signals`` is computed and never
+    used, an apparent upstream bug); we embed the compacted speech,
+    matching its own SpeechBrain wrapper (:374-379) and the evident
+    intent.
     """
 
     def __init__(self,

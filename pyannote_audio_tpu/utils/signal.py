@@ -235,3 +235,16 @@ class Peak:
             [Segment(a, b) for a, b in zip(edges[:-1], edges[1:])
              if Segment(a, b)])
         return segmentation
+
+
+def nearest_binary_mask(weights, size: int) -> np.ndarray:
+    """Nearest-neighbor upsample ``(..., frames)`` weights to ``size``
+    points and binarize at 0.5 — the reference embedding wrappers'
+    ``imasks`` construction (F.interpolate(mode="nearest") > 0.5,
+    speaker_verification.py:167-173 NeMo / :348-352 SpeechBrain).
+    Returns a boolean array of shape ``(..., size)``.
+    """
+    weights = np.asarray(weights, dtype=np.float32)
+    idx = np.minimum((np.arange(size) * weights.shape[-1]) // size,
+                     weights.shape[-1] - 1)
+    return weights[..., idx] > 0.5
