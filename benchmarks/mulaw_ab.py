@@ -33,17 +33,16 @@ def main():
     os.environ.pop("PYANNOTE_TPU_UPLOAD_QUANT", None)
     exact_der, exact_wall = run(files, "AgglomerativeClustering",
                                 device=False)
-    os.environ["PYANNOTE_TPU_UPLOAD_QUANT"] = "mulaw"
-    mulaw_der, mulaw_wall = run(files, "AgglomerativeClustering",
-                                device=False)
-    os.environ.pop("PYANNOTE_TPU_UPLOAD_QUANT", None)
-    print(json.dumps({
-        "exact_der": round(exact_der, 4),
-        "mulaw_der": round(mulaw_der, 4),
-        "der_delta": round(mulaw_der - exact_der, 4),
-        "exact_wall_s": round(exact_wall, 2),
-        "mulaw_wall_s": round(mulaw_wall, 2),
-    }, indent=2))
+    out = {"exact_der": round(exact_der, 4),
+           "exact_wall_s": round(exact_wall, 2)}
+    for mode in ("mulaw", "dpcm4"):
+        os.environ["PYANNOTE_TPU_UPLOAD_QUANT"] = mode
+        der, wall = run(files, "AgglomerativeClustering", device=False)
+        os.environ.pop("PYANNOTE_TPU_UPLOAD_QUANT", None)
+        out[f"{mode}_der"] = round(der, 4)
+        out[f"{mode}_der_delta"] = round(der - exact_der, 4)
+        out[f"{mode}_wall_s"] = round(wall, 2)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,7 @@ EXACT = {
 CONFIGS = [
     ("exact", EXACT),
     ("+mulaw_upload", {**EXACT, "PYANNOTE_TPU_UPLOAD_QUANT": "mulaw"}),
+    ("+dpcm4_upload", {**EXACT, "PYANNOTE_TPU_UPLOAD_QUANT": "dpcm4"}),
     ("+seg_bf16", {**EXACT, "PYANNOTE_TPU_SEG_BF16": "1"}),
     ("+shared_sinc", {**EXACT, "PYANNOTE_TPU_SHARED_SINC": "1"}),
     ("+shared_trunk", {**EXACT, "PYANNOTE_TPU_SHARED_TRUNK": "1"}),

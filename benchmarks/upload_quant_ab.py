@@ -1,4 +1,4 @@
-"""Interleaved perf A/B: int16 vs mu-law waveform transport on TPU.
+"""Interleaved perf A/B: int16 / mu-law / dpcm4 waveform transport on TPU.
 
 Cross-process comparisons on the shared pool/relay are unreliable (the
 same code measures 13-57 s/audio-hour depending on the minute), so this
@@ -81,7 +81,7 @@ def main():
     def batch():
         return [{"audio": p, "uri": f"q{k}"} for k, p in enumerate(paths)]
 
-    modes = ["int16", "mulaw"]
+    modes = ["int16", "mulaw", "dpcm4"]
     # compile both transports before timing
     for mode in modes:
         os.environ["PYANNOTE_TPU_UPLOAD_QUANT"] = mode

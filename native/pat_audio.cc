@@ -321,4 +321,81 @@ int pat_batch_decode_resample(const char** paths, int n, int target_rate,
   return status.load();
 }
 
+// Block-adaptive 4-bit DPCM transport encoder (the TPU upload codec's
+// host half; device half is the segmented-cumsum decode in
+// core/inference.py). Layout per 256-sample block: 128 bytes of packed
+// code nibbles (code+8 in [1,15]; sample 0's code is always 8 = zero)
+// followed by int16 scale and int16 first-sample, little-endian.
+// Reconstruction x[i] = x0 + s * sum(codes[1..i]), so the decoder is one
+// cumsum — no sequential state. The scale s = max(1, ceil(maxdiff/7))
+// guarantees |code| <= 7 (quantize-then-delta: with the step tied to the
+// block's max first-difference, closed-loop DPCM degenerates to
+// independent quantization K[i] = round(x[i]/s) + delta coding).
+// Integer arithmetic matches the numpy fallback bit for bit.
+long long pat_dpcm4_encode(const float* wav, long long n,
+                           long long padded_n, unsigned char* out) {
+  if (padded_n % 256 != 0 || n < 0 || n > padded_n) return kErrBounds;
+  const long long nb = padded_n / 256;
+  std::atomic<long long> next{0};
+  auto worker = [&]() {
+    const long long kBatch = 64;  // blocks per grab
+    while (true) {
+      long long b0 = next.fetch_add(kBatch);
+      if (b0 >= nb) break;
+      long long b1 = std::min(b0 + kBatch, nb);
+      for (long long b = b0; b < b1; ++b) {
+        int32_t x[256];
+        const long long base = b * 256;
+        for (int i = 0; i < 256; ++i) {
+          const long long t = base + i;
+          if (t < n) {
+            // nearbyint = round-half-to-even, matching np.round
+            float v = wav[t] * 32768.0f;
+            v = std::min(std::max(v, -32768.0f), 32767.0f);
+            x[i] = int32_t(std::nearbyint(v));
+          } else {
+            x[i] = 0;  // silence pad
+          }
+        }
+        int32_t maxdiff = 0;
+        for (int i = 1; i < 256; ++i)
+          maxdiff = std::max(maxdiff, std::abs(x[i] - x[i - 1]));
+        // ceil(maxdiff/7): |slope|/s <= 7 plus <1 of rounding jitter
+        // keeps every code in [-7, 7], inside the nibble's [-8, 7]
+        const int32_t s = std::max(1, (maxdiff + 6) / 7);
+        // K = floor((2x + s) / (2s)) = round-half-up(x/s), exact in ints
+        auto quant = [s](int32_t v) {
+          const int32_t a = 2 * v + s, d = 2 * s;
+          return a >= 0 ? a / d : -((-a + d - 1) / d);
+        };
+        unsigned char* row = out + b * 132;
+        int32_t prev = quant(x[0]);
+        const int32_t k0 = prev;
+        row[0] = 8;  // low nibble of byte 0: code 0 for sample 0
+        for (int i = 1; i < 256; ++i) {
+          const int32_t k = quant(x[i]);
+          const int32_t c = k - prev + 8;  // in [1, 15]
+          prev = k;
+          if (i & 1)
+            row[i >> 1] |= (unsigned char)(c << 4);
+          else
+            row[i >> 1] = (unsigned char)c;
+        }
+        const int32_t x0 = k0 * s;  // = round(x[0]/s)*s, fits int16+s
+        const int16_t s16 = int16_t(s);
+        const int16_t x16 =
+            int16_t(std::min(std::max(x0, -32768), 32767));
+        memcpy(row + 128, &s16, 2);
+        memcpy(row + 130, &x16, 2);
+      }
+    }
+  };
+  unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, 8u);
+  std::vector<std::thread> pool;
+  for (unsigned i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return nb * 132;
+}
+
 }  // extern "C"

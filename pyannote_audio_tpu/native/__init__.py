@@ -137,6 +137,11 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_longlong)]
     lib.pat_batch_decode_resample.restype = ctypes.c_int
+    if hasattr(lib, "pat_dpcm4_encode"):   # older checked-in .so builds
+        lib.pat_dpcm4_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.pat_dpcm4_encode.restype = ctypes.c_longlong
     _lib = lib
     return lib
 
@@ -223,3 +228,30 @@ def batch_decode_resample(paths: List[str], target_rate: int,
     if rc < 0:
         return None
     return out, lengths
+
+
+def dpcm4_encode(waveform: np.ndarray, padded_len: int
+                 ) -> Optional[np.ndarray]:
+    """Block-adaptive 4-bit DPCM transport encode (native half of the
+    TPU upload codec; see core/inference.py for layout + device decode).
+
+    ``waveform`` is a mono (samples,) float32 array; ``padded_len`` must
+    be a multiple of 256 and >= len(waveform) (the tail encodes digital
+    silence). Returns a (padded_len//256, 132) uint8 block stream, or
+    None when the shared library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "pat_dpcm4_encode"):
+        return None
+    waveform = np.ascontiguousarray(waveform, dtype=np.float32)
+    if waveform.ndim != 1 or padded_len % 256 or \
+            waveform.shape[0] > padded_len:
+        return None
+    out = np.empty((padded_len // 256, 132), dtype=np.uint8)
+    rc = lib.pat_dpcm4_encode(
+        waveform.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        waveform.shape[0], padded_len,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != out.size:
+        return None
+    return out
