@@ -183,12 +183,13 @@ def _upload_quant_mode() -> str:
     SNR, DER delta +0.0001 on the A/B corpus; ""/"none" mean "int16",
     the bit-exact default; anything else warns once and falls back to
     "int16"). The legacy PYANNOTE_TPU_INT16_UPLOAD=0
-    gate maps to "f32". Unset: "mulaw" on accelerator backends — the TPU
+    gate maps to "f32". Unset: "dpcm4" on accelerator backends — the TPU
     sits behind a host->device link whose transfers do not overlap
-    compute, so upload bytes are a hard serial per-file cost and 8-bit
-    companded transport (~38 dB SNR, DER delta +0.0003 on the A/B
-    corpus — docs/PARITY.md) is the serving default; "int16" on CPU
-    (bit-exact for PCM16 sources, f32 otherwise).
+    compute, so upload bytes are a hard serial per-file cost; the 4-bit
+    block codec won the round-4 interleaved A/B (best pass 1.645 s vs
+    mu-law 2.433 on the identical 3x10-min batch) with the smallest DER
+    delta of any lossy transport (+0.0001 — docs/PARITY.md); "int16" on
+    CPU (bit-exact for PCM16 sources, f32 otherwise).
     """
     mode = os.environ.get("PYANNOTE_TPU_UPLOAD_QUANT")
     if mode is not None:
@@ -208,7 +209,7 @@ def _upload_quant_mode() -> str:
         return "f32"
     try:
         import jax
-        return "mulaw" if jax.default_backend() != "cpu" else "int16"
+        return "dpcm4" if jax.default_backend() != "cpu" else "int16"
     except Exception:
         return "int16"
 
@@ -220,8 +221,9 @@ def _upload_waveform(waveform: np.ndarray,
 
     The axon relay moves ~40-100 MB/s and transfers do NOT overlap device
     compute (benchmarks/overlap_probe.py), so upload bytes are a hard
-    per-file cost. Default on accelerators: 8-bit mu-law (quarter of the
-    f32 bytes, ~38 dB SNR; DER-neutral on the A/B corpus). "int16" is
+    per-file cost. Default on accelerators: 4-bit block DPCM (an eighth
+    of the f32 bytes, ~32-36 dB SNR; DER delta +0.0001 on the A/B
+    corpus); "mulaw" is the 8-bit companded fallback. "int16" is
     bit-exact for PCM16-decoded waveforms (exactly i/32768; anything
     else falls back to f32); "f32" ships raw floats. ``quant`` overrides
     the env-resolved mode — pipelines whose *product is the audio

@@ -29,6 +29,7 @@ def test_resnet34_trunk_flops_matches_xla():
     assert analytic == pytest.approx(measured, rel=0.05)
 
 
+@pytest.mark.slow
 def test_bottleneck_trunk_flops_matches_xla():
     from pyannote_audio_tpu.models.embedding.wespeaker import ResNetTrunk
 

@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -33,6 +35,7 @@ def _driver_env(device_count: int = 1) -> dict:
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_from_single_device_process():
     """dryrun_multichip(8) must pass from a 1-device parent process."""
     code = ("import sys; sys.path.insert(0, {repo!r}); "

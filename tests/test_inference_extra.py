@@ -136,7 +136,7 @@ def test_encode_then_pad_matches_pad_then_encode(monkeypatch):
     arbitrary = rng.normal(size=(1, 1000)).astype(np.float32) * 0.1
     for wav in (pcm, arbitrary):
         padded_f32 = np.pad(wav, ((0, 0), (0, 240)))
-        for mode in ("mulaw", "int16", "f32"):
+        for mode in ("mulaw", "int16", "f32", "dpcm4"):
             new = np.asarray(_upload_waveform(wav, quant=mode,
                                               padded_len=1240))
             old = np.asarray(_upload_waveform(padded_f32, quant=mode))
@@ -336,9 +336,9 @@ def test_upload_quant_mode_resolution(monkeypatch):
     monkeypatch.setenv("PYANNOTE_TPU_INT16_UPLOAD", "0")
     assert inf._upload_quant_mode() == "f32"
     monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD")
-    # accelerator backend (simulated) defaults to mu-law
+    # accelerator backend (simulated) defaults to 4-bit DPCM (round 4)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert inf._upload_quant_mode() == "mulaw"
+    assert inf._upload_quant_mode() == "dpcm4"
     # explicit env always wins, both directions
     monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "int16")
     assert inf._upload_quant_mode() == "int16"

@@ -255,6 +255,7 @@ def test_warmup_precompiles_and_leaves_results_unchanged(seg_model,
     assert len(out.speaker_diarization.labels()) <= 3
 
 
+@pytest.mark.slow
 def test_diarization_pipeline_with_ssl_and_xvector(tmp_path):
     """Full pipeline with an SSL (SSeRiouSS) segmentation model and an
     x-vector MFCC embedder — exercises the staged apply with a

@@ -9,9 +9,12 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_gate_dry_run(tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""

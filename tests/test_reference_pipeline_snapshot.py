@@ -113,6 +113,7 @@ def snapshot(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_full_reference_pipeline_snapshot(snapshot, tmp_path):
     sys.path.insert(0, "tests")
     from corpus import default_two_speaker_file

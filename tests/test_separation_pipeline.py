@@ -110,6 +110,7 @@ def test_device_overlap_add_matches_host_loop(tmp_path):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pixit_task_loss(tmp_path):
     protocol = Protocol(
         name="d",

@@ -104,6 +104,7 @@ def test_panel_trunk_matches_whole_file_trunk():
                                rtol=5e-2, atol=6e-2)
 
 
+@pytest.mark.slow
 def test_shared_trunk_embeddings_close_to_per_chunk(tmp_path, monkeypatch):
     import sys
     sys.path.insert(0, "tests")
@@ -157,6 +158,7 @@ def test_pipeline_end_to_end_with_shared_trunk(tmp_path, monkeypatch):
     assert len(out.speaker_diarization.labels()) <= 3
 
 
+@pytest.mark.slow
 def test_early_trunk_dispatch_is_used_and_equivalent(tmp_path,
                                                      monkeypatch):
     """apply() queues the shared trunk before the count host sync; the
@@ -200,6 +202,7 @@ def test_early_trunk_dispatch_is_used_and_equivalent(tmp_path,
         assert s1 == s2 and l1 == l2
 
 
+@pytest.mark.slow
 def test_shared_trunk_with_conv_fbank_matches_rfft(tmp_path, monkeypatch):
     """The composed-conv fbank (accelerator default) composes with the
     shared-trunk path: same chunk grid, same trunk geometry, and

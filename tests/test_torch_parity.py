@@ -431,6 +431,7 @@ _TINY = dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
              feat_proj_dropout=0.0, layerdrop=0.0)
 
 
+@pytest.mark.slow
 def test_ssl_wavlm_base_matches_hf():
     """WavLM post-norm + group-norm trunk + per-layer gated rel-pos bias
     (the reference's default SSeRiouSS trunk, SSeRiouSS.py:96-128)."""
