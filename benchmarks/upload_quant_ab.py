@@ -2,7 +2,7 @@
 
 Cross-process comparisons on the shared pool/relay are unreliable (the
 same code measures 13-57 s/audio-hour depending on the minute), so this
-alternates the two transport modes within ONE process — A B A B ... —
+alternates the transport modes within ONE process — A B C A B C ... —
 and reports the best pass per mode from the same window.
 
     python benchmarks/upload_quant_ab.py [--minutes 10] [--reps 4]

@@ -91,8 +91,10 @@ def _mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
 # the host encode is vectorizable (no sequential state; C++ fast path
 # native.dpcm4_encode), and the device decode is ONE segmented cumsum
 # producing the same int16 buffer the "int16" transport uploads.
-# ~32 dB SNR on speech (mu-law: ~38 dB); opt-in via
-# PYANNOTE_TPU_UPLOAD_QUANT=dpcm4 pending a DER A/B at default.
+# ~32-36 dB SNR on speech (mu-law: ~38 dB). The ACCELERATOR DEFAULT
+# since round 4 (DER A/B +0.0001, interleaved TPU A/B 1.645 s vs
+# mu-law's 2.433 — docs/PARITY.md); PYANNOTE_TPU_UPLOAD_QUANT selects
+# mulaw/int16/f32 instead.
 
 _DPCM4_BLOCK = 256
 _DPCM4_ROW = 132          # 128 code bytes + int16 scale + int16 x0
@@ -169,6 +171,10 @@ def _dpcm4_upload(waveform: np.ndarray, padded_len: int) -> jnp.ndarray:
     if _DPCM4_DECODE is None:
         _DPCM4_DECODE = jax.jit(_dpcm4_device_decode,
                                 static_argnums=(1,))
+    # one tiny program per (nb, target) signature — the same 30 s
+    # length buckets the chunk-gather/forward executables already
+    # specialize on, so a new bucket's decode compile rides the same
+    # first-file compile event rather than adding a new one
     return _DPCM4_DECODE(jnp.asarray(rows), target)
 
 
@@ -209,9 +215,37 @@ def _upload_quant_mode() -> str:
         return "f32"
     try:
         import jax
-        return "dpcm4" if jax.default_backend() != "cpu" else "int16"
+        if jax.default_backend() == "cpu":
+            return "int16"
     except Exception:
         return "int16"
+    # the dpcm4 DEFAULT requires the native encoder: the numpy twin is
+    # 3-10x slower at 60-min scale, which would silently turn the
+    # transport win into a staging-thread loss. Explicit =dpcm4 still
+    # honors the request with the numpy fallback.
+    if _native_dpcm4_available():
+        return "dpcm4"
+    if "dpcm4-native" not in _WARNED_QUANT_MODES:
+        _WARNED_QUANT_MODES.add("dpcm4-native")
+        warnings.warn(
+            "native dpcm4 encoder unavailable (rebuild "
+            "native/build.sh); using 8-bit mu-law transport instead")
+    return "mulaw"
+
+
+_NATIVE_DPCM4: Optional[bool] = None
+
+
+def _native_dpcm4_available() -> bool:
+    global _NATIVE_DPCM4
+    if _NATIVE_DPCM4 is None:
+        try:
+            from .. import native
+            _NATIVE_DPCM4 = native.dpcm4_encode(
+                np.zeros(256, np.float32), 256) is not None
+        except Exception:
+            _NATIVE_DPCM4 = False
+    return _NATIVE_DPCM4
 
 
 def _upload_waveform(waveform: np.ndarray,

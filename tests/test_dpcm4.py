@@ -145,3 +145,22 @@ def test_inference_end_to_end_close_to_exact():
         os.environ.pop("PYANNOTE_TPU_UPLOAD_QUANT", None)
     assert np.isfinite(out_dpcm).all()
     assert np.max(np.abs(out_dpcm - out_exact)) < 0.05
+
+
+def test_default_falls_back_to_mulaw_without_native(monkeypatch):
+    """The accelerator DEFAULT requires the C++ encoder (the numpy twin
+    is 3-10x slower at scale); without it the resolver warns once and
+    uses mu-law. Explicit =dpcm4 still works via the numpy fallback."""
+    import jax
+
+    import pyannote_audio_tpu.core.inference as inf
+
+    monkeypatch.delenv("PYANNOTE_TPU_UPLOAD_QUANT", raising=False)
+    monkeypatch.delenv("PYANNOTE_TPU_INT16_UPLOAD", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(inf, "_NATIVE_DPCM4", False)
+    inf._WARNED_QUANT_MODES.discard("dpcm4-native")
+    with pytest.warns(UserWarning, match="native dpcm4"):
+        assert inf._upload_quant_mode() == "mulaw"
+    monkeypatch.setattr(inf, "_NATIVE_DPCM4", True)
+    assert inf._upload_quant_mode() == "dpcm4"
