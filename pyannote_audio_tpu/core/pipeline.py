@@ -386,10 +386,15 @@ class Pipeline:
                 prefetch[i + 1] = t
             results.append(self.apply(files[i], hook=hook, **kwargs))
             if isinstance(files[i], dict):
-                # release the per-file device buffer: the files list stays
-                # alive for the whole batch, so HBM use would otherwise
-                # grow linearly with batch size
+                # release the per-file device buffer AND, for dicts this
+                # machinery decoded itself, the host waveform: the files
+                # list stays alive for the whole batch, so HBM/RAM use
+                # would otherwise grow linearly with batch size (~230 MB
+                # host f32 per audio-hour)
                 files[i].pop("_device_waveform", None)
+                if files[i].pop("_batch_decoded", None):
+                    files[i].pop("waveform", None)
+                    files[i].pop("sample_rate", None)
         return results
 
     def _decode_into(self, f, preload: bool = True) -> None:
@@ -416,6 +421,10 @@ class Pipeline:
                 return             # consumer surfaces the real error
             f["waveform"] = waveform
             f["sample_rate"] = sample_rate
+            # mark machinery-decoded dicts so batch eviction can drop
+            # the host waveform too (path-backed: re-decodable); user
+            # dicts that CAME with a waveform are never evicted
+            f["_batch_decoded"] = True
         if preload:
             try:
                 # overlap the host->device transfer with the device

@@ -1136,13 +1136,18 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         return results
 
     def _finalize_and_release(self, staged: Dict[str, Any]):
-        """_finalize, then drop the file's device buffer: the batch list
-        keeps every file dict alive, so without eviction HBM grows
-        linearly with batch size (one padded waveform per file)."""
+        """_finalize, then drop the file's device buffer — and, for
+        dicts the batch machinery decoded itself, the host waveform:
+        the batch list keeps every file dict alive, so without eviction
+        HBM (padded device buffer) and host RAM (~230 MB f32 per
+        audio-hour) grow linearly with batch size."""
         out = self._finalize(staged)
         f = staged.get("file")
         if isinstance(f, dict):
             f.pop("_device_waveform", None)
+            if f.pop("_batch_decoded", None):
+                f.pop("waveform", None)
+                f.pop("sample_rate", None)
         return out
 
     def _finalize(self, staged: Dict[str, Any]

@@ -103,23 +103,35 @@ class DiarizationServer:
         if self.media_ttl is None:
             return
         now = time.time()
+        to_unlink = []
         with self._lock:
+            # media referenced by an accepted-but-unfinished job must
+            # survive the sweep, however old — evicting it would fail a
+            # job the server already promised to run
+            live = {job["request"].get("url")
+                    for job in self._jobs.values()
+                    if job.get("status") not in ("succeeded", "failed",
+                                                 "canceled")}
             for url, ts in list(self._media_ts.items()):
-                if now - ts <= self.media_ttl:
+                if now - ts <= self.media_ttl or url in live:
                     continue
                 path = self._media.pop(url, None)
                 del self._media_ts[url]
                 self._presigned.pop(url[len("media://"):], None)
                 if path is not None:
-                    try:
-                        path.unlink(missing_ok=True)
-                    except OSError:
-                        pass
+                    to_unlink.append(path)
             for job_id, job in list(self._jobs.items()):
                 done = job.get("status") in ("succeeded", "failed",
                                              "canceled")
                 if done and now - job.get("ts", now) > self.media_ttl:
                     del self._jobs[job_id]
+        # unlink OUTSIDE the lock: a slow filesystem sweep must not
+        # stall every handler thread and the worker's status updates
+        for path in to_unlink:
+            try:
+                path.unlink(missing_ok=True)
+            except OSError:
+                pass
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -173,7 +185,10 @@ class DiarizationServer:
             with self._lock:
                 for jid in batch:
                     self._jobs[jid]["status"] = "processing"
-                same_kwargs = len({tuple(sorted(self._kwargs(
+                # repr-keyed: request values are client-controlled JSON
+                # and may be unhashable (a dict/list would kill this
+                # thread via TypeError otherwise)
+                same_kwargs = len({repr(sorted(self._kwargs(
                     self._jobs[jid]["request"]).items()))
                     for jid in batch}) == 1
             if not same_kwargs:
@@ -312,6 +327,15 @@ class DiarizationServer:
                         {"url": f"http://{host}:{port}/upload/{key}"
                                 f"?sig={sig}"})
                 if self.path.rstrip("/").endswith("/diarize"):
+                    for field in ("numSpeakers", "minSpeakers",
+                                  "maxSpeakers"):
+                        value = payload.get(field)
+                        if value is not None and (
+                                isinstance(value, bool)
+                                or not isinstance(value, int)):
+                            return self._json(
+                                {"error": f"{field} must be an "
+                                 "integer"}, 400)
                     media_url = payload.get("url")
                     with server._lock:
                         known = media_url in server._media \
@@ -337,21 +361,28 @@ class DiarizationServer:
                     return self._json({"error": "not found"}, 404)
                 key = split.path[len("/upload/"):]
                 sig = parse_qs(split.query).get("sig", [""])[0]
+                # presigned single-use signature OR the API bearer header
+                # both authorize the upload. Compare-and-pop under ONE
+                # lock acquisition: a check-then-pop would let two
+                # concurrent PUTs replay the same signature
                 with server._lock:
                     expected = server._presigned.get(key)
-                # presigned single-use signature OR the API bearer header
-                # both authorize the upload
-                if expected is not None and sig and \
-                        hmac.compare_digest(sig, expected):
-                    with server._lock:
+                    presigned_ok = expected is not None and bool(sig) \
+                        and hmac.compare_digest(sig, expected)
+                    if presigned_ok:
                         server._presigned.pop(key, None)
-                elif not self._authorized():
+                if not presigned_ok and not self._authorized():
                     return
                 target = server._spool_path(key)
                 if target is None:
                     return self._json({"error": "bad key"}, 400)
                 target.parent.mkdir(parents=True, exist_ok=True)
-                target.write_bytes(self._body())
+                # atomic replace: a re-upload racing the worker's decode
+                # of the same spool path must never expose a torn file
+                tmp = target.with_name(
+                    f".{target.name}.{uuid.uuid4().hex[:8]}.part")
+                tmp.write_bytes(self._body())
+                os.replace(tmp, target)
                 self.send_response(200)
                 self.send_header("Content-Length", "0")
                 self.end_headers()

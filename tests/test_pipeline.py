@@ -413,3 +413,46 @@ def test_apply_batch_mixed_formats(seg_model, emb_model, tmp_path):
     for b, s in zip(batch_out, seq):
         assert list(b.speaker_diarization.itertracks(yield_label=True)) \
             == list(s.speaker_diarization.itertracks(yield_label=True))
+
+
+def test_batch_apply_releases_host_waveforms(seg_model, emb_model,
+                                             tmp_path):
+    """The batch machinery must evict the host waveforms it decoded
+    itself (the files list stays alive for the whole batch — ~230 MB
+    f32 per audio-hour would otherwise accumulate), while user dicts
+    that CAME with a waveform are never touched."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    files = [default_two_speaker_file(tmp_path / f"ev{i}.wav")
+             for i in range(2)]
+    for i, f in enumerate(files):
+        f["uri"] = f"ev{i}"
+        f.pop("waveform", None)       # path-backed: machinery decodes
+
+    pipeline = SpeakerDiarization(
+        segmentation=seg_model, embedding=emb_model,
+        clustering="AgglomerativeClustering",
+        embedding_batch_size=8, segmentation_batch_size=8)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    out = pipeline(files)
+    assert len(out) == 2
+    for f in files:
+        assert "waveform" not in f, "machinery-decoded waveform retained"
+        assert "_device_waveform" not in f
+        assert "_batch_decoded" not in f
+
+    # user-provided waveforms survive the batch
+    from corpus import default_two_speaker_file as make
+    user = make(tmp_path / "user.wav")
+    from pyannote_audio_tpu.core.io import Audio
+    wav, sr = Audio(sample_rate=16000)(dict(user))
+    user_dict = {"uri": "user", "waveform": np.asarray(wav),
+                 "sample_rate": sr}
+    pipeline([user_dict])
+    assert "waveform" in user_dict

@@ -187,3 +187,100 @@ def test_server_evicts_expired_media_and_jobs(pipeline):
     assert "done" not in server._jobs
     assert "pending" in server._jobs      # unfinished jobs never evicted
     server._httpd.server_close()
+
+
+def test_server_rejects_non_integer_speaker_fields(pipeline, tmp_path):
+    """Unhashable speaker constraints used to reach the worker's batch
+    dedup key and kill the worker thread with TypeError — a one-request
+    permanent DoS. They are now rejected at POST time, and the worker
+    key is repr-based so nothing client-controlled is ever hashed."""
+    import urllib.error
+    import urllib.request
+
+    file = default_two_speaker_file(tmp_path / "kwargs.wav")
+    with DiarizationServer(pipeline) as server:
+        put = urllib.request.Request(
+            f"http://{server._httpd.server_address[0]}:"
+            f"{server._httpd.server_address[1]}/upload/kw.wav",
+            data=(tmp_path / "kwargs.wav").read_bytes(), method="PUT")
+        urllib.request.urlopen(put)
+        reg = urllib.request.Request(
+            f"{server.api_url}/media/input",
+            data=json.dumps({"url": "media://kw.wav"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        urllib.request.urlopen(reg)
+        for bad in ({"x": 1}, [2], 1.5, True, "3"):
+            req = urllib.request.Request(
+                f"{server.api_url}/diarize",
+                data=json.dumps({"url": "media://kw.wav",
+                                 "numSpeakers": bad}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(req)
+            assert err.value.code == 400, bad
+        # the worker is still alive: a valid job completes
+        req = urllib.request.Request(
+            f"{server.api_url}/diarize",
+            data=json.dumps({"url": "media://kw.wav",
+                             "maxSpeakers": 3}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        job_id = json.loads(urllib.request.urlopen(req).read())["jobId"]
+        import time as _time
+        for _ in range(600):
+            status = json.loads(urllib.request.urlopen(
+                f"{server.api_url}/jobs/{job_id}").read())
+            if status["status"] in ("succeeded", "failed"):
+                break
+            _time.sleep(0.05)
+        assert status["status"] == "succeeded"
+
+
+def test_purge_keeps_media_of_unfinished_jobs(pipeline):
+    """TTL eviction must not delete media an accepted job still needs —
+    the job would fail with KeyError when the worker reached it."""
+    import time as _time
+
+    server = DiarizationServer(pipeline, media_ttl=0.05)
+    key = server.spool / "busy.wav"
+    key.write_bytes(b"data")
+    server._media["media://busy.wav"] = key
+    server._media_ts["media://busy.wav"] = _time.time() - 1.0
+    server._jobs["j"] = {"status": "created",
+                         "request": {"url": "media://busy.wav"}}
+    server._purge_expired()
+    assert "media://busy.wav" in server._media and key.exists()
+    # once the job finishes (and ages out), the media goes too
+    server._jobs["j"]["status"] = "succeeded"
+    server._jobs["j"]["ts"] = _time.time() - 1.0
+    server._purge_expired()
+    assert "media://busy.wav" not in server._media
+    assert not key.exists()
+    server._httpd.server_close()
+
+
+def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
+                                                           tmp_path):
+    """A presigned upload URL works exactly once (replay without the
+    bearer token is 401), and uploads leave no .part temp files."""
+    import urllib.error
+    import urllib.request
+
+    default_two_speaker_file(tmp_path / "once.wav")
+    with DiarizationServer(pipeline, token="tok") as server:
+        reg = urllib.request.Request(
+            f"{server.api_url}/media/input",
+            data=json.dumps({"url": "media://once.wav"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer tok"}, method="POST")
+        put_url = json.loads(urllib.request.urlopen(reg).read())["url"]
+        body = (tmp_path / "once.wav").read_bytes()
+        put = urllib.request.Request(put_url, data=body, method="PUT")
+        assert urllib.request.urlopen(put).status == 200
+        # replay: signature was consumed, and there is no bearer header
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(
+                urllib.request.Request(put_url, data=body, method="PUT"))
+        assert err.value.code == 401
+        assert (server.spool / "once.wav").read_bytes() == body
+        assert not list(server.spool.glob(".*part"))
