@@ -108,9 +108,10 @@ def main():
         return best * 1e3
 
     # compile + warm the full pipeline once (counts as attempt 0)
+    # list form = the streaming batch path bench.py measures
     file = {"audio": path, "uri": "hunt"}
     t0 = time.perf_counter()
-    pipeline(dict(file), max_speakers=4)
+    pipeline([dict(file)], max_speakers=4)
     warm = time.perf_counter() - t0
 
     state = {"file_minutes": args.minutes, "warm_wall_s": round(warm, 2),
@@ -128,7 +129,7 @@ def main():
             walls = []
             for _ in range(args.passes):
                 t0 = time.perf_counter()
-                pipeline(dict(file), max_speakers=4)
+                pipeline([dict(file)], max_speakers=4)
                 walls.append(round(time.perf_counter() - t0, 3))
             entry["walls_s"] = walls
             best = min(walls)

@@ -13,6 +13,8 @@ from typing import Optional, Union
 import numpy as np
 from sklearn.isotonic import IsotonicRegression
 
+from ..utils.hf_hub import AssetFileName, looks_like_hub_id
+
 
 class Calibration(IsotonicRegression):
     """Maps raw scores (e.g. cosine distances) to [0, 1] probabilities."""
@@ -73,10 +75,23 @@ class Calibration(IsotonicRegression):
 
     @classmethod
     def from_pretrained(cls, checkpoint: Union[str, Path],
-                        subfolder: Optional[str] = None) -> "Calibration":
+                        subfolder: Optional[str] = None,
+                        revision: Optional[str] = None,
+                        token: Optional[str] = None,
+                        cache_dir=None) -> "Calibration":
+        """Load from a local dir/file or a hub id (parity: reference
+        calibration.py:158-220 routes non-path ids through the hub and
+        downloads ``calibration.safetensors``)."""
         path = Path(checkpoint)
+        if not path.exists() and looks_like_hub_id(str(checkpoint)):
+            from ..utils.hf_hub import download_from_hf_hub
+            name = AssetFileName.Calibration.value
+            filename = f"{subfolder}/{name}" if subfolder else name
+            return cls.from_file(download_from_hf_hub(
+                str(checkpoint), filename, revision=revision,
+                token=token, cache_dir=cache_dir))
         if subfolder:
             path = path / subfolder
         if path.is_dir():
-            path = path / "calibration.safetensors"
+            path = path / str(AssetFileName.Calibration)
         return cls.from_file(path)

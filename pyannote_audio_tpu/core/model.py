@@ -362,15 +362,32 @@ class Model:
         download the native checkpoint pair, falling back to the torch
         ``pytorch_model.bin`` (what the reference hosts on the hub)."""
         import urllib.error
+        import warnings
 
         from ..utils.hf_hub import (AssetFileName, download_from_hf_hub,
                                     looks_like_hub_id, resolve_checkpoint)
+
+        def complete(local: Path) -> bool:
+            # a failed download leaves an empty/partial cache dir behind
+            # (mkdir runs before urlopen); returning it as-is would
+            # permanently block re-downloading until the user deletes it
+            if local.is_file():
+                return True
+            return ((local / CHECKPOINT_CONFIG).exists()
+                    and ((local / CHECKPOINT_PARAMS).exists()
+                         or (local / "orbax").exists())) \
+                or (local / str(AssetFileName.TorchModel)).exists()
+
+        local = None
         try:
-            return resolve_checkpoint(model_id, revision=revision)
+            local = resolve_checkpoint(model_id, revision=revision)
+            if complete(local):
+                return local
         except FileNotFoundError:
             pass
         if not looks_like_hub_id(model_id):
-            return None
+            return local
+        last_error = None
         try:
             params = download_from_hf_hub(
                 model_id, AssetFileName.Model, revision=revision,
@@ -378,14 +395,19 @@ class Model:
             download_from_hf_hub(model_id, CHECKPOINT_CONFIG,
                                  revision=revision, token=token)
             return params.parent
-        except (FileNotFoundError, urllib.error.HTTPError):
-            pass
+        except (FileNotFoundError, urllib.error.HTTPError) as exc:
+            last_error = exc
         try:
             return download_from_hf_hub(
                 model_id, AssetFileName.TorchModel, revision=revision,
                 token=token)
-        except (FileNotFoundError, urllib.error.HTTPError):
-            return None
+        except (FileNotFoundError, urllib.error.HTTPError) as exc:
+            # surface the root cause (auth? network? missing asset?)
+            # instead of letting the caller raise a bare 'cannot load'
+            warnings.warn(
+                f"hub download of {model_id!r} failed: "
+                f"{last_error or exc}")
+            return local
 
     def frozen_mask(self, frozen_prefixes: List[str]) -> Any:
         def mask_fn(path, _leaf):
@@ -436,11 +458,27 @@ class Model:
         the msgpack blob — the TPU-native choice for sharded / multi-host
         parameters (orbax handles per-shard files and atomic commits).
         """
+        import os
+        import uuid
+
         from flax import serialization
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        with open(path / CHECKPOINT_CONFIG, "w") as f:
-            yaml.safe_dump(self.to_checkpoint_dict(), f)
+
+        def atomic_write(target: Path, data: bytes) -> None:
+            # the trainer re-saves `best/` in place on every metric
+            # improvement: a kill mid-write must never destroy the
+            # previously good copy (tmp + os.replace, repo convention)
+            tmp = target.with_name(
+                f".{target.name}.{os.getpid()}-{uuid.uuid4().hex[:8]}")
+            try:
+                tmp.write_bytes(data)
+                os.replace(tmp, target)
+            finally:
+                tmp.unlink(missing_ok=True)
+
+        atomic_write(path / CHECKPOINT_CONFIG,
+                     yaml.safe_dump(self.to_checkpoint_dict()).encode())
         if self.params is None:
             self.build()
         if use_orbax:
@@ -451,8 +489,8 @@ class Model:
                     jax.tree_util.tree_map(np.asarray, self.params),
                     force=True)
         else:
-            with open(path / CHECKPOINT_PARAMS, "wb") as f:
-                f.write(serialization.to_bytes(self.params))
+            atomic_write(path / CHECKPOINT_PARAMS,
+                         serialization.to_bytes(self.params))
 
     @classmethod
     def from_pretrained(

@@ -197,7 +197,10 @@ class Task:
                     # raises on a protocol-name mismatch)
                     cached_name = prepared.get("protocol", "")
                     own_name = getattr(self.protocol, "name", "")
-                    if cached_name and own_name and \
+                    # one empty + one named is ALSO a mismatch: an
+                    # unnamed protocol's cache served to a named one
+                    # (or vice versa) is almost certainly foreign data
+                    if (cached_name or own_name) and \
                             cached_name != own_name:
                         raise ValueError(
                             f"prepared-data cache {cache_path} was built "
@@ -644,10 +647,18 @@ def _save_prepared_data(path, prepared: Dict) -> None:
     payload["metadata-values"] = np.array(
         json.dumps(payload["metadata-values"]), dtype=np.str_)
     payload["protocol"] = np.array(payload["protocol"], dtype=np.str_)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **payload)
-    os.replace(tmp, path)
+    # unique temp name: two jobs sharing one cache path (e.g. hosts of a
+    # multi-host run on a shared filesystem) must not interleave writes
+    # into a single .tmp — each publishes a complete copy atomically
+    import uuid
+    tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load_prepared_data(path) -> Optional[Dict]:
@@ -660,16 +671,19 @@ def _load_prepared_data(path) -> Optional[Dict]:
     try:
         with np.load(path, allow_pickle=False) as z:
             if "audio-path" not in z.files \
-                    or "metadata-values" not in z.files:
-                return None
+                    or "metadata-values" not in z.files \
+                    or "protocol" not in z.files:
+                return None          # older cache layout: rebuild
             prepared = {name: z[name] for name in z.files}
+        # decode INSIDE the guard: a structurally-valid zip with corrupt
+        # payloads must also fall back to a rebuild, not crash
+        prepared["metadata-values"] = json.loads(
+            str(prepared["metadata-values"]))
+        prepared["protocol"] = str(prepared["protocol"])
     except (zipfile.BadZipFile, OSError, ValueError, KeyError) as exc:
         warnings.warn(f"ignoring unreadable prepared-data cache "
                       f"{path}: {exc}")
         return None
-    prepared["metadata-values"] = json.loads(
-        str(prepared["metadata-values"]))
-    prepared["protocol"] = str(prepared["protocol"])
     return prepared
 
 

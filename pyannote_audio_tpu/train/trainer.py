@@ -294,8 +294,14 @@ class Trainer:
                              and math.isnan(v) else v)
                          for k, v in record.items()}) + "\n")
             if self.checkpoint_dir is not None:
-                model.params = {k: v for k, v in params.items()
-                                if k in model_keys}
+                # host copies, NOT the live `params` leaves: the next
+                # epoch's first step donates those buffers, and aliasing
+                # them here would leave model.params holding deleted
+                # arrays after any mid-epoch interrupt (the exact hazard
+                # the fit-start copy guard documents)
+                model.params = jax.tree_util.tree_map(
+                    np.asarray, {k: v for k, v in params.items()
+                                 if k in model_keys})
                 ckpt = self.checkpoint_dir / f"epoch_{epoch}"
                 model.save_checkpoint(ckpt)
             # best-checkpoint + early stopping on the monitored metric.
@@ -317,8 +323,10 @@ class Trainer:
                     epochs_since_best = 0
                     self.best_epoch = epoch
                     if self.checkpoint_dir is not None:
-                        model.params = {k: v for k, v in params.items()
-                                        if k in model_keys}
+                        model.params = jax.tree_util.tree_map(
+                            np.asarray,
+                            {k: v for k, v in params.items()
+                             if k in model_keys})
                         model.save_checkpoint(self.checkpoint_dir
                                               / "best")
                 else:
@@ -335,13 +343,26 @@ class Trainer:
                 # (ArcFace prototypes), optimizer moments, and the
                 # early-stopping bookkeeping — everything
                 # fit(resume_from=ckpt) needs
+                import os
+                import uuid
+
                 from flax import serialization
-                (ckpt / "train_state.msgpack").write_bytes(
-                    serialization.to_bytes(
+                state_path = ckpt / "train_state.msgpack"
+                # atomic publish: a kill mid-write must not leave a
+                # truncated msgpack that makes resume_from crash deep
+                # inside flax instead of rebuilding
+                tmp = state_path.with_name(
+                    f".{state_path.name}."
+                    f"{os.getpid()}-{uuid.uuid4().hex[:8]}")
+                try:
+                    tmp.write_bytes(serialization.to_bytes(
                         {"params": params, "opt_state": opt,
                          "epoch": epoch, "best_score": best_score,
                          "epochs_since_best": epochs_since_best,
                          "best_epoch": getattr(self, "best_epoch", 0)}))
+                    os.replace(tmp, state_path)
+                finally:
+                    tmp.unlink(missing_ok=True)
             if self.early_stopping_patience is not None and \
                     epochs_since_best >= self.early_stopping_patience:
                 break

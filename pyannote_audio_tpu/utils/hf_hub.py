@@ -111,9 +111,12 @@ def _http_download(model_id: str, filename: str,
     import uuid as _uuid
     tmp = target.with_suffix(
         target.suffix + f".{os.getpid()}-{_uuid.uuid4().hex[:8]}.part")
+    # finite timeout: a stalled connection (proxy that accepts TCP but
+    # never answers) must error out, not hang from_pretrained forever
+    timeout = float(os.environ.get("PYANNOTE_TPU_HUB_TIMEOUT", "60"))
     try:
-        with urllib.request.urlopen(request) as response, \
-                open(tmp, "wb") as f:
+        with urllib.request.urlopen(request, timeout=timeout) \
+                as response, open(tmp, "wb") as f:
             while True:
                 chunk = response.read(1 << 20)
                 if not chunk:

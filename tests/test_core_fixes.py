@@ -197,3 +197,102 @@ def test_serve_batched_jobs_get_completion_timestamp():
         assert "j0" not in server._jobs and "j1" not in server._jobs
     finally:
         server.shutdown()
+
+
+def test_prepared_cache_without_protocol_stamp_rebuilds(tmp_path):
+    """A structurally-valid cache from an older layout (no 'protocol'
+    entry) must return None -> rebuild, not crash with KeyError."""
+    import numpy as np
+
+    from pyannote_audio_tpu.core.task import _load_prepared_data
+
+    path = tmp_path / "cache.npz"
+    np.savez_compressed(
+        path, **{"audio-path": np.array(["a.wav"]),
+                 "metadata-values": np.array('{"database": []}')})
+    assert _load_prepared_data(path) is None
+
+
+def test_save_checkpoint_is_atomic_and_leaves_no_temp(tmp_path):
+    """save_checkpoint publishes via tmp+replace: re-saving 'best' in
+    place must never expose a torn file, and temp names are cleaned."""
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.core.model import Model, Problem, Resolution
+    from pyannote_audio_tpu.core.model import Specifications
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0, classes=["a"])
+    model.build()
+    target = tmp_path / "best"
+    model.save_checkpoint(target)
+    model.save_checkpoint(target)          # in-place re-save
+    reloaded = Model.from_pretrained(target)
+    assert reloaded is not None
+    leftovers = [p for p in target.iterdir() if p.name.startswith(".")]
+    assert leftovers == []
+
+
+def test_calibration_from_pretrained_hub_id(tmp_path, monkeypatch):
+    """A non-path id routes through the hub download (reference
+    calibration.py:158-220) instead of failing with a raw missing-file
+    error."""
+    import numpy as np
+
+    from pyannote_audio_tpu.core.calibration import Calibration
+    from pyannote_audio_tpu.utils import hf_hub
+
+    cal = Calibration()
+    cal.fit(np.linspace(0, 1, 32), (np.linspace(0, 1, 32) > 0.5)
+            .astype(float))
+    local = tmp_path / "calibration.safetensors"
+    cal.save(local)
+
+    seen = {}
+
+    def fake_download(model_id, filename, revision=None, token=None,
+                      cache_dir=None):
+        seen["id"] = model_id
+        seen["filename"] = str(filename)
+        return local
+
+    monkeypatch.setattr(hf_hub, "download_from_hf_hub", fake_download)
+    loaded = Calibration.from_pretrained("org/calibrated-model")
+    assert seen["id"] == "org/calibrated-model"
+    assert seen["filename"].endswith("calibration.safetensors")
+    ref = cal.transform(np.linspace(0, 1, 9))
+    np.testing.assert_allclose(loaded.transform(np.linspace(0, 1, 9)),
+                               ref, atol=1e-6)
+
+
+def test_resolve_hub_id_heals_empty_cache_dir(tmp_path, monkeypatch):
+    """An empty cache directory left by a failed download must not
+    permanently block re-downloading the model."""
+    from pyannote_audio_tpu.core.model import Model
+    from pyannote_audio_tpu.utils import hf_hub
+
+    monkeypatch.setenv("PYANNOTE_TPU_HUB_CACHE", str(tmp_path))
+    # poison: empty dir exactly where resolve_checkpoint looks
+    (tmp_path / "org--model" / "main").mkdir(parents=True)
+
+    calls = []
+
+    def fake_download(model_id, filename, revision=None, token=None,
+                      cache_dir=None):
+        calls.append(str(filename))
+        target = tmp_path / "org--model" / "main" / str(filename)
+        if str(filename).endswith("params.msgpack"):
+            target.write_bytes(b"x")
+        else:
+            target.write_text("name: test")
+        return target
+
+    import pyannote_audio_tpu.core.model as model_mod
+    monkeypatch.setattr(model_mod, "download_from_hf_hub",
+                        fake_download, raising=False)
+    monkeypatch.setattr(hf_hub, "download_from_hf_hub", fake_download)
+    resolved = Model._resolve_hub_id("org/model")
+    assert calls, "empty cache dir blocked the re-download"
+    assert resolved == tmp_path / "org--model" / "main"
