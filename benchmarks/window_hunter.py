@@ -99,6 +99,31 @@ def main():
     small = jnp.zeros((128, 128), jnp.bfloat16)
     np.asarray(mm(small, small))                      # compile probe
 
+    # chained-matmul TFLOP/s probe (same "chained-v2" recipe as bench.py:
+    # 64 fori_loop'd 4096^3 bf16 products so the number is
+    # compute-dominated, not relay-latency-dominated) — recorded per
+    # measured attempt so the HOURSCALE artifact carries {wall, probe_ms,
+    # tflops} from the SAME minute.
+    MM_ITERS = 64 if jax.devices()[0].platform != "cpu" else 2
+
+    def mm_chain(a):
+        x = jax.lax.fori_loop(0, MM_ITERS, lambda i, x: x @ a, a)
+        return jnp.sum(x.astype(jnp.float32))
+
+    mm_big = jax.jit(mm_chain)
+    big_a = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
+    np.asarray(mm_big(big_a))                         # compile
+
+    def probe_tflops() -> float:
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(mm_big(big_a))
+            best = max(best, 2 * 4096**3 * MM_ITERS
+                       / (time.perf_counter() - t0) / 1e12)
+        return best
+
     def probe_ms() -> float:
         best = float("inf")
         for _ in range(3):
@@ -115,6 +140,7 @@ def main():
     warm = time.perf_counter() - t0
 
     state = {"file_minutes": args.minutes, "warm_wall_s": round(warm, 2),
+             "probe_version": f"chained-v2/iters={MM_ITERS}",
              "attempts": [], "best_wall_s": None, "target_s": args.target}
     deadline = time.time() + args.max_minutes * 60.0
     attempt = 0
@@ -126,16 +152,22 @@ def main():
         entry = {"t": round(time.time()), "probe_ms": round(ms, 2),
                  "ran": bool(run_now)}
         if run_now:
+            entry["tflops"] = round(probe_tflops(), 1)
             walls = []
             for _ in range(args.passes):
                 t0 = time.perf_counter()
                 pipeline([dict(file)], max_speakers=4)
                 walls.append(round(time.perf_counter() - t0, 3))
             entry["walls_s"] = walls
+            # re-probe AFTER the passes: a window can shift mid-attempt,
+            # and the artifact must tie the wall to probes from the same
+            # minute on both sides
+            entry["probe_ms_after"] = round(probe_ms(), 2)
             best = min(walls)
             if state["best_wall_s"] is None or best < state["best_wall_s"]:
                 state["best_wall_s"] = best
                 state["best_probe_ms"] = round(ms, 2)
+                state["best_attempt"] = dict(entry)
         state["attempts"].append(entry)
         Path(args.out).write_text(json.dumps(state, indent=1))
         print(json.dumps(entry), flush=True)

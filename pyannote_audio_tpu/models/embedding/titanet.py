@@ -287,12 +287,16 @@ class TitaNet(Model):
 
     @property
     def min_num_samples(self) -> int:
-        """Embeddings need at least a few valid frames for the unbiased
-        per-feature std and the attention stats; 2 frames = 1 hop. The
-        reference finds its NeMo bound by bisecting runtime failures
-        (speaker_verification.py:109-131); the native forward is total,
-        so this is a quality floor rather than a crash boundary."""
-        return self.hop_length
+        """The reference's NeMo wrapper bisects its bound from runtime
+        failures (speaker_verification.py:109-131), landing around
+        0.1-0.5 s for titanet_large; our native forward is total, so a
+        1-hop floor would happily embed 10-30 ms compacted slivers (1-2
+        mel frames of near-garbage) that the upstream pipeline would
+        instead mark NaN and exclude from clustering. Match that
+        behavior with a 4x win_length floor (0.1 s at 16 kHz = the low
+        end of the bisected boundary): shorter rows NaN out like the
+        reference."""
+        return 4 * self.win_length
 
     # -- forward ----------------------------------------------------------
 
@@ -518,6 +522,7 @@ def _model_kwargs_from_config(config: Dict) -> Dict:
     for blk in enc.get("jasper", []) or []:
         kernel = blk.get("kernel", [3])
         dilation = blk.get("dilation", [1])
+        stride = blk.get("stride", [1])
         blocks.append(dict(
             filters=int(blk["filters"]),
             repeat=int(blk.get("repeat", 1)),
@@ -526,6 +531,12 @@ def _model_kwargs_from_config(config: Dict) -> Dict:
             dilation=int(dilation[0]
                          if isinstance(dilation, (list, tuple))
                          else dilation),
+            # carried through so TitaNet.__init__'s norm() can refuse
+            # strided ConvASREncoder configs (conv weight SHAPES do not
+            # encode stride, so a strided .nemo would otherwise convert
+            # cleanly and silently run at the wrong frame rate)
+            stride=int(stride[0] if isinstance(stride, (list, tuple))
+                       else stride),
             residual=bool(blk.get("residual", False)),
             separable=bool(blk.get("separable", False)),
             se=bool(blk.get("se", True))))

@@ -112,8 +112,9 @@ def test_pipeline_batch_predecode(tmp_path):
 
 def test_pipeline_batch_streaming_overlap(tmp_path):
     """The default _apply_batch decodes file N+1 on a worker thread while
-    file N runs; decoded waveforms land in the prepared file dicts and
-    results match single-file runs."""
+    file N runs; machinery-decoded waveforms are evicted after each file
+    (bounded memory), user-supplied waveforms are kept, and results match
+    single-file runs."""
     import sys
     sys.path.insert(0, "tests")
     from corpus import default_two_speaker_file
@@ -137,10 +138,18 @@ def test_pipeline_batch_streaming_overlap(tmp_path):
                           "min_duration_on": 0.0, "min_duration_off": 0.0})
 
     files = [{"audio": p, "uri": f"s{i}"} for i, p in enumerate(paths)]
+    # file 2 arrives with a user-supplied waveform: never evicted
+    from pyannote_audio_tpu.core.io import Audio
+    wav2, sr2 = Audio(sample_rate=16000, mono="downmix")({"audio": paths[2]})
+    files[2]["waveform"], files[2]["sample_rate"] = wav2, sr2
     outputs = pipeline(files)
     assert len(outputs) == 3
-    # the prefetcher decoded into the dicts the pipeline worked on
-    assert all("waveform" in f for f in files)
+    # machinery-decoded waveforms are evicted after finalize so host/HBM
+    # use stays bounded for arbitrarily long batches (core/pipeline.py
+    # _apply_batch eviction contract); user-supplied ones are kept
+    assert all("waveform" not in f and "_device_waveform" not in f
+               for f in files[:2])
+    assert "waveform" in files[2]
     singles = [pipeline({"audio": p, "uri": f"x{i}"})
                for i, p in enumerate(paths)]
     for batch_out, single in zip(outputs, singles):

@@ -364,8 +364,32 @@ def test_titanet_num_frames_and_min_samples():
     model = TitaNet(n_mels=12, blocks=SMALL_BLOCKS, emb_dim=16,
                     attention_channels=8)
     assert model.num_frames(16000) == 101
-    assert model.min_num_samples == 160
+    # 4x win_length floor (~reference NeMo wrapper's bisected boundary):
+    # shorter compacted rows NaN out instead of embedding 1-2 mel frames
+    assert model.min_num_samples == 4 * model.win_length
     assert model.dimension == 16
+
+
+def test_strided_nemo_config_is_refused():
+    """Conv weight shapes don't encode stride, so a strided
+    ConvASREncoder .nemo would convert cleanly and silently run at the
+    wrong frame rate — both the direct constructor AND the
+    from-config path must refuse loudly."""
+    import pytest
+    blocks = [dict(filters=32, repeat=1, kernel=3, dilation=1,
+                   stride=2, residual=False, separable=True, se=False)]
+    with pytest.raises(ValueError, match="stride"):
+        TitaNet(n_mels=12, blocks=blocks, emb_dim=16,
+                attention_channels=8)
+    kwargs = _model_kwargs_from_config({
+        "preprocessor": {"features": 80, "sample_rate": 16000},
+        "encoder": {"jasper": [
+            {"filters": 1024, "repeat": 1, "kernel": [3], "stride": [2],
+             "separable": True, "se": True}]},
+        "decoder": {"emb_sizes": [192], "attention_channels": 128},
+    })
+    with pytest.raises(ValueError, match="stride"):
+        TitaNet(**kwargs)
 
 
 def test_nemo_wrapper_end_to_end(tmp_path):
@@ -465,7 +489,7 @@ def test_config_stft_geometry_honored():
                         k: kwargs[k]
                         for k in ("n_fft", "win_length", "hop_length")})
     assert model.num_frames(16000) == 51           # 1 + 16000 // 320
-    assert model.min_num_samples == 320
+    assert model.min_num_samples == 4 * 400        # 4x win_length floor
 
     # an n_fft omitted from the config falls back to next-pow2(win)
     kwargs = _model_kwargs_from_config({
