@@ -620,39 +620,22 @@ class Inference(BaseInference):
 
     # -- sliding-window engine ---------------------------------------------
 
-    def slide(self, waveform: np.ndarray, sample_rate: int,
-              hook: Optional[Callable] = None,
-              cache=None) -> SlidingWindowFeature:
-        """Slide the model over a (channel, time) waveform.
+    def _slide_scores(self, device_waveform, starts: np.ndarray,
+                      window_size: int, shared: bool,
+                      hook: Optional[Callable] = None,
+                      hook_base: int = 0, hook_total: int = 0):
+        """Batched forwards over explicit chunk ``starts`` gathered from
+        one uploaded (slice of a) waveform; returns the device score tree.
 
-        Parity: Inference.slide (reference inference.py:217-374).
+        Extracted from ``slide`` so the bounded-HBM long-file path
+        (core/longfile.py) can run the same executables per slice with
+        translated starts — the gathers never require ``starts`` to
+        enumerate the full grid of the uploaded buffer.
         """
-        window_size = round(self.duration * sample_rate)
-        step_size = round(self.step * sample_rate)
-        _, num_samples = waveform.shape
-
-        specs = self.model.specifications
-        spec = specs if isinstance(specs, Specifications) else specs[0]
-        frame_resolution = spec.resolution == Resolution.FRAME
-        if frame_resolution:
-            frames = self.model.receptive_field
-            num_frames_per_chunk = self.model.num_frames(window_size)
-        else:
-            frames = None
-            num_frames_per_chunk = None
-
-        # chunk start positions (last chunk zero-padded, inference.py:273-278)
-        starts, padded_len = _chunk_grid(num_samples, window_size,
-                                         step_size, sample_rate)
-        num_chunks = len(starts)
-        device_waveform = _upload_waveform_cached(
-            waveform, cache, padded_len=padded_len)
-
-        shared = waveform.shape[0] == 1 and \
-            self._shared_frontend(window_size, step_size)
         if shared:
             if self._jitted_shared is None:
-                self._jitted_shared = self._make_shared_batch_fn(window_size)
+                self._jitted_shared = self._make_shared_batch_fn(
+                    window_size)
             precompute_fn, shared_batch_fn = self._jitted_shared
             try:
                 conv_whole = precompute_fn(self.model.params,
@@ -670,6 +653,7 @@ class Inference(BaseInference):
 
         # batched forward with a fixed batch shape (single executable)
         B = self.batch_size
+        num_chunks = len(starts)
         num_batches = math.ceil(num_chunks / B)
         outputs = []
         for b in range(num_batches):
@@ -704,13 +688,66 @@ class Inference(BaseInference):
             outputs.append(jax.tree_util.tree_map(
                 lambda o: o[:n_real], out))
             if hook is not None:
-                hook(completed=min((b + 1) * B, num_chunks),
-                     total=num_chunks)
+                hook(completed=hook_base + min((b + 1) * B, num_chunks),
+                     total=hook_total or num_chunks)
         if len(outputs) > 1:
-            scores = jax.tree_util.tree_map(
+            return jax.tree_util.tree_map(
                 lambda *parts: jnp.concatenate(parts, axis=0), *outputs)
+        return outputs[0]
+
+    def slide(self, waveform: np.ndarray, sample_rate: int,
+              hook: Optional[Callable] = None,
+              cache=None) -> SlidingWindowFeature:
+        """Slide the model over a (channel, time) waveform.
+
+        Parity: Inference.slide (reference inference.py:217-374). Files
+        whose whole-file device buffers would exceed the HBM budget are
+        processed in bounded halo'd slices (core/longfile.py) — per-chunk
+        outputs are identical because every chunk's samples and shared
+        front-end frames are fully contained in its slice.
+        """
+        window_size = round(self.duration * sample_rate)
+        step_size = round(self.step * sample_rate)
+        _, num_samples = waveform.shape
+
+        specs = self.model.specifications
+        spec = specs if isinstance(specs, Specifications) else specs[0]
+        frame_resolution = spec.resolution == Resolution.FRAME
+        if frame_resolution:
+            frames = self.model.receptive_field
+            num_frames_per_chunk = self.model.num_frames(window_size)
         else:
-            scores = outputs[0]
+            frames = None
+            num_frames_per_chunk = None
+
+        # chunk start positions (last chunk zero-padded, inference.py:273-278)
+        starts, padded_len = _chunk_grid(num_samples, window_size,
+                                         step_size, sample_rate)
+        num_chunks = len(starts)
+        shared = waveform.shape[0] == 1 and \
+            self._shared_frontend(window_size, step_size)
+
+        from .longfile import plan_slices, slice_uploads
+        plan = plan_slices(num_samples, window_size, step_size,
+                           sample_rate, starts)
+        if plan is not None and len(plan) > 1:
+            get_upload, _ = slice_uploads(cache, waveform, plan,
+                                          sample_rate)
+            parts = []
+            for k, sl in enumerate(plan):
+                device_slice, _ = get_upload(k)
+                starts_rel = starts[sl.i0:sl.i1] - np.int32(sl.a)
+                parts.append(self._slide_scores(
+                    device_slice, starts_rel, window_size, shared,
+                    hook=hook, hook_base=sl.i0, hook_total=num_chunks))
+            scores = jax.tree_util.tree_map(
+                lambda *p: jnp.concatenate(p, axis=0), *parts)
+        else:
+            device_waveform = _upload_waveform_cached(
+                waveform, cache, padded_len=padded_len)
+            scores = self._slide_scores(
+                device_waveform, starts, window_size, shared,
+                hook=hook, hook_total=num_chunks)
 
         chunk_window = SlidingWindow(start=0.0, duration=self.duration,
                                      step=self.step)
@@ -782,8 +819,18 @@ class Inference(BaseInference):
         waveform, sample_rate = self.audio(file)
         window_size = round(self.duration * sample_rate)
         step_size = round(self.step * sample_rate)
-        _, padded_len = _chunk_grid(waveform.shape[-1], window_size,
-                                    step_size, sample_rate)
+        starts, padded_len = _chunk_grid(waveform.shape[-1], window_size,
+                                         step_size, sample_rate)
+        from .longfile import plan_slices, slice_uploads
+        plan = plan_slices(waveform.shape[-1], window_size, step_size,
+                           sample_rate, starts)
+        if plan is not None and len(plan) > 1:
+            # bounded-HBM long file: warm only the first slice's upload
+            # (a whole-file buffer is exactly what the plan avoids)
+            get_upload, _ = slice_uploads(file, waveform, plan,
+                                          sample_rate)
+            get_upload(0)
+            return
         _upload_waveform_cached(waveform, file, padded_len=padded_len)
 
     def __call__(self, file: AudioFile, hook: Optional[Callable] = None):

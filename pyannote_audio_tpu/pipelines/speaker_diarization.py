@@ -410,8 +410,15 @@ class EmbeddingHotPathMixin:
         real_samples = waveform.shape[1]
         # identical grid + padded-length bucketing as get_embeddings /
         # slide — ONE source of truth so the stash key always matches
-        _, padded_len = _chunk_grid(real_samples, window_samples,
-                                    step_samples, sample_rate)
+        starts, padded_len = _chunk_grid(real_samples, window_samples,
+                                         step_samples, sample_rate)
+        from ..core.longfile import plan_slices
+        plan = plan_slices(real_samples, window_samples, step_samples,
+                           sample_rate, starts)
+        if plan is not None and len(plan) > 1:
+            # bounded-HBM long file: get_embeddings runs per-slice
+            # front-ends; a whole-file early trunk would defeat the point
+            return
         device_waveform = _upload_waveform_cached(
             waveform, file, padded_len=padded_len)
 
@@ -514,9 +521,19 @@ class EmbeddingHotPathMixin:
         padded_len = max(padded_len, int(starts[-1]) + window_samples)
         from collections.abc import MutableMapping
         from ..core.inference import _upload_waveform_cached
+        from ..core.longfile import plan_slices, slice_uploads
         cache = file if isinstance(file, MutableMapping) else None
-        device_waveform = _upload_waveform_cached(
-            waveform, cache, padded_len=padded_len)
+        # bounded-HBM long files: per-slice uploads + front-ends instead
+        # of whole-file buffers (core/longfile.py); the slice plan is the
+        # same one the segmentation stage used, so uploads are shared
+        plan = plan_slices(real_samples, window_samples, step_samples,
+                           sample_rate, starts)
+        if plan is not None and len(plan) <= 1:
+            plan = None
+        device_waveform = None
+        if plan is None:
+            device_waveform = _upload_waveform_cached(
+                waveform, cache, padded_len=padded_len)
 
         if self._embedding.module is None:
             self._embedding.build()
@@ -541,23 +558,19 @@ class EmbeddingHotPathMixin:
                         self._make_shared_trunk_fns(
                             window_samples, device_masks=device_masks))
             compute_trunk, batch_fn, geometry = getattr(self, cache_attr)
-            stash = file.pop("_device_trunk", None) \
-                if isinstance(file, MutableMapping) else None
-            if stash is not None and stash[0] == (
-                    window_samples, bool(device_masks), padded_len):
-                device_input = stash[1]  # dispatched early in apply()
-            else:
-                from ..ops.fbank import fbank_num_frames
+            from ..ops.fbank import fbank_num_frames
+
+            def input_for(device_buf, num_slice_samples, slice_padded):
                 num_real_frames = fbank_num_frames(
-                    min(real_samples, padded_len),
+                    min(num_slice_samples, slice_padded),
                     self._embedding.sample_rate,
                     self._embedding.frame_length,
                     self._embedding.frame_shift)
-                device_input = compute_trunk(device_waveform,
-                                             num_real_frames)
-            starts_for_batch = (
-                (starts // frame_shift_samples)
-                // geometry["stride"]).astype(np.int32)
+                return compute_trunk(device_buf, num_real_frames)
+
+            def translate(starts_abs, a):
+                return (((starts_abs - np.int32(a)) // frame_shift_samples)
+                        // geometry["stride"]).astype(np.int32)
         elif shared_fbank:
             cache_attr = "_jitted_fbank_embedding_dev" if device_masks \
                 else "_jitted_fbank_embedding"
@@ -566,9 +579,13 @@ class EmbeddingHotPathMixin:
                         self._make_fbank_embedding_batch_fn(
                             window_samples, device_masks=device_masks))
             whole_fbank, batch_fn = getattr(self, cache_attr)
-            device_input = whole_fbank(device_waveform)
-            starts_for_batch = (starts // frame_shift_samples).astype(
-                np.int32)
+
+            def input_for(device_buf, num_slice_samples, slice_padded):
+                return whole_fbank(device_buf)
+
+            def translate(starts_abs, a):
+                return ((starts_abs - np.int32(a))
+                        // frame_shift_samples).astype(np.int32)
         else:
             cache_attr = "_jitted_embedding_batch_dev" if device_masks \
                 else "_jitted_embedding_batch"
@@ -577,49 +594,102 @@ class EmbeddingHotPathMixin:
                         self._make_embedding_batch_fn(
                             window_samples, device_masks=device_masks))
             batch_fn = getattr(self, cache_attr)
-            device_input = device_waveform
-            starts_for_batch = starts
+
+            def input_for(device_buf, num_slice_samples, slice_padded):
+                return device_buf
+
+            def translate(starts_abs, a):
+                return (starts_abs - np.int32(a)).astype(np.int32)
+
+        # groups of (device_input thunk, translated starts, first global
+        # chunk index): ONE whole-file group normally; one per bounded
+        # slice for long files (core/longfile.py) — the batch loop below
+        # is identical either way because gathers take explicit starts
+        # and mask slices are indexed by GLOBAL chunk position
+        if plan is None:
+            if shared_trunk:
+                stash = file.pop("_device_trunk", None) \
+                    if isinstance(file, MutableMapping) else None
+            else:
+                stash = None
+            if stash is not None and stash[0] == (
+                    window_samples, bool(device_masks), padded_len):
+                whole_input = stash[1]  # dispatched early in apply()
+            else:
+                whole_input = input_for(device_waveform, real_samples,
+                                        padded_len)
+            groups = [(lambda wi=whole_input: wi,
+                       translate(starts, 0), 0)]
+            release_upload = None
+        else:
+            get_upload, release_upload = slice_uploads(
+                cache, waveform, plan, sample_rate)
+
+            def slice_group(k):
+                sl = plan[k]
+
+                def make_input():
+                    device_buf, slice_padded = get_upload(k)
+                    return input_for(device_buf, sl.b - sl.a,
+                                     slice_padded)
+                return (make_input, translate(starts[sl.i0:sl.i1], sl.a),
+                        sl.i0)
+
+            groups = [slice_group(k) for k in range(len(plan))]
 
         B = self.embedding_batch_size
-        num_batches = math.ceil(num_chunks / B)
+        num_batches = sum(math.ceil(len(g[1]) / B) for g in groups)
         if device_masks:
             # one padded (C_pad, S, F) device array; per-batch slices
             # happen inside the gather dispatch. The chunk bucket is
-            # usually >= num_batches*B already (both quantize the chunk
-            # count); pad only if the batch grid needs more
-            pad_chunks = num_batches * B - masks.shape[0]
+            # usually >= the batch grid already (both quantize the chunk
+            # count); pad only if a batch's global window needs more
+            need = max(g[2] + math.ceil(len(g[1]) / B) * B for g in groups)
+            pad_chunks = need - masks.shape[0]
             all_masks = jnp.pad(masks, ((0, pad_chunks), (0, 0), (0, 0))) \
                 if pad_chunks > 0 else masks
         out = []
+        done = 0
         if hook is not None:
             hook("embeddings", None, total=num_batches, completed=0)
-        for b in range(num_batches):
-            batch_starts = starts_for_batch[b * B:(b + 1) * B]
-            n_real = len(batch_starts)
-            pad_to = _tail_pad_to(B, n_real, self.mesh)
-            if n_real < pad_to:
-                batch_starts = np.pad(batch_starts, (0, pad_to - n_real))
-            if device_masks:
-                emb = batch_fn(
-                    self._embedding.params, device_input,
-                    jnp.asarray(batch_starts), all_masks,
-                    np.int32(b * B))
-            else:
-                batch_masks = masks[b * B:(b + 1) * B]
+        for gi, (make_input, group_starts, chunk0) in enumerate(groups):
+            device_input = make_input()
+            group_batches = math.ceil(len(group_starts) / B)
+            for b in range(group_batches):
+                batch_starts = group_starts[b * B:(b + 1) * B]
+                n_real = len(batch_starts)
+                pad_to = _tail_pad_to(B, n_real, self.mesh)
                 if n_real < pad_to:
-                    batch_masks = np.pad(
-                        batch_masks,
-                        ((0, pad_to - n_real), (0, 0), (0, 0)))
-                emb = batch_fn(
-                    self._embedding.params, device_input,
-                    jnp.asarray(batch_starts), jnp.asarray(batch_masks),
-                    np.int32(0))
-            # keep on device: a host sync here would serialize the batch
-            # pipeline; one transfer happens after the loop
-            out.append(emb[:n_real])
-            if hook is not None:
-                hook("embeddings", None, total=num_batches,
-                     completed=b + 1)
+                    batch_starts = np.pad(batch_starts,
+                                          (0, pad_to - n_real))
+                if device_masks:
+                    emb = batch_fn(
+                        self._embedding.params, device_input,
+                        jnp.asarray(batch_starts), all_masks,
+                        np.int32(chunk0 + b * B))
+                else:
+                    batch_masks = masks[chunk0 + b * B:
+                                        chunk0 + b * B + n_real]
+                    if n_real < pad_to:
+                        batch_masks = np.pad(
+                            batch_masks,
+                            ((0, pad_to - n_real), (0, 0), (0, 0)))
+                    emb = batch_fn(
+                        self._embedding.params, device_input,
+                        jnp.asarray(batch_starts),
+                        jnp.asarray(batch_masks), np.int32(0))
+                # keep on device: a host sync here would serialize the
+                # batch pipeline; one transfer happens after the loop
+                out.append(emb[:n_real])
+                done += 1
+                if hook is not None:
+                    hook("embeddings", None, total=num_batches,
+                         completed=done)
+            if release_upload is not None:
+                # drop the slice's cached upload: the dispatched programs
+                # keep the buffer alive until they execute, after which
+                # HBM use stays bounded by ~one slice in flight
+                release_upload(gi)
         if defer_fetch and not self.training:
             return _DeferredEmbeddings(out)
         embeddings = np.asarray(jnp.concatenate(out, axis=0)
