@@ -390,6 +390,10 @@ class DiarizationServer:
             def do_GET(self):
                 if not self._authorized():
                     return
+                # purge on polls too: a long-lived server whose clients
+                # only GET after their last POST must still converge to
+                # bounded media/job state within one TTL
+                server._purge_expired()
                 if "/jobs/" not in self.path:
                     return self._json({"error": "not found"}, 404)
                 job_id = self.path.rsplit("/", 1)[-1]
