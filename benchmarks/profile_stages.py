@@ -7,7 +7,24 @@ Forced syncs at stage boundaries shift async dispatch costs into the
 stage that issued them, so the *sum* is an upper bound of the unsynced
 end-to-end time (also printed).
 
-    python benchmarks/profile_stages.py [--minutes 10] [--runs 3]
+Round-5 attribution extension (VERDICT r4 next #1): the process also
+counts device dispatches (every jax.jit-returned callable invocation),
+host syncs (ArrayImpl._value — the single funnel every device->host
+conversion goes through: np.asarray/np.array/jax.device_get/.item();
+only counted when _npy_value was None, i.e. a REAL transfer) and upload
+calls/bytes (jnp.asarray / device_put of host arrays), probes the relay
+(latency + chained-matmul TFLOP/s + upload bandwidth, same "chained-v2"
+recipe as bench.py) BRACKETING EVERY PASS — the shared relay swings
+minute to minute, so wall and calibration must come from the same
+moment — and checks the wall model term by term:
+
+    wall ~= flops/tflops_probe + upload_bytes/bw_probe + syncs x probe_ms
+
+The residual is the part of the wall no term explains (dispatch-queue
+gaps, host python, annotation) — the number round 4 could not produce.
+
+    python benchmarks/profile_stages.py [--minutes 60] [--runs 3] \
+        [--wait-light 12.0 --wait-timeout 3600]
 """
 
 from __future__ import annotations
@@ -22,9 +39,129 @@ from pathlib import Path
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/pyannote_tpu_jax_cache")
 
+import jax
+
+# ---- dispatch counting: patch jax.jit BEFORE pyannote_audio_tpu is
+# imported so @partial(jax.jit, ...) decorators (ops/*.py, import time)
+# get wrapped too. The wrapper only forwards __call__ — no compiled-fn
+# attributes are used anywhere in the package (verified by grep).
+COUNTS = {"dispatches": 0, "host_syncs": 0, "sync_s": 0.0,
+          "fetched_bytes": 0, "uploads": 0, "upload_bytes": 0,
+          "enabled": True}
+_real_jit = jax.jit
+
+
+def _counting_jit(fn=None, **kwargs):
+    if fn is None:                          # jax.jit(**kw)(fn) form
+        return lambda f: _counting_jit(f, **kwargs)
+    compiled = _real_jit(fn, **kwargs)
+
+    def call(*args, **kw):
+        if COUNTS["enabled"]:
+            COUNTS["dispatches"] += 1
+        return compiled(*args, **kw)
+
+    call.__wrapped__ = compiled
+    return call
+
+
+jax.jit = _counting_jit
+
 import numpy as np
 
+_real_np_asarray = np.asarray
+_real_device_put = jax.device_put
+
+# ---- host-sync counting at the funnel: every device->host conversion
+# (np.asarray, np.array, jax.device_get, .item(), __array__) resolves
+# through ArrayImpl._value, which blocks on the device and caches the
+# result in _npy_value. Counting only when _npy_value is None counts
+# REAL transfers once, and the timer measures the true device wait.
+from jax._src.array import ArrayImpl as _ArrayImpl
+
+_real_value_fget = _ArrayImpl.__dict__["_value"].fget
+
+
+def _counting_value(self):
+    if COUNTS["enabled"] and getattr(self, "_npy_value", None) is None:
+        t0 = time.perf_counter()
+        out = _real_value_fget(self)
+        COUNTS["host_syncs"] += 1
+        COUNTS["sync_s"] += time.perf_counter() - t0
+        COUNTS["fetched_bytes"] += out.nbytes
+        return out
+    return _real_value_fget(self)
+
+
+_ArrayImpl._value = property(_counting_value)
+
+
+def _counting_device_put(x, *args, **kwargs):
+    if COUNTS["enabled"] and isinstance(x, np.ndarray):
+        COUNTS["uploads"] += 1
+        COUNTS["upload_bytes"] += x.nbytes
+    return _real_device_put(x, *args, **kwargs)
+
+
+jax.device_put = _counting_device_put
+
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def _install_upload_count():
+    """jnp.asarray of host arrays is the package's upload idiom."""
+    import jax.numpy as jnp
+    real = jnp.asarray
+
+    def counting(x, *args, **kwargs):
+        if COUNTS["enabled"] and isinstance(x, np.ndarray):
+            COUNTS["uploads"] += 1
+            COUNTS["upload_bytes"] += x.nbytes
+        return real(x, *args, **kwargs)
+
+    jnp.asarray = counting
+
+
+def _relay_probes():
+    """Latency + chained-matmul TFLOP/s + upload bandwidth (identical
+    recipe and provenance string to bench.py: "chained-v2"). Probe
+    traffic is excluded from the pass counters via COUNTS["enabled"]."""
+    import jax.numpy as jnp
+    COUNTS["enabled"] = False
+    iters = int(os.environ.get(
+        "BENCH_MM_ITERS",
+        "64" if jax.devices()[0].platform != "cpu" else "2"))
+    mm_small = _real_jit(
+        lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
+    mm_big = _real_jit(lambda a: jnp.sum(jax.lax.fori_loop(
+        0, iters, lambda i, x: x @ a, a).astype(jnp.float32)))
+    touch = _real_jit(lambda x: x[:1].astype(jnp.int32))
+    small = jnp.zeros((128, 128), jnp.bfloat16)
+    big = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
+    nbytes = 16 * 1024 * 1024
+    payload = np.zeros(nbytes, np.uint8)
+    _real_np_asarray(mm_small(small, small))
+    _real_np_asarray(mm_big(big))
+    _real_np_asarray(touch(_real_device_put(payload)))
+    lat, tf, bw = [], [], []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        _real_np_asarray(mm_small(small, small))
+        lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _real_np_asarray(mm_big(big))
+        tf.append(2 * 4096 ** 3 * iters
+                  / (time.perf_counter() - t0) / 1e12)
+        payload[rep] = rep + 1
+        t0 = time.perf_counter()
+        _real_np_asarray(touch(_real_device_put(payload)))
+        bw.append(nbytes / (time.perf_counter() - t0) / 1e6)
+    COUNTS["enabled"] = True
+    return {"probe_ms": round(min(lat) * 1e3, 3),
+            "tflops": round(max(tf), 1),
+            "upload_mb_per_s": round(max(bw), 1),
+            "probe_version": f"chained-v2/iters={iters}"}
 
 
 def main():
@@ -32,6 +169,14 @@ def main():
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--debug-models", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON report here")
+    ap.add_argument("--wait-light", type=float, default=None, metavar="MS",
+                    help="poll the relay until probe latency drops below "
+                         "MS milliseconds before measuring")
+    ap.add_argument("--wait-timeout", type=float, default=3600.0,
+                    help="give up waiting for a light window after this "
+                         "many seconds and measure anyway")
     args = ap.parse_args()
 
     from pyannote_audio_tpu.core.io import write_wav
@@ -39,6 +184,7 @@ def main():
                                                Specifications)
     from pyannote_audio_tpu.pipelines.speaker_diarization import \
         SpeakerDiarization
+    _install_upload_count()
 
     sr = 16000
     rng = np.random.default_rng(0)
@@ -92,12 +238,38 @@ def main():
     # warm up compiles
     pipeline(dict(file), max_speakers=4)
 
-    # unsynced end-to-end
-    e2e = []
+    if args.wait_light is not None:
+        deadline = time.monotonic() + args.wait_timeout
+        while True:
+            p = _relay_probes()
+            print(f"waiting for light window: probe {p['probe_ms']} ms "
+                  f"(target < {args.wait_light})", file=sys.stderr,
+                  flush=True)
+            if p["probe_ms"] < args.wait_light:
+                break
+            if time.monotonic() > deadline:
+                print("wait-timeout reached; measuring in the current "
+                      "window", file=sys.stderr, flush=True)
+                break
+            time.sleep(120)
+
+    # unsynced end-to-end, every pass bracketed by a full relay probe so
+    # wall and calibration come from the same moment on the shared relay
+    probes = [_relay_probes()]
+    e2e, counters = [], []
     for _ in range(args.runs):
+        snap = dict(COUNTS)
         t0 = time.perf_counter()
         pipeline(dict(file), max_speakers=4)
         e2e.append(time.perf_counter() - t0)
+        counters.append({k: COUNTS[k] - snap[k] for k in COUNTS
+                         if k != "enabled"})
+        probes.append(_relay_probes())
+
+    best_i = int(np.argmin(e2e))
+    best_counts = counters[best_i]
+    probes_before = probes[best_i]
+    probes_after = probes[best_i + 1]
 
     # stage attribution via monkeypatched boundaries
     import pyannote_audio_tpu.pipelines.speaker_diarization as sd
@@ -115,14 +287,16 @@ def main():
 
     orig = {
         "segmentation": Inference.__call__,
-        "count_stats": sd.SpeakerDiarization._device_count_stats,
+        "count_dispatch": sd.SpeakerDiarization._dispatch_count_stats,
+        "count_fetch": sd.SpeakerDiarization._fetch_count_stats,
         "embeddings": sd.SpeakerDiarization.get_embeddings,
-        "clustering_call": None,
         "reconstruct": sd.SpeakerDiarization._device_reconstruct,
     }
     Inference.__call__ = timed("segmentation", orig["segmentation"])
-    sd.SpeakerDiarization._device_count_stats = timed(
-        "count_stats", orig["count_stats"])
+    sd.SpeakerDiarization._dispatch_count_stats = timed(
+        "count_dispatch", orig["count_dispatch"])
+    sd.SpeakerDiarization._fetch_count_stats = timed(
+        "count_fetch", orig["count_fetch"])
     sd.SpeakerDiarization.get_embeddings = timed(
         "embeddings", orig["embeddings"])
     sd.SpeakerDiarization._device_reconstruct = timed(
@@ -142,21 +316,72 @@ def main():
                 best = dict(stages)
     finally:
         Inference.__call__ = orig["segmentation"]
-        sd.SpeakerDiarization._device_count_stats = orig["count_stats"]
+        sd.SpeakerDiarization._dispatch_count_stats = orig["count_dispatch"]
+        sd.SpeakerDiarization._fetch_count_stats = orig["count_fetch"]
         sd.SpeakerDiarization.get_embeddings = orig["embeddings"]
         sd.SpeakerDiarization._device_reconstruct = orig["reconstruct"]
         cluster_cls.__call__ = orig_cluster
 
+    probes_stage = _relay_probes()
+
     audio_hours = args.minutes / 60.0
     accounted = sum(v for k, v in best.items() if k != "total")
     best["unattributed"] = best["total"] - accounted
-    print(json.dumps({
+
+    # term-by-term wall model (flagship models only — the analytic FLOPs
+    # model IS the flagship pipeline)
+    equation = None
+    if not args.debug_models:
+        from pyannote_audio_tpu.utils.flops import (
+            diarization_device_flops, total_flops)
+        flops = total_flops(diarization_device_flops(args.minutes * 60.0))
+        tflops = max(probes_before["tflops"], probes_after["tflops"])
+        bw = max(probes_before["upload_mb_per_s"],
+                 probes_after["upload_mb_per_s"]) * 1e6
+        probe_s = min(probes_before["probe_ms"],
+                      probes_after["probe_ms"]) / 1e3
+        compute_s = flops / (tflops * 1e12)
+        upload_s = best_counts["upload_bytes"] / bw
+        fetch_s = best_counts["fetched_bytes"] / bw
+        sync_lat_s = best_counts["host_syncs"] * probe_s
+        wall = e2e[best_i]
+        equation = {
+            "compute_s": round(compute_s, 3),
+            "upload_s": round(upload_s, 3),
+            "fetch_s": round(fetch_s, 3),
+            "sync_latency_s": round(sync_lat_s, 3),
+            "model_sum_s": round(compute_s + upload_s + fetch_s
+                                 + sync_lat_s, 3),
+            "wall_s": round(wall, 3),
+            "residual_s": round(wall - compute_s - upload_s - fetch_s
+                                - sync_lat_s, 3),
+            "analytic_tflop": round(flops / 1e12, 2),
+        }
+
+    report = {
         "audio_minutes": args.minutes,
         "e2e_seconds_best": round(min(e2e), 3),
         "e2e_seconds_all": [round(x, 3) for x in e2e],
         "seconds_per_audio_hour": round(min(e2e) / audio_hours, 2),
         "stages_seconds": {k: round(v, 3) for k, v in best.items()},
-    }, indent=2))
+        "counters_best_run": {
+            "dispatches": best_counts["dispatches"],
+            "host_syncs": best_counts["host_syncs"],
+            "measured_sync_s": round(best_counts["sync_s"], 3),
+            "fetched_mb": round(best_counts["fetched_bytes"] / 1e6, 2),
+            "uploads": best_counts["uploads"],
+            "upload_mb": round(best_counts["upload_bytes"] / 1e6, 2),
+        },
+        "relay_best_pass_before": probes_before,
+        "relay_best_pass_after": probes_after,
+        "relay_all_passes": probes,
+        "relay_after_stage_runs": probes_stage,
+        "wall_equation": equation,
+    }
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        Path(args.out).write_text(text + "\n")
 
 
 if __name__ == "__main__":
