@@ -172,60 +172,15 @@ def main():
     sampler_stop.set()
     sampler.join(timeout=1.0)
 
-    # window calibration (VERDICT r3 item 3): round-trip latency of a
-    # tiny program + achieved TFLOP/s of a CHAIN of 64 4096^3 bf16
-    # matmuls inside one program — one matmul is ~0.7 ms at peak, far
-    # below the relay sync (~2-25 ms), so a single-matmul probe would
-    # just re-measure latency; 64 chained ones (~45 ms at peak) make
-    # the number compute-dominated. The final jnp.sum forces every
-    # entry (a [:1,:1] slice could let XLA elide work), and the operand
-    # is scaled to spectral norm <1 so 64 powers stay in bf16 range.
+    # window calibration (VERDICT r3 item 3): latency + chained-matmul
+    # TFLOP/s + upload bandwidth from the SHARED recipe module — one
+    # "chained-v2" implementation for all three perf tools so stamped
+    # probe_version rows stay comparable (see benchmarks/relay_probes.py
+    # for the recipe rationale and the single-v1 provenance note)
     import jax
-    import jax.numpy as jnp
-    # 64 chained matmuls = ~9 TFLOP: trivial on TPU, ~minutes on a CPU
-    # smoke — scale the chain down off-accelerator
-    MM_ITERS = int(os.environ.get(
-        "BENCH_MM_ITERS",
-        "64" if jax.devices()[0].platform != "cpu" else "2"))
-    # provenance (VERDICT r4 weak #6): "chained-v2" = the fori_loop
-    # chain above; HOURSCALE_r04 run1's 5.5 TFLOP/s used the retired
-    # single-matmul probe ("single-v1", latency-dominated) — the two are
-    # NOT comparable, so every artifact stamps which probe produced it
-    PROBE_VERSION = f"chained-v2/iters={MM_ITERS}"
+    from benchmarks.relay_probes import relay_probes
     BENCH_SCHEMA_VERSION = 2
-    mm_small = jax.jit(lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
-
-    def mm_chain(a):
-        x = jax.lax.fori_loop(0, MM_ITERS, lambda i, x: x @ a, a)
-        return jnp.sum(x.astype(jnp.float32))
-
-    mm_big = jax.jit(mm_chain)
-    small = jnp.zeros((128, 128), jnp.bfloat16)
-    big_a = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
-    # transfer-bandwidth probe: loaded windows degrade the relay's
-    # host->device bandwidth far more than chip compute (upload bytes
-    # are the pipeline's hard floor), so record it explicitly
-    upload_bytes = 16 * 1024 * 1024
-    payload = np.zeros(upload_bytes, np.uint8)
-    touch = jax.jit(lambda x: x[:1].astype(jnp.int32))
-    probe_lat, probe_tf, probe_bw = [], [], []
-    np.asarray(mm_small(small, small)), np.asarray(mm_big(big_a))
-    np.asarray(touch(jnp.asarray(payload)))
-    for rep in range(5):
-        t0 = time.perf_counter()
-        np.asarray(mm_small(small, small))
-        probe_lat.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(mm_big(big_a))
-        # fori_loop(0, MM_ITERS) with init `a` performs exactly MM_ITERS
-        # products (the init is free)
-        probe_tf.append(2 * 4096**3 * MM_ITERS
-                        / (time.perf_counter() - t0) / 1e12)
-        payload[rep] = rep + 1         # defeat any host-buffer reuse
-        t0 = time.perf_counter()
-        np.asarray(touch(jnp.asarray(payload)))
-        probe_bw.append(upload_bytes / (time.perf_counter() - t0) / 1e6)
+    relay = relay_probes(reps=5)
 
     # analytic device FLOPs for the exact files processed (utils/flops.py,
     # XLA-cost-analysis-cross-checked) -> achieved TFLOP/s + MFU. The
@@ -283,10 +238,10 @@ def main():
             "achieved_tflops": round(achieved_tflops, 3),
             "mfu": round(achieved_tflops / peak_tflops, 5),
             "peak_tflops_assumed": peak_tflops,
-            "relay_probe_ms": round(min(probe_lat) * 1e3, 3),
-            "relay_matmul_tflops": round(max(probe_tf), 1),
-            "relay_upload_mb_per_s": round(max(probe_bw), 1),
-            "probe_version": PROBE_VERSION,
+            "relay_probe_ms": relay["probe_ms"],
+            "relay_matmul_tflops": relay["tflops"],
+            "relay_upload_mb_per_s": relay["upload_mb_per_s"],
+            "probe_version": relay["probe_version"],
             "bench_schema_version": BENCH_SCHEMA_VERSION,
             "peak_hbm_bytes": peak_hbm,
             "peak_hbm_source": peak_hbm_source,

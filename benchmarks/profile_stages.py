@@ -123,45 +123,16 @@ def _install_upload_count():
 
 
 def _relay_probes():
-    """Latency + chained-matmul TFLOP/s + upload bandwidth (identical
-    recipe and provenance string to bench.py: "chained-v2"). Probe
-    traffic is excluded from the pass counters via COUNTS["enabled"]."""
-    import jax.numpy as jnp
+    """Shared "chained-v2" recipe (benchmarks/relay_probes.py). Probe
+    traffic is excluded from the pass counters via COUNTS["enabled"]
+    (restored in a finally: a probe hiccup must not silently disable
+    every later pass's attribution counters)."""
+    from benchmarks.relay_probes import relay_probes
     COUNTS["enabled"] = False
-    iters = int(os.environ.get(
-        "BENCH_MM_ITERS",
-        "64" if jax.devices()[0].platform != "cpu" else "2"))
-    mm_small = _real_jit(
-        lambda a, b: (a @ b)[:1, :1].astype(jnp.float32))
-    mm_big = _real_jit(lambda a: jnp.sum(jax.lax.fori_loop(
-        0, iters, lambda i, x: x @ a, a).astype(jnp.float32)))
-    touch = _real_jit(lambda x: x[:1].astype(jnp.int32))
-    small = jnp.zeros((128, 128), jnp.bfloat16)
-    big = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
-    nbytes = 16 * 1024 * 1024
-    payload = np.zeros(nbytes, np.uint8)
-    _real_np_asarray(mm_small(small, small))
-    _real_np_asarray(mm_big(big))
-    _real_np_asarray(touch(_real_device_put(payload)))
-    lat, tf, bw = [], [], []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        _real_np_asarray(mm_small(small, small))
-        lat.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _real_np_asarray(mm_big(big))
-        tf.append(2 * 4096 ** 3 * iters
-                  / (time.perf_counter() - t0) / 1e12)
-        payload[rep] = rep + 1
-        t0 = time.perf_counter()
-        _real_np_asarray(touch(_real_device_put(payload)))
-        bw.append(nbytes / (time.perf_counter() - t0) / 1e6)
-    COUNTS["enabled"] = True
-    return {"probe_ms": round(min(lat) * 1e3, 3),
-            "tflops": round(max(tf), 1),
-            "upload_mb_per_s": round(max(bw), 1),
-            "probe_version": f"chained-v2/iters={iters}"}
+    try:
+        return relay_probes(reps=3)
+    finally:
+        COUNTS["enabled"] = True
 
 
 def main():

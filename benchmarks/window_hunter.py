@@ -64,9 +64,6 @@ def main():
     ap.add_argument("--out", default="/tmp/pat_window_hunt.json")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from pyannote_audio_tpu.models.embedding.wespeaker import \
         WeSpeakerResNet34
     from pyannote_audio_tpu.models.segmentation.pyannet import PyanNet
@@ -95,42 +92,15 @@ def main():
         "clustering": {"method": "centroid", "threshold": 0.6,
                        "min_cluster_size": 1}})
 
-    mm = jax.jit(lambda a, b: a @ b)
-    small = jnp.zeros((128, 128), jnp.bfloat16)
-    np.asarray(mm(small, small))                      # compile probe
-
-    # chained-matmul TFLOP/s probe (same "chained-v2" recipe as bench.py:
-    # 64 fori_loop'd 4096^3 bf16 products so the number is
-    # compute-dominated, not relay-latency-dominated) — recorded per
-    # measured attempt so the HOURSCALE artifact carries {wall, probe_ms,
-    # tflops} from the SAME minute.
-    MM_ITERS = 64 if jax.devices()[0].platform != "cpu" else 2
-
-    def mm_chain(a):
-        x = jax.lax.fori_loop(0, MM_ITERS, lambda i, x: x @ a, a)
-        return jnp.sum(x.astype(jnp.float32))
-
-    mm_big = jax.jit(mm_chain)
-    big_a = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (4096, 4096)).astype(np.float32) / 150.0, jnp.bfloat16)
-    np.asarray(mm_big(big_a))                         # compile
-
-    def probe_tflops() -> float:
-        best = 0.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(mm_big(big_a))
-            best = max(best, 2 * 4096**3 * MM_ITERS
-                       / (time.perf_counter() - t0) / 1e12)
-        return best
+    # shared "chained-v2" calibration recipe (benchmarks/relay_probes.py)
+    # — recorded per measured attempt so the HOURSCALE artifact carries
+    # {wall, probe_ms, tflops} from the SAME minute. The module caches
+    # its compiled probe programs, so the polling loop never re-traces.
+    from benchmarks.relay_probes import (probe_latency_ms, probe_tflops,
+                                         probe_version)
 
     def probe_ms() -> float:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(mm(small, small))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
+        return probe_latency_ms(reps=3)
 
     # compile + warm the full pipeline once (counts as attempt 0)
     # list form = the streaming batch path bench.py measures
@@ -140,7 +110,7 @@ def main():
     warm = time.perf_counter() - t0
 
     state = {"file_minutes": args.minutes, "warm_wall_s": round(warm, 2),
-             "probe_version": f"chained-v2/iters={MM_ITERS}",
+             "probe_version": probe_version(),
              "attempts": [], "best_wall_s": None, "target_s": args.target}
     deadline = time.time() + args.max_minutes * 60.0
     attempt = 0

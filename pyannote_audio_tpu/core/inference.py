@@ -731,8 +731,17 @@ class Inference(BaseInference):
         plan = plan_slices(num_samples, window_size, step_size,
                            sample_rate, starts)
         if plan is not None and len(plan) > 1:
-            get_upload, _ = slice_uploads(cache, waveform, plan,
-                                          sample_rate)
+            get_upload, release_upload = slice_uploads(
+                cache, waveform, plan, sample_rate, starts, window_size)
+            # keep slice buffers cached only when a later device stage
+            # (the diarization embedding path, which releases per group)
+            # will reuse them; host-aggregating models (VAD, multilabel)
+            # have no later stage, so retention would grow HBM with file
+            # length — exactly what this mode exists to bound
+            keep_for_later = frame_resolution and (
+                self.skip_aggregation
+                or (isinstance(specs, Specifications)
+                    and spec.permutation_invariant))
             parts = []
             for k, sl in enumerate(plan):
                 device_slice, _ = get_upload(k)
@@ -740,6 +749,9 @@ class Inference(BaseInference):
                 parts.append(self._slide_scores(
                     device_slice, starts_rel, window_size, shared,
                     hook=hook, hook_base=sl.i0, hook_total=num_chunks))
+                if not keep_for_later:
+                    # async dispatches hold the buffer until executed
+                    release_upload(k)
             scores = jax.tree_util.tree_map(
                 lambda *p: jnp.concatenate(p, axis=0), *parts)
         else:
@@ -828,7 +840,8 @@ class Inference(BaseInference):
             # bounded-HBM long file: warm only the first slice's upload
             # (a whole-file buffer is exactly what the plan avoids)
             get_upload, _ = slice_uploads(file, waveform, plan,
-                                          sample_rate)
+                                          sample_rate, starts,
+                                          window_size)
             get_upload(0)
             return
         _upload_waveform_cached(waveform, file, padded_len=padded_len)

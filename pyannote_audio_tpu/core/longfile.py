@@ -77,10 +77,11 @@ def _env_float(name: str, default: float) -> float:
 
 
 def halo_samples(sample_rate: int) -> int:
-    """Per-side halo, floored to ALIGN (>= 1 ALIGN so it never vanishes)."""
+    """Per-side halo, CEILED to ALIGN: a user asking for exactly the
+    CMN/receptive-field margin (e.g. 5.0 s) must never get less."""
     halo = int(_env_float("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", 20.0)
                * sample_rate)
-    return max(ALIGN, (halo // ALIGN) * ALIGN)
+    return max(ALIGN, -(-halo // ALIGN) * ALIGN)
 
 
 def segment_minutes(file_seconds: float, sample_rate: int = 16000
@@ -93,10 +94,18 @@ def segment_minutes(file_seconds: float, sample_rate: int = 16000
     """
     forced = os.environ.get("PYANNOTE_TPU_SEGMENT_MINUTES", "")
     if forced != "":
-        minutes = float(forced)
-        if minutes <= 0:                      # "0" = never slice
-            return None
-        return minutes if file_seconds > minutes * 60.0 else None
+        try:
+            minutes = float(forced)
+        except ValueError:
+            import warnings
+            warnings.warn(
+                f"PYANNOTE_TPU_SEGMENT_MINUTES={forced!r} is not a "
+                "float; falling back to auto slicing")
+            minutes = None
+        if minutes is not None:
+            if minutes <= 0:                  # "0" = never slice
+                return None
+            return minutes if file_seconds > minutes * 60.0 else None
     budget = _env_float("PYANNOTE_TPU_HBM_BUDGET_GB", 6.0) * 2.0 ** 30
     from ..utils.flops import diarization_resident_hbm_bytes
     if diarization_resident_hbm_bytes(file_seconds)["total"] <= budget:
@@ -137,14 +146,25 @@ def plan_slices(num_samples: int, window_size: int, step_size: int,
 
 
 def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
-                  sample_rate: int):
+                  sample_rate: int, starts: "np.ndarray",
+                  window_size: int):
     """Per-slice device uploads, cached in the file dict.
 
     Shared by the segmentation and embedding stages so each slice's
-    (padded, quantized) waveform crosses the relay exactly once. The
-    cache maps ``(a, b, padded_len)`` to the device buffer; callers drop
-    the whole dict entry to release HBM (batch apply's eviction also
-    clears it).
+    (padded, quantized) waveform crosses the relay exactly once (the
+    stages use the same chunk grid, so their keys coincide). The cache
+    maps ``(a, b, padded_len, mode)`` to the device buffer, guarded by
+    the same full-checksum content fingerprint as
+    ``_upload_waveform_cached`` (a reused file dict whose waveform was
+    replaced must not serve the old audio). ``release`` drops one
+    slice's buffers; the embedding stage releases per group, and batch
+    apply's eviction pops the whole dict entry.
+
+    ``starts``/``window_size`` size the padding: the final slice's last
+    chunk may extend past the true file end (the standard zero-padded
+    tail chunk), in which case ``b`` is clipped to the file and the
+    padded length must still cover ``starts[i1-1] - a + window_size`` or
+    the in-jit gather would clamp instead of reading zeros.
     """
     from collections.abc import MutableMapping
 
@@ -152,10 +172,17 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
 
     bucket = 30 * sample_rate
     mode = _upload_quant_mode()
+    n = waveform.shape[-1]
+    stride = max(1, n // 4096)
+    fingerprint = (waveform.shape, str(waveform.dtype),
+                   float(waveform.sum(dtype=np.float64)),
+                   float(np.abs(waveform[0, ::stride]).sum(
+                       dtype=np.float64)),
+                   float(waveform[0, 0]), float(waveform[0, n - 1]))
     cache = file.get("_longfile_uploads") \
         if isinstance(file, MutableMapping) else None
-    if cache is None:
-        cache = {}
+    if cache is None or cache.get("_fingerprint") != fingerprint:
+        cache = {"_fingerprint": fingerprint}
         if isinstance(file, MutableMapping):
             try:
                 file["_longfile_uploads"] = cache
@@ -165,7 +192,8 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
     def get(k: int):
         sl = slices[k]
         length = sl.b - sl.a
-        padded_len = max(length, -(-length // bucket) * bucket)
+        needed = max(length, int(starts[sl.i1 - 1]) - sl.a + window_size)
+        padded_len = -(-needed // bucket) * bucket
         key = (sl.a, sl.b, padded_len, mode)
         buf = cache.get(key)
         if buf is None:
@@ -176,8 +204,8 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
 
     def release(k: int):
         sl = slices[k]
-        for key in [key for key in cache if key[0] == sl.a
-                    and key[1] == sl.b]:
+        for key in [key for key in cache if isinstance(key, tuple)
+                    and key[0] == sl.a and key[1] == sl.b]:
             cache.pop(key, None)
 
     return get, release

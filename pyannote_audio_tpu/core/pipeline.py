@@ -392,6 +392,7 @@ class Pipeline:
                 # would otherwise grow linearly with batch size (~230 MB
                 # host f32 per audio-hour)
                 files[i].pop("_device_waveform", None)
+                files[i].pop("_longfile_uploads", None)
                 if files[i].pop("_batch_decoded", None):
                     files[i].pop("waveform", None)
                     files[i].pop("sample_rate", None)

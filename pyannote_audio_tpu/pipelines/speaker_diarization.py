@@ -623,7 +623,8 @@ class EmbeddingHotPathMixin:
             release_upload = None
         else:
             get_upload, release_upload = slice_uploads(
-                cache, waveform, plan, sample_rate)
+                cache, waveform, plan, sample_rate, starts,
+                window_samples)
 
             def slice_group(k):
                 sl = plan[k]
@@ -1215,6 +1216,7 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         f = staged.get("file")
         if isinstance(f, dict):
             f.pop("_device_waveform", None)
+            f.pop("_longfile_uploads", None)
             if f.pop("_batch_decoded", None):
                 f.pop("waveform", None)
                 f.pop("sample_rate", None)

@@ -75,14 +75,60 @@ def test_slice_uploads_shared_and_released(monkeypatch, rng):
     plan = plan_slices(wav.shape[1], window, step, sr, starts)
     assert plan is not None and len(plan) > 1
     file = {}
-    get_upload, release = slice_uploads(file, wav, plan, sr)
+    get_upload, release = slice_uploads(file, wav, plan, sr,
+                                        starts, window)
     buf0, _ = get_upload(0)
     # second caller (other pipeline stage) reuses the cached device buffer
-    get2, _ = slice_uploads(file, wav, plan, sr)
+    get2, _ = slice_uploads(file, wav, plan, sr, starts, window)
     buf0_again, _ = get2(0)
     assert buf0 is buf0_again
     release(0)
-    assert not file["_longfile_uploads"]
+    assert not _buffer_keys(file["_longfile_uploads"])
+    # mutated waveform in a reused file dict must NOT serve stale buffers
+    buf0, _ = get_upload(0)
+    wav2 = wav.copy()
+    wav2[0, 1000] += 0.5
+    get3, _ = slice_uploads(file, wav2, plan, sr, starts, window)
+    buf0_new, _ = get3(0)
+    assert buf0_new is not buf0
+
+
+def _buffer_keys(cache):
+    return [k for k in cache if isinstance(k, tuple)]
+
+
+def test_slice_padding_covers_zero_padded_tail(monkeypatch):
+    """The final slice's last chunk can extend past the true file end;
+    padded_len must cover starts[i1-1] - a + window or the in-jit gather
+    clamps (wrong data) instead of reading zeros. Repro geometry: last
+    slice's length lands within one tail-shortfall of a 30 s bucket
+    multiple."""
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "1.0")
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "1.0")
+    sr = 16000
+    window, step = 2 * sr, sr // 2
+    num_samples = 2384160
+    starts, _ = _chunk_grid(num_samples, window, step, sr)
+    plan = plan_slices(num_samples, window, step, sr, starts)
+    assert plan is not None and len(plan) > 1
+    rng = np.random.default_rng(0)
+    wav = (0.05 * rng.standard_normal((1, num_samples))
+           ).astype(np.float32)
+    get_upload, _ = slice_uploads({}, wav, plan, sr, starts, window)
+    sl = plan[-1]
+    _, padded_len = get_upload(len(plan) - 1)
+    assert padded_len >= int(starts[sl.i1 - 1]) - sl.a + window
+
+
+def test_halo_samples_ceils_to_align(monkeypatch):
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "5.0")
+    assert halo_samples(16000) >= 5 * 16000
+
+
+def test_segment_minutes_bad_env_falls_back(monkeypatch):
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "auto")
+    with pytest.warns(UserWarning, match="SEGMENT_MINUTES"):
+        assert segment_minutes(3600.0) is None  # auto: 1 h fits budget
 
 
 # ------------------------------------------------------ Inference.slide
@@ -134,7 +180,10 @@ def test_slide_sliced_matches_whole_file(pyannet_model, long_waveform,
     monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "1.0")
     cache = {}
     sliced = _slide(pyannet_model, long_waveform, cache=cache)
-    assert len(cache.get("_longfile_uploads", {})) > 1  # plan engaged
+    # plan engaged, and the aggregating path (no later device stage)
+    # released every slice buffer as it went
+    assert "_fingerprint" in cache.get("_longfile_uploads", {})
+    assert not _buffer_keys(cache["_longfile_uploads"])
     assert sliced.shape == whole.shape
     np.testing.assert_allclose(sliced, whole, atol=1e-5)
 
@@ -149,6 +198,22 @@ def test_slide_sliced_matches_plain_gather(simple_model, long_waveform,
     np.testing.assert_allclose(sliced, whole, atol=1e-5)
 
 
+def test_slide_sliced_matches_whole_at_tail_shortfall(simple_model,
+                                                      monkeypatch, rng):
+    """End-to-end repro of the tail-pad geometry: the last slice's
+    length lands within one tail-shortfall of the 30 s upload bucket, so
+    without the starts[i1-1]+window guard the final chunk's gather read
+    clamped (wrong) samples instead of zeros."""
+    num_samples = 2384160
+    wav = (0.1 * rng.standard_normal((1, num_samples))).astype(np.float32)
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "0")
+    whole = _slide(simple_model, wav)
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "1.0")
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "1.0")
+    sliced = _slide(simple_model, wav)
+    np.testing.assert_allclose(sliced, whole, atol=1e-5)
+
+
 def test_preload_longfile_uploads_one_slice(pyannet_model, tmp_path,
                                             monkeypatch, rng):
     from pyannote_audio_tpu.core.io import write_wav
@@ -160,7 +225,7 @@ def test_preload_longfile_uploads_one_slice(pyannet_model, tmp_path,
     inf = Inference(pyannet_model, duration=2.0, step=0.5, batch_size=8)
     file = {"audio": str(path)}
     inf.preload(file)
-    assert len(file.get("_longfile_uploads", {})) == 1
+    assert len(_buffer_keys(file.get("_longfile_uploads", {}))) == 1
 
 
 # ----------------------------------------------- diarization embeddings
@@ -230,7 +295,7 @@ def test_embeddings_sliced_match_whole_file(tmp_path, monkeypatch,
     # 12 s slices; 4 s halo covers the 2.5 s CMN half-window + trunk RF
     sliced, prep = run("0.2")
     # per-group release keeps at most the in-flight slice cached
-    assert len(prep.get("_longfile_uploads", {})) <= 1
+    assert len(_buffer_keys(prep.get("_longfile_uploads", {}))) <= 1
     assert sliced.shape == whole.shape
     both = np.isfinite(whole) & np.isfinite(sliced)
     np.testing.assert_array_equal(np.isfinite(whole),
