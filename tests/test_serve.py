@@ -276,11 +276,23 @@ def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
         put_url = json.loads(urllib.request.urlopen(reg).read())["url"]
         body = (tmp_path / "once.wav").read_bytes()
         put = urllib.request.Request(put_url, data=body, method="PUT")
-        assert urllib.request.urlopen(put).status == 200
+        # diagnostics on flake (this failed once in a 3-way-contended
+        # full run and never reproduced — see CHANGELOG round 5): report
+        # the actual code/body and the server's signature state instead
+        # of a bare assert
+        try:
+            status = urllib.request.urlopen(put).status
+        except urllib.error.HTTPError as first_err:
+            pytest.fail(f"first presigned PUT -> {first_err.code}: "
+                        f"{first_err.read()!r}; presigned keys: "
+                        f"{list(server._presigned)}")
+        assert status == 200
         # replay: signature was consumed, and there is no bearer header
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(
                 urllib.request.Request(put_url, data=body, method="PUT"))
-        assert err.value.code == 401
+        assert err.value.code == 401, (
+            f"replay -> {err.value.code}: {err.value.read()!r}; "
+            f"presigned keys: {list(server._presigned)}")
         assert (server.spool / "once.wav").read_bytes() == body
         assert not list(server.spool.glob(".*part"))
