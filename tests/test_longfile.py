@@ -343,3 +343,40 @@ def test_pipeline_end_to_end_sliced_matches_whole(tmp_path, monkeypatch):
         assert abs(s1.start - s2.start) < 0.05
         assert abs(s1.end - s2.end) < 0.05
         assert l1 == l2
+
+
+@pytest.mark.slow
+def test_apply_batch_sliced_matches_sequential_and_evicts(tmp_path,
+                                                          monkeypatch):
+    """Pipelined apply_batch with slicing active: per-file results match
+    one-at-a-time apply, and finalize pops _longfile_uploads from each
+    file dict so host/HBM state stays bounded across a batch (the
+    eviction contract of core/pipeline.py + speaker_diarization.py)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from corpus import default_two_speaker_file
+
+    emb = _tiny_wespeaker()
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "0.2")   # 12 s
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "4.0")
+    files = [default_two_speaker_file(tmp_path / f"b{i}.wav",
+                                      duration=30.0 + 5.0 * i)
+             for i in range(2)]
+    for i, f in enumerate(files):
+        f["uri"] = f"b{i}"
+
+    pipeline = _diarization_pipeline(emb)
+    pipeline.instantiate({
+        "segmentation": {"min_duration_off": 0.0},
+        "clustering": {"method": "centroid", "threshold": 0.6,
+                       "min_cluster_size": 1}})
+
+    batch_files = [dict(f) for f in files]
+    batch_out = pipeline(batch_files, max_speakers=3)
+    seq_out = [pipeline(dict(f), max_speakers=3) for f in files]
+    for b, s in zip(batch_out, seq_out):
+        assert list(b.speaker_diarization.itertracks(yield_label=True)) \
+            == list(s.speaker_diarization.itertracks(yield_label=True))
+    for f in batch_files:
+        assert "_longfile_uploads" not in f
+        assert "_device_waveform" not in f
