@@ -134,30 +134,15 @@ def main():
     pipeline({"audio": paths[0], "uri": "warmup"}, max_speakers=4)
     pipeline(batch(), max_speakers=4)
 
-    # live-array HBM sampler: axon's memory_stats() returns nothing, so
-    # sample sum(nbytes of jax.live_arrays()) at ~20 Hz DURING the timed
-    # passes — this catches the transient whole-file buffers (sinc
-    # features, fbank, trunk panels) and is a true high-water of
-    # RESIDENT arrays (XLA fusion scratch excluded; see the analytic
-    # model below for what that floor is made of)
-    import threading
-
+    # live-array HBM high-water DURING the timed passes — catches the
+    # transient whole-file buffers (sinc features, fbank, trunk panels);
+    # RESIDENT arrays only (XLA fusion scratch excluded; see the
+    # analytic model below for what that floor is made of). Shared
+    # sampler: benchmarks/hbm_sampler.py stamps the same
+    # "live_arrays@20Hz" for every artifact.
     import jax
-    hbm_samples = {"peak": 0}
-    sampler_stop = threading.Event()
-
-    def _sample_live_arrays():
-        while not sampler_stop.is_set():
-            try:
-                total = sum(int(getattr(a, "nbytes", 0) or 0)
-                            for a in jax.live_arrays())
-                hbm_samples["peak"] = max(hbm_samples["peak"], total)
-            except Exception:
-                pass
-            sampler_stop.wait(0.05)
-
-    sampler = threading.Thread(target=_sample_live_arrays, daemon=True)
-    sampler.start()
+    from benchmarks.hbm_sampler import HbmSampler
+    sampler = HbmSampler().start()
 
     # best of 8: the TPU sits behind a shared pool/relay whose load varies
     # minute to minute (observed 13 -> 57 s/audio-hour on identical code);
@@ -169,8 +154,7 @@ def main():
         pipeline(batch(), max_speakers=4)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    sampler_stop.set()
-    sampler.join(timeout=1.0)
+    sampled_peak = sampler.stop()
 
     # window calibration (VERDICT r3 item 3): latency + chained-matmul
     # TFLOP/s + upload bandwidth from the SHARED recipe module — one
@@ -211,9 +195,9 @@ def main():
     except Exception:
         peak_hbm = None
     peak_hbm_source = "memory_stats"
-    if peak_hbm is None and hbm_samples["peak"] > 0:
-        peak_hbm = hbm_samples["peak"]
-        peak_hbm_source = "live_arrays@20Hz"
+    if peak_hbm is None and sampled_peak > 0:
+        peak_hbm = sampled_peak
+        from benchmarks.hbm_sampler import SOURCE as peak_hbm_source
     if peak_hbm is None:
         peak_hbm = hbm_model["total"]
         peak_hbm_source = "analytic"

@@ -17,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import threading
 import time
 from pathlib import Path
 
@@ -95,26 +94,14 @@ def main():
     window, step = 10 * sr, 1 * sr
     starts = np.arange(0, max(1, n - window + step), step,
                        dtype=np.int64)
-    plan = plan_slices(n, window, step, sr, starts.astype(np.int32))
+    plan = plan_slices(n, window, step, sr, starts)
     print(f"slice plan: {None if plan is None else len(plan)} slices "
           f"of ~{minutes} min", flush=True)
 
-    import jax
-    hbm = {"peak": 0}
-    stop = threading.Event()
-
-    def sample():
-        while not stop.is_set():
-            try:
-                total = sum(int(getattr(a, "nbytes", 0) or 0)
-                            for a in jax.live_arrays())
-                hbm["peak"] = max(hbm["peak"], total)
-            except Exception:
-                pass
-            stop.wait(0.05)
+    from benchmarks.hbm_sampler import SOURCE, HbmSampler
 
     probes_before = relay_probes()
-    threading.Thread(target=sample, daemon=True).start()
+    sampler = HbmSampler().start()
 
     file = {"audio": path, "uri": "longfile"}
     walls = []
@@ -126,7 +113,7 @@ def main():
               f"({walls[-1] / args.hours:.2f} s/audio-hour), "
               f"labels={len(out.speaker_diarization.labels())}",
               flush=True)
-    stop.set()
+    peak_hbm = sampler.stop()
     probes_after = relay_probes()
 
     from pyannote_audio_tpu.utils.flops import \
@@ -141,8 +128,8 @@ def main():
         "slice_minutes": minutes,
         "hbm_budget_gb": float(os.environ.get(
             "PYANNOTE_TPU_HBM_BUDGET_GB", "6.0")),
-        "peak_hbm_bytes": hbm["peak"],
-        "peak_hbm_source": "live_arrays@20Hz",
+        "peak_hbm_bytes": peak_hbm,
+        "peak_hbm_source": SOURCE,
         "analytic_whole_file_hbm":
             diarization_resident_hbm_bytes(args.hours * 3600.0)["total"],
         "relay_before": probes_before,

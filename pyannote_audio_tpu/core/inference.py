@@ -358,11 +358,47 @@ def _chunk_grid(num_samples: int, window_size: int, step_size: int,
     starts = [i * step_size for i in range(num_full)]
     if has_last:
         starts.append(num_full * step_size)
-    starts = np.asarray(starts, dtype=np.int32)
+    # int64: sample starts exceed int32 beyond ~37 h at 16 kHz; device
+    # gathers stay int32 — the long-file slice path translates starts to
+    # slice-local offsets first, and whole-file dispatch casts through
+    # _starts_i32's overflow guard
+    starts = np.asarray(starts, dtype=np.int64)
     needed = int(starts[-1]) + window_size
     bucket = 30 * sample_rate
     padded_len = max(needed, -(-needed // bucket) * bucket)
     return starts, padded_len
+
+
+def _starts_i32(starts: np.ndarray, window_size: int) -> np.ndarray:
+    """Cast global chunk starts for the int32 device gathers, refusing
+    files whose samples exceed int32 on the WHOLE-FILE path (> ~37 h at
+    16 kHz). Such files must go through the long-file slice plan
+    (core/longfile.py), whose slice-local starts always fit — auto mode
+    slices them far earlier on HBM grounds, so this only fires when
+    slicing was explicitly disabled."""
+    if len(starts) and int(starts[-1]) + window_size > \
+            np.iinfo(np.int32).max:
+        raise ValueError(
+            "file too long for whole-file int32 sample gathers; the "
+            "bounded-HBM slice path is required (do not force "
+            "PYANNOTE_TPU_SEGMENT_MINUTES=0 for files beyond ~37 hours)")
+    return starts.astype(np.int32)
+
+
+def _waveform_fingerprint(waveform: np.ndarray) -> tuple:
+    """Content key for device-buffer caches: shape + dtype + a full
+    float64 checksum (one pass, ~5 ms per audio-hour — unlike a sparse
+    4-point probe it cannot miss a mutated waveform in a reused file
+    dict) plus a strided abs-sum to catch sign-flip mutations and the
+    two endpoint samples. ONE recipe shared by _upload_waveform_cached
+    and core/longfile.slice_uploads so the two caches can never diverge
+    on what counts as "the same audio"."""
+    n = waveform.shape[-1]
+    stride = max(1, n // 4096)
+    probe = (float(waveform.sum(dtype=np.float64)),
+             float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
+             float(waveform[0, 0]), float(waveform[0, n - 1]))
+    return (waveform.shape, str(waveform.dtype), probe)
 
 
 def _upload_waveform_cached(waveform: np.ndarray, cache,
@@ -384,12 +420,7 @@ def _upload_waveform_cached(waveform: np.ndarray, cache,
     if cache is None:
         return _upload_waveform(waveform, quant=mode,
                                 padded_len=padded_len)
-    n = waveform.shape[-1]
-    stride = max(1, n // 4096)
-    probe = (float(waveform.sum(dtype=np.float64)),
-             float(np.abs(waveform[0, ::stride]).sum(dtype=np.float64)),
-             float(waveform[0, 0]), float(waveform[0, n - 1]))
-    key = (waveform.shape, str(waveform.dtype), probe, mode, padded_len)
+    key = _waveform_fingerprint(waveform) + (mode, padded_len)
     hit = cache.get("_device_waveform")
     if hit is not None and hit[0] == key:
         return hit[1]
@@ -742,10 +773,19 @@ class Inference(BaseInference):
                 self.skip_aggregation
                 or (isinstance(specs, Specifications)
                     and spec.permutation_invariant))
+            # ... and even then only while the retained total (decoded
+            # int16, ~2 B/sample across all slices) stays a small share
+            # of the HBM budget: beyond that the embedding stage
+            # re-uploads per slice (O(slice) memory, 2x upload bytes)
+            # instead of re-growing HBM with file length
+            from .longfile import retained_upload_bytes_ok
+            keep_for_later = keep_for_later and \
+                retained_upload_bytes_ok(num_samples)
             parts = []
             for k, sl in enumerate(plan):
                 device_slice, _ = get_upload(k)
-                starts_rel = starts[sl.i0:sl.i1] - np.int32(sl.a)
+                starts_rel = (starts[sl.i0:sl.i1]
+                              - sl.a).astype(np.int32)
                 parts.append(self._slide_scores(
                     device_slice, starts_rel, window_size, shared,
                     hook=hook, hook_base=sl.i0, hook_total=num_chunks))
@@ -758,8 +798,8 @@ class Inference(BaseInference):
             device_waveform = _upload_waveform_cached(
                 waveform, cache, padded_len=padded_len)
             scores = self._slide_scores(
-                device_waveform, starts, window_size, shared,
-                hook=hook, hook_total=num_chunks)
+                device_waveform, _starts_i32(starts, window_size),
+                window_size, shared, hook=hook, hook_total=num_chunks)
 
         chunk_window = SlidingWindow(start=0.0, duration=self.duration,
                                      step=self.step)

@@ -168,17 +168,12 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
     """
     from collections.abc import MutableMapping
 
-    from .inference import _upload_waveform, _upload_quant_mode
+    from .inference import (_upload_waveform, _upload_quant_mode,
+                            _waveform_fingerprint)
 
     bucket = 30 * sample_rate
     mode = _upload_quant_mode()
-    n = waveform.shape[-1]
-    stride = max(1, n // 4096)
-    fingerprint = (waveform.shape, str(waveform.dtype),
-                   float(waveform.sum(dtype=np.float64)),
-                   float(np.abs(waveform[0, ::stride]).sum(
-                       dtype=np.float64)),
-                   float(waveform[0, 0]), float(waveform[0, n - 1]))
+    fingerprint = _waveform_fingerprint(waveform)
     cache = file.get("_longfile_uploads") \
         if isinstance(file, MutableMapping) else None
     if cache is None or cache.get("_fingerprint") != fingerprint:
@@ -194,7 +189,10 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
         length = sl.b - sl.a
         needed = max(length, int(starts[sl.i1 - 1]) - sl.a + window_size)
         padded_len = -(-needed // bucket) * bucket
-        key = (sl.a, sl.b, padded_len, mode)
+        # keyed by slice INDEX, not just (a, b): with a halo longer than
+        # the slice, neighbouring slices can share clipped (a, b) bounds
+        # and a bounds-keyed release would evict each other's buffer
+        key = (k, sl.a, sl.b, padded_len, mode)
         buf = cache.get(key)
         if buf is None:
             buf = _upload_waveform(waveform[:, sl.a:sl.b], quant=mode,
@@ -203,9 +201,23 @@ def slice_uploads(file, waveform: "np.ndarray", slices: List[Slice],
         return buf, padded_len
 
     def release(k: int):
-        sl = slices[k]
         for key in [key for key in cache if isinstance(key, tuple)
-                    and key[0] == sl.a and key[1] == sl.b]:
+                    and key[0] == k]:
             cache.pop(key, None)
 
     return get, release
+
+
+def retained_upload_bytes_ok(num_samples: int) -> bool:
+    """May the slice path retain ALL slice uploads between the
+    segmentation and embedding stages?
+
+    The retained buffers are the decoded device waveforms (~2 B/sample
+    int16, across every slice = the whole file), which grows with file
+    LENGTH — the exact scaling this mode bounds. Retention is therefore
+    allowed only while that total stays a small share (25%) of the HBM
+    budget; longer files re-upload per slice in the embedding stage
+    (O(slice) memory for 2x upload bytes).
+    """
+    budget = _env_float("PYANNOTE_TPU_HBM_BUDGET_GB", 6.0) * 2.0 ** 30
+    return 2.0 * num_samples <= 0.25 * budget

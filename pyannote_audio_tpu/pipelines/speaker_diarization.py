@@ -511,7 +511,7 @@ class EmbeddingHotPathMixin:
         step_samples = round(
             binary_segmentations.sliding_window.step * sample_rate)
         starts = np.round(np.arange(num_chunks) * step_samples).astype(
-            np.int32)
+            np.int64)   # int64: device gathers cast slice-local int32
         # bucket the padded length exactly like Inference.slide /
         # _start_shared_trunk so the chunk-gather executable and the
         # early-trunk stash key cache across file lengths
@@ -569,7 +569,9 @@ class EmbeddingHotPathMixin:
                 return compute_trunk(device_buf, num_real_frames)
 
             def translate(starts_abs, a):
-                return (((starts_abs - np.int32(a)) // frame_shift_samples)
+                # int64 subtract (a may exceed int32 on multi-hour
+                # files); the slice-local result always fits int32
+                return (((starts_abs - a) // frame_shift_samples)
                         // geometry["stride"]).astype(np.int32)
         elif shared_fbank:
             cache_attr = "_jitted_fbank_embedding_dev" if device_masks \
@@ -584,7 +586,7 @@ class EmbeddingHotPathMixin:
                 return whole_fbank(device_buf)
 
             def translate(starts_abs, a):
-                return ((starts_abs - np.int32(a))
+                return ((starts_abs - a)
                         // frame_shift_samples).astype(np.int32)
         else:
             cache_attr = "_jitted_embedding_batch_dev" if device_masks \
@@ -599,7 +601,7 @@ class EmbeddingHotPathMixin:
                 return device_buf
 
             def translate(starts_abs, a):
-                return (starts_abs - np.int32(a)).astype(np.int32)
+                return (starts_abs - a).astype(np.int32)
 
         # groups of (device_input thunk, translated starts, first global
         # chunk index): ONE whole-file group normally; one per bounded
@@ -607,6 +609,11 @@ class EmbeddingHotPathMixin:
         # is identical either way because gathers take explicit starts
         # and mask slices are indexed by GLOBAL chunk position
         if plan is None:
+            # whole-file gathers are int32: refuse silently-wrapping
+            # starts (only reachable when slicing is forced off for a
+            # >37 h file — auto mode slices such files on HBM grounds)
+            from ..core.inference import _starts_i32
+            _starts_i32(starts, window_samples)
             if shared_trunk:
                 stash = file.pop("_device_trunk", None) \
                     if isinstance(file, MutableMapping) else None

@@ -142,6 +142,7 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         import jax.numpy as jnp
 
         from ..core.inference import (_chunk_grid, _dequantize,
+                                      _starts_i32,
                                       _upload_waveform_cached)
         from collections.abc import MutableMapping
 
@@ -152,7 +153,7 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         step_size = round(step * sample_rate)
         starts_np, padded_len = _chunk_grid(num_samples, window_size,
                                             step_size, sample_rate)
-        starts = [int(s) for s in starts_np]
+        starts = [int(s) for s in _starts_i32(starts_np, window_size)]
         padded = waveform
         if padded_len > num_samples:
             padded = np.pad(waveform,

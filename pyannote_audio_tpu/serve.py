@@ -79,6 +79,12 @@ class DiarizationServer:
         self._jobs: Dict[str, Dict[str, Any]] = {}
         self._queue: "queue.Queue[Optional[str]]" = queue.Queue()
         self._lock = threading.Lock()
+        #: handler-side sweeps are rate-limited: _purge_expired scans
+        #: every job/media entry under the global lock, so running it on
+        #: EVERY poll would serialize N pollers behind O(state) scans
+        self._purge_every = min(5.0, media_ttl / 4.0) \
+            if media_ttl else None
+        self._last_purge = 0.0
         self._httpd = ThreadingHTTPServer((host, port),
                                           self._handler_class())
         self._threads: list = []
@@ -97,6 +103,18 @@ class DiarizationServer:
         except ValueError:        # different drives / malformed key
             return None
         return target
+
+    def _maybe_purge(self) -> None:
+        """Rate-limited ``_purge_expired`` for the request handlers.
+        Direct calls to ``_purge_expired`` stay unthrottled. A benign
+        race on ``_last_purge`` at most runs one extra sweep."""
+        if self.media_ttl is None:
+            return
+        now = time.monotonic()
+        if now - self._last_purge < self._purge_every:
+            return
+        self._last_purge = now
+        self._purge_expired()
 
     def _purge_expired(self) -> None:
         """Evict media + finished jobs older than ``media_ttl``."""
@@ -276,7 +294,37 @@ class DiarizationServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            def _drain_body(self) -> None:
+                """Read and discard any unread request body before
+                responding. Closing the connection with unread bytes in
+                flight makes the kernel RST it, so a client still
+                sending a large body (e.g. a replayed presigned PUT
+                that earns an early 401) sees a connection error
+                instead of our status — a load-dependent race on
+                whether the whole body fit the kernel socket buffers
+                (confirmed by http.client dying in send() with a
+                ConnectionReset mid-WAV)."""
+                if getattr(self, "_body_read", False):
+                    return
+                self._body_read = True
+                try:
+                    length = int(self.headers.get("Content-Length",
+                                                  0) or 0)
+                except ValueError:
+                    return
+                # cap: reading is a courtesy to legitimate clients (any
+                # real audio body fits); an unauthenticated sender of
+                # multi-GB bodies gets the old close-with-RST instead of
+                # a free byte sink
+                length = min(length, 256 << 20)
+                while length > 0:
+                    chunk = self.rfile.read(min(length, 1 << 20))
+                    if not chunk:
+                        break
+                    length -= len(chunk)
+
             def _json(self, obj: Dict, code: int = 200) -> None:
+                self._drain_body()
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -285,6 +333,7 @@ class DiarizationServer:
                 self.wfile.write(body)
 
             def _body(self) -> bytes:
+                self._body_read = True
                 length = int(self.headers.get("Content-Length", 0))
                 return self.rfile.read(length)
 
@@ -298,13 +347,14 @@ class DiarizationServer:
                 return False
 
             def do_POST(self):
+                self._body_read = False  # new request on this connection
                 if not self._authorized():
                     return
                 try:
                     payload = json.loads(self._body() or b"{}")
                 except json.JSONDecodeError:
                     return self._json({"error": "bad json"}, 400)
-                server._purge_expired()
+                server._maybe_purge()
                 if self.path.rstrip("/").endswith("/media/input"):
                     media_url = payload.get("url", "")
                     if not media_url.startswith("media://"):
@@ -353,6 +403,7 @@ class DiarizationServer:
                 self._json({"error": "not found"}, 404)
 
             def do_PUT(self):
+                self._body_read = False  # new request on this connection
                 from urllib.parse import parse_qs, urlsplit
                 split = urlsplit(self.path)
                 if not split.path.startswith("/upload/"):
@@ -388,12 +439,13 @@ class DiarizationServer:
                 self.end_headers()
 
             def do_GET(self):
+                self._body_read = False  # new request on this connection
                 if not self._authorized():
                     return
                 # purge on polls too: a long-lived server whose clients
                 # only GET after their last POST must still converge to
                 # bounded media/job state within one TTL
-                server._purge_expired()
+                server._maybe_purge()
                 if "/jobs/" not in self.path:
                     return self._json({"error": "not found"}, 404)
                 job_id = self.path.rsplit("/", 1)[-1]

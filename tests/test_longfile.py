@@ -120,6 +120,61 @@ def test_slice_padding_covers_zero_padded_tail(monkeypatch):
     assert padded_len >= int(starts[sl.i1 - 1]) - sl.a + window
 
 
+def test_chunk_grid_int64_and_whole_file_guard(monkeypatch):
+    """Sample starts exceed int32 beyond ~37 h at 16 kHz: the grid is
+    int64, the whole-file device cast refuses overflow loudly, and every
+    planned slice's TRANSLATED starts fit int32."""
+    from pyannote_audio_tpu.core.inference import _starts_i32
+
+    monkeypatch.delenv("PYANNOTE_TPU_SEGMENT_MINUTES", raising=False)
+    sr, window, step = 16000, 10 * 16000, 16000
+    n40h = 40 * 3600 * sr
+    starts, _ = _chunk_grid(n40h, window, step, sr)
+    assert starts.dtype == np.int64
+    assert int(starts[-1]) + window > np.iinfo(np.int32).max
+    with pytest.raises(ValueError, match="slice"):
+        _starts_i32(starts, window)
+    plan = plan_slices(n40h, window, step, sr, starts)
+    assert plan is not None and len(plan) > 1
+    for sl in plan:
+        rel = starts[sl.i0:sl.i1] - sl.a
+        assert int(rel.min()) >= 0
+        assert int(rel.max()) + window <= np.iinfo(np.int32).max
+
+
+def test_release_is_slice_scoped_with_overlapping_bounds(monkeypatch,
+                                                         rng):
+    """A halo longer than the slice clips adjacent slices to identical
+    (a, b) sample bounds; releasing slice k must not evict its
+    neighbours' cached buffers (cache keys carry the slice index)."""
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "0.05")   # 3 s
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "20.0")
+    sr = 16000
+    window, step = 2 * sr, sr // 2
+    wav = (0.05 * rng.standard_normal((1, 10 * sr))).astype(np.float32)
+    starts, _ = _chunk_grid(wav.shape[1], window, step, sr)
+    plan = plan_slices(wav.shape[1], window, step, sr, starts)
+    assert plan is not None and len(plan) >= 2
+    assert (plan[0].a, plan[0].b) == (plan[1].a, plan[1].b)
+    file = {}
+    get_upload, release = slice_uploads(file, wav, plan, sr, starts,
+                                        window)
+    buf1, _ = get_upload(1)
+    get_upload(0)
+    release(0)
+    keys = _buffer_keys(file["_longfile_uploads"])
+    assert keys and all(key[0] == 1 for key in keys)
+    buf1_again, _ = get_upload(1)
+    assert buf1_again is buf1
+
+
+def test_retained_upload_budget_share(monkeypatch):
+    from pyannote_audio_tpu.core.longfile import retained_upload_bytes_ok
+    monkeypatch.setenv("PYANNOTE_TPU_HBM_BUDGET_GB", "6.0")
+    assert retained_upload_bytes_ok(2 * 3600 * 16000)          # 2 h
+    assert not retained_upload_bytes_ok(30 * 3600 * 16000)     # 30 h
+
+
 def test_halo_samples_ceils_to_align(monkeypatch):
     monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "5.0")
     assert halo_samples(16000) >= 5 * 16000
@@ -212,6 +267,35 @@ def test_slide_sliced_matches_whole_at_tail_shortfall(simple_model,
     monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "1.0")
     sliced = _slide(simple_model, wav)
     np.testing.assert_allclose(sliced, whole, atol=1e-5)
+
+
+def test_slide_retention_respects_hbm_budget(long_waveform, monkeypatch):
+    """On the diarization path (permutation-invariant scores stay in
+    HBM for the embedding stage) slice buffers are retained ONLY while
+    their total stays a small share of the HBM budget — otherwise the
+    retained decoded waveforms would re-grow HBM with file length."""
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MONO_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0,
+        classes=["a", "b"], powerset_max_classes=1,
+        permutation_invariant=True)
+    model.build()
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "0.15")
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_HALO_SECONDS", "1.0")
+
+    inf = Inference(model, duration=2.0, step=0.5, batch_size=8)
+    cache = {}
+    inf.slide(long_waveform, 16000, cache=cache)
+    assert _buffer_keys(cache["_longfile_uploads"])   # retained: reuse
+
+    monkeypatch.setenv("PYANNOTE_TPU_HBM_BUDGET_GB", "0.000001")
+    cache2 = {}
+    inf.slide(long_waveform, 16000, cache=cache2)
+    assert not _buffer_keys(cache2["_longfile_uploads"])
 
 
 def test_preload_longfile_uploads_one_slice(pyannet_model, tmp_path,

@@ -259,6 +259,23 @@ def test_purge_keeps_media_of_unfinished_jobs(pipeline):
     server._httpd.server_close()
 
 
+def test_handler_purge_is_rate_limited(pipeline, monkeypatch):
+    """Request handlers sweep via _maybe_purge: at most one O(state)
+    scan per _purge_every, so N pollers don't serialize behind the
+    global lock on every GET. Direct _purge_expired stays unthrottled."""
+    server = DiarizationServer(pipeline, media_ttl=10.0)
+    calls = []
+    monkeypatch.setattr(server, "_purge_expired",
+                        lambda: calls.append(1))
+    server._maybe_purge()
+    server._maybe_purge()
+    assert calls == [1]
+    server._last_purge -= server._purge_every + 1.0
+    server._maybe_purge()
+    assert calls == [1, 1]
+    server._httpd.server_close()
+
+
 def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
                                                            tmp_path):
     """A presigned upload URL works exactly once (replay without the
