@@ -293,10 +293,9 @@ def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
         put_url = json.loads(urllib.request.urlopen(reg).read())["url"]
         body = (tmp_path / "once.wav").read_bytes()
         put = urllib.request.Request(put_url, data=body, method="PUT")
-        # diagnostics on flake (this failed once in a 3-way-contended
-        # full run and never reproduced — see CHANGELOG round 5): report
-        # the actual code/body and the server's signature state instead
-        # of a bare assert
+        # on failure report the actual code/body and the server's
+        # signature state instead of a bare assert (see CHANGELOG
+        # round 5 for the load-dependent flake this test once had)
         try:
             status = urllib.request.urlopen(put).status
         except urllib.error.HTTPError as first_err:
@@ -304,10 +303,16 @@ def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
                         f"{first_err.read()!r}; presigned keys: "
                         f"{list(server._presigned)}")
         assert status == 200
-        # replay: signature was consumed, and there is no bearer header
+        # replay: signature was consumed, and there is no bearer header.
+        # The body is deliberately LARGE (>> kernel socket buffers): a
+        # server that 401s without draining it makes the kernel RST the
+        # connection mid-send and this raises URLError instead of
+        # HTTPError — the root cause of the round-5 flake
+        big_body = body * max(1, (8 << 20) // len(body) + 1)
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(
-                urllib.request.Request(put_url, data=body, method="PUT"))
+                urllib.request.Request(put_url, data=big_body,
+                                       method="PUT"))
         assert err.value.code == 401, (
             f"replay -> {err.value.code}: {err.value.read()!r}; "
             f"presigned keys: {list(server._presigned)}")
