@@ -140,7 +140,6 @@ def main():
     # analytic model below for what that floor is made of). Shared
     # sampler: benchmarks/hbm_sampler.py stamps the same
     # "live_arrays@20Hz" for every artifact.
-    import jax
     from benchmarks.hbm_sampler import HbmSampler
     sampler = HbmSampler().start()
 

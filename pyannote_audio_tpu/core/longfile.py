@@ -141,6 +141,14 @@ def plan_slices(num_samples: int, window_size: int, step_size: int,
         i1 = min(i0 + chunks_per_slice, num_chunks)
         a = max(0, ((int(starts[i0]) - halo) // ALIGN) * ALIGN)
         b = min(num_samples, int(starts[i1 - 1]) + window_size + halo)
+        # slice-LOCAL starts feed int32 device gathers: a forced slice
+        # length past ~37 h would wrap them silently (auto mode never
+        # produces one — refuse the config loudly)
+        if int(starts[i1 - 1]) - a + window_size > 2 ** 31 - 1:
+            raise ValueError(
+                f"slice length {minutes} min exceeds the int32 sample "
+                "range of the device gathers (~37 h at 16 kHz); choose "
+                "a smaller PYANNOTE_TPU_SEGMENT_MINUTES")
         slices.append(Slice(a=a, b=b, i0=i0, i1=i1))
     return slices
 
@@ -212,12 +220,16 @@ def retained_upload_bytes_ok(num_samples: int) -> bool:
     """May the slice path retain ALL slice uploads between the
     segmentation and embedding stages?
 
-    The retained buffers are the decoded device waveforms (~2 B/sample
-    int16, across every slice = the whole file), which grows with file
-    LENGTH — the exact scaling this mode bounds. Retention is therefore
-    allowed only while that total stays a small share (25%) of the HBM
-    budget; longer files re-upload per slice in the embedding stage
-    (O(slice) memory for 2x upload bytes).
+    The retained buffers are the cached device waveforms (int16 for the
+    dpcm4/int16 transports, uint8 for mulaw, f32 for raw), across every
+    slice = the whole file — growth with file LENGTH, the exact scaling
+    this mode bounds. Retention is therefore allowed only while that
+    total stays a small share (25%) of the HBM budget; longer files
+    re-upload per slice in the embedding stage (O(slice) memory for 2x
+    upload bytes).
     """
+    from .inference import _upload_quant_mode
+    per_sample = {"f32": 4.0, "mulaw": 1.0}.get(_upload_quant_mode(),
+                                                2.0)
     budget = _env_float("PYANNOTE_TPU_HBM_BUDGET_GB", 6.0) * 2.0 ** 30
-    return 2.0 * num_samples <= 0.25 * budget
+    return per_sample * num_samples <= 0.25 * budget

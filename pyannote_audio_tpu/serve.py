@@ -83,7 +83,7 @@ class DiarizationServer:
         #: every job/media entry under the global lock, so running it on
         #: EVERY poll would serialize N pollers behind O(state) scans
         self._purge_every = min(5.0, media_ttl / 4.0) \
-            if media_ttl else None
+            if media_ttl is not None else None
         self._last_purge = 0.0
         self._httpd = ThreadingHTTPServer((host, port),
                                           self._handler_class())

@@ -171,8 +171,28 @@ def test_release_is_slice_scoped_with_overlapping_bounds(monkeypatch,
 def test_retained_upload_budget_share(monkeypatch):
     from pyannote_audio_tpu.core.longfile import retained_upload_bytes_ok
     monkeypatch.setenv("PYANNOTE_TPU_HBM_BUDGET_GB", "6.0")
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "int16")
     assert retained_upload_bytes_ok(2 * 3600 * 16000)          # 2 h
     assert not retained_upload_bytes_ok(30 * 3600 * 16000)     # 30 h
+    # the cap follows the transport's cached bytes/sample: f32 halves
+    # the admissible duration vs int16, mulaw doubles it
+    n = 10 * 3600 * 16000                                      # 10 h
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "f32")
+    f32_ok = retained_upload_bytes_ok(n)
+    monkeypatch.setenv("PYANNOTE_TPU_UPLOAD_QUANT", "mulaw")
+    assert retained_upload_bytes_ok(n)
+    assert not f32_ok
+
+
+def test_forced_slice_length_beyond_int32_raises(monkeypatch):
+    """A forced slice length whose slice-local starts would wrap int32
+    must refuse loudly instead of silently gathering wrong audio."""
+    monkeypatch.setenv("PYANNOTE_TPU_SEGMENT_MINUTES", "2400")  # 40 h
+    sr, window, step = 16000, 10 * 16000, 16000
+    n45h = 45 * 3600 * sr
+    starts = np.arange(0, n45h - window + step, step, dtype=np.int64)
+    with pytest.raises(ValueError, match="SEGMENT_MINUTES"):
+        plan_slices(n45h, window, step, sr, starts)
 
 
 def test_halo_samples_ceils_to_align(monkeypatch):

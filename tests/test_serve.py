@@ -274,6 +274,12 @@ def test_handler_purge_is_rate_limited(pipeline, monkeypatch):
     server._maybe_purge()
     assert calls == [1, 1]
     server._httpd.server_close()
+    # media_ttl=0.0 (immediate expiry) must purge on every request, not
+    # TypeError on float < None
+    zero = DiarizationServer(pipeline, media_ttl=0.0)
+    zero._maybe_purge()
+    zero._maybe_purge()
+    zero._httpd.server_close()
 
 
 def test_presigned_sig_is_single_use_and_writes_atomically(pipeline,
