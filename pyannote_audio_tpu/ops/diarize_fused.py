@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .aggregate import overlap_add
 
@@ -67,6 +68,11 @@ def fused_count_stats(
                                  num_output_frames)
     average = out_sum / jnp.maximum(out_w, 1e-12)
     count = jnp.rint(jnp.where(out_w > 0, average, 0.0))
+    # the host immediately casts the fetched count to uint8 (pipeline
+    # _fetch_count_stats); casting ON DEVICE shrinks the fetch 4x. NaN
+    # (possible only on NaN-stitched multilabel scores) maps to 0, the
+    # value the x86 host cast produced anyway.
+    count = jnp.nan_to_num(count).clip(0, 255).astype(jnp.uint8)
     return count, speaker_frames, clean_frames
 
 
@@ -91,8 +97,11 @@ def fused_reconstruct(
     falls out of the same aggregation for free, so both are returned from
     one dispatch.
 
-    Returns (binary, exclusive_binary), each (num_output_frames,
-    num_clusters) float32 in {0, 1}.
+    Returns (binary, exclusive_binary) BIT-PACKED: each is the uint8
+    ``packbits`` (big-endian, numpy default) of the flattened
+    (num_output_frames, num_clusters) {0, 1} matrix — a 32x smaller
+    fetch than float32. ``unpack_reconstruct`` restores the float32
+    matrices exactly.
     """
     data = jnp.nan_to_num(scores, nan=-jnp.inf)
     member = hard_clusters[:, None, :, None] == \
@@ -115,10 +124,20 @@ def fused_reconstruct(
     ranks = jnp.zeros_like(order).at[
         jnp.arange(act.shape[0])[:, None], order].set(
         jnp.broadcast_to(jnp.arange(num_clusters), act.shape))
-    binary = (ranks < count[:, None]).astype(jnp.float32)
-    exclusive = (ranks < jnp.minimum(count, 1)[:, None]).astype(
-        jnp.float32)
-    return binary, exclusive
+    binary = ranks < count[:, None]
+    exclusive = ranks < jnp.minimum(count, 1)[:, None]
+    return (jnp.packbits(binary.reshape(-1)),
+            jnp.packbits(exclusive.reshape(-1)))
+
+
+def unpack_reconstruct(packed: np.ndarray, num_output_frames: int,
+                       num_clusters: int) -> np.ndarray:
+    """Host inverse of fused_reconstruct's bit-packing: exact float32
+    (num_output_frames, num_clusters) {0, 1} matrix."""
+    flat = np.unpackbits(np.asarray(packed),
+                         count=num_output_frames * num_clusters)
+    return flat.reshape(num_output_frames, num_clusters).astype(
+        np.float32)
 
 
 @partial(jax.jit, static_argnames=("exclude_overlap", "min_num_frames"))

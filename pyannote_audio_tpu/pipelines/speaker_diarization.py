@@ -969,7 +969,7 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         (apply steps at reference speaker_diarization.py:688-713).
         """
         from ..ops.aggregate import _bucket, pad_chunk_bucket
-        from ..ops.diarize_fused import fused_reconstruct
+        from ..ops.diarize_fused import fused_reconstruct, unpack_reconstruct
 
         num_chunks = segmentations.num_valid
         dev, offsets_padded, chunk_mask = pad_chunk_bucket(
@@ -991,12 +991,14 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         num_clusters = max(int(hard.max()) + 1,
                            int(cnt.max()) if len(cnt) else 0, 1)
 
-        binary, exclusive = jax.device_get(fused_reconstruct(
+        # bit-packed fetch (32x smaller than float32), exact unpack on host
+        binary_bits, exclusive_bits = jax.device_get(fused_reconstruct(
             dev, jnp.asarray(hard_padded), jnp.asarray(offsets_padded),
             jnp.asarray(chunk_mask), jnp.asarray(cnt_padded),
             num_clusters, F_bucket))
-        binary = binary[:n]
-        exclusive = exclusive[:n]
+        binary = unpack_reconstruct(binary_bits, F_bucket, num_clusters)[:n]
+        exclusive = unpack_reconstruct(
+            exclusive_bits, F_bucket, num_clusters)[:n]
         window = count.sliding_window
         return (SlidingWindowFeature(binary, window),
                 SlidingWindowFeature(exclusive, window))
