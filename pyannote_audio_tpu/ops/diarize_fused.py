@@ -108,9 +108,12 @@ def fused_reconstruct(
         jnp.arange(num_clusters, dtype=hard_clusters.dtype)     # (C,1,S,K)
     masked = jnp.where(member, data[:, :, :, None], -jnp.inf)
     best = jnp.max(masked, axis=2)                              # (C, F, K)
+    # NaN member scores poison the cluster max (reference np.max over
+    # cluster members propagates NaN, speaker_diarization.py:519-521)
+    any_nan = jnp.any(member & jnp.isnan(scores)[:, :, :, None], axis=2)
     # clusters with no member in a chunk contribute nothing (NaN ->
     # missing in the reference aggregate; weight 0 here)
-    clustered = jnp.where(jnp.isfinite(best), best, jnp.nan)
+    clustered = jnp.where(jnp.isfinite(best) & ~any_nan, best, jnp.nan)
 
     ones = jnp.ones((scores.shape[1],), scores.dtype)
     out_sum, out_w = overlap_add(clustered, frame_offsets, chunk_mask,

@@ -71,6 +71,10 @@ def kmeans_jax(embeddings: np.ndarray, num_clusters: int,
                n_init: int = 3, iters: int = 25,
                seed: int = 42) -> np.ndarray:
     """Best-of-n_init Lloyd KMeans on device -> (n,) int cluster ids."""
+    if not np.all(np.isfinite(embeddings)):
+        # sklearn raises at the call site; a NaN inertia would otherwise
+        # never beat np.inf and silently return None
+        raise ValueError("kmeans_jax: input contains NaN or infinity")
     x = jnp.asarray(embeddings, jnp.float32)
     best = (None, np.inf)
     for i in range(n_init):

@@ -53,8 +53,14 @@ def permutate_jax(
     Returns (permutated_y2, perm_indices (batch, K)) with
     permutated[b, :, k] = y2[b, :, perm[b, k]].
     """
-    K = y2.shape[-1]
     C = pairwise_cost(y1, y2, cost=cost)              # (B, K, K)
+    return _permutate_from_cost(y2, C)
+
+
+def _permutate_from_cost(y2: jnp.ndarray, C: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the best of the K! permutations given the (B, K, K) cost."""
+    K = y2.shape[-1]
     perms = jnp.asarray(permutation_table(K))          # (K!, K)
     # total cost of each permutation: sum_k C[b, k, perm[p, k]]
     # advanced indices (1, K) and (P, K) broadcast to (P, K) -> (B, P, K)
@@ -146,8 +152,11 @@ def permutate(
 
     C: Optional[np.ndarray] = None
     if K1 == K2 and K1 <= 6 and cost_callable is None:
-        permutated_jx, perm = permutate_jax(
-            jnp.asarray(y1), jnp.asarray(y2), cost=cost_name)
+        # compute the (B, K, K) cost once and reuse it for return_cost
+        Cj = pairwise_cost(jnp.asarray(y1), jnp.asarray(y2), cost=cost_name)
+        permutated_jx, perm = _permutate_from_cost(jnp.asarray(y2), Cj)
+        if return_cost:
+            C = np.asarray(Cj)
         permutated = np.asarray(permutated_jx)
         perms: List[Tuple[Optional[int], ...]] = [
             tuple(int(p) for p in row) for row in np.asarray(perm)]
@@ -200,29 +209,35 @@ def permutate_torch(y1, y2, cost_func="mse", return_cost: bool = False):
 def build_permutation_graph(
     segmentations,  # SlidingWindowFeature (chunks, frames, K)
     onset: float = 0.5,
-    cost: str = "mae",
+    cost="mae",
 ) -> List[Tuple[int, int, Tuple]]:
     """Chunk-stitching graph: permutation of each chunk vs its neighbors.
 
     Returns [(chunk_i, chunk_j, perm)] for overlapping chunk pairs, used by
-    stitching-based pipelines (parity: permutation.py:199-275).
+    stitching-based pipelines (parity: permutation.py:199-275). ``cost``
+    follows the reference default (mae_cost_func, permutation.py:202);
+    a callable receives ``onset=`` like the reference's partial binding
+    (mae/mse ignore it, exactly as mae_cost_func's **kwargs does).
     """
+    from functools import partial
+
     from ..core.segment import SlidingWindowFeature
     assert isinstance(segmentations, SlidingWindowFeature)
+    cost_func = partial(cost, onset=onset) if callable(cost) else cost
     data = segmentations.data
     window = segmentations.sliding_window
-    num_chunks = len(data)
+    num_chunks, num_frames, _ = data.shape
     overlap_chunks = int(np.floor(window.duration / window.step)) - 1
-    frames_per_step = int(np.rint(
-        data.shape[1] * window.step / window.duration))
     edges = []
     for i in range(num_chunks):
         for j in range(i + 1, min(i + 1 + overlap_chunks, num_chunks)):
-            shift = (j - i) * frames_per_step
+            # round the FULL product per pair (reference permutation.py:241)
+            shift = round((j - i) * num_frames * window.step
+                          / window.duration)
             a = data[i][shift:]
             b = data[j][:a.shape[0]]
             if a.shape[0] == 0:
                 continue
-            _, perms = permutate(a, b, cost_func=None)
+            _, perms = permutate(a, b, cost_func=cost_func)
             edges.append((i, j, perms[0]))
     return edges

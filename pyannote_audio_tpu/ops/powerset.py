@@ -43,11 +43,6 @@ class Powerset:
         self.max_set_size = max_set_size
         self.mapping = jnp.asarray(
             build_powerset_mapping(num_classes, max_set_size))
-        # powers-of-two code of each powerset state, used to invert the
-        # mapping and to lift multilabel permutations (powerset.py:170-241)
-        powers = 2 ** np.arange(num_classes, dtype=np.int64)
-        self.state_code = jnp.asarray(
-            (np.asarray(self.mapping) @ powers).astype(np.int32))
 
     @property
     def num_powerset_classes(self) -> int:

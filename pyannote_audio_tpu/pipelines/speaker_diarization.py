@@ -1018,7 +1018,9 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         """
         num_chunks, num_frames, local_speakers = segmentations.data.shape
         num_clusters = int(np.max(hard_clusters)) + 1
-        data = np.nan_to_num(segmentations.data, nan=-np.inf)
+        raw = segmentations.data
+        nan_scores = np.isnan(raw)
+        data = np.nan_to_num(raw, nan=-np.inf)
         # per cluster k: max over the local speakers assigned to k
         # (K is small, so K passes over (C, F, S) beat a (C, F, S, K) blow-up)
         clustered = np.full((num_chunks, num_frames, num_clusters), np.nan,
@@ -1027,7 +1029,11 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
             member = hard_clusters == k                   # (C, S)
             masked = np.where(member[:, None, :], data, -np.inf)
             best = masked.max(axis=2)                     # (C, F)
-            clustered[:, :, k] = np.where(np.isfinite(best), best, np.nan)
+            # NaN member scores poison the max like the reference's
+            # np.max over cluster members (speaker_diarization.py:519-521)
+            any_nan = (member[:, None, :] & nan_scores).any(axis=2)
+            clustered[:, :, k] = np.where(
+                np.isfinite(best) & ~any_nan, best, np.nan)
         clustered_swf = SlidingWindowFeature(
             clustered, segmentations.sliding_window)
         return self.to_diarization(clustered_swf, count)

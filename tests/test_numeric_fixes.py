@@ -161,3 +161,89 @@ def test_der_components_large_k_host_fallback():
     packed2 = np.asarray(der_components(preds[..., perm], target,
                                         thresholds))
     np.testing.assert_allclose(packed, packed2, rtol=1e-5, atol=1e-4)
+
+
+def test_build_permutation_graph_matches_reference_semantics():
+    """Stitching graph parity (reference utils/permutation.py:199-275):
+    MAE cost by default (not MSE) and the frame shift rounds the FULL
+    (j - i) * num_frames * step / duration product per pair (not a
+    pre-rounded frames-per-step multiplied up). Heavy-tailed scores make
+    MAE and MSE disagree on some pairs, and num_frames * step / duration
+    = 6.5 makes the two rounding schemes diverge at distance >= 3."""
+    from scipy.optimize import linear_sum_assignment
+
+    from pyannote_audio_tpu.core.segment import (SlidingWindow,
+                                                 SlidingWindowFeature)
+    from pyannote_audio_tpu.ops.permutation import build_permutation_graph
+
+    rng = np.random.default_rng(11)
+    num_chunks, F, K = 9, 65, 3
+    data = rng.uniform(size=(num_chunks, F, K)).astype(np.float32)
+    # sparse large outliers: MAE and MSE rank candidate matches
+    # differently where they land
+    outliers = rng.uniform(size=data.shape) < 0.03
+    data[outliers] += rng.uniform(3.0, 8.0, size=int(outliers.sum()))
+
+    window = SlidingWindow(duration=2.0, step=0.2)   # F*step/dur = 6.5
+    swf = SlidingWindowFeature(data, window)
+    edges = build_permutation_graph(swf)
+
+    # reference replica: full-product rounding + MAE + Hungarian
+    lookahead = int(np.floor(window.duration / window.step - 1))
+    expected = {}
+    for i in range(num_chunks):
+        for j in range(i + 1, min(i + 1 + lookahead, num_chunks)):
+            shift = round((j - i) * F * window.step / window.duration)
+            a, b = data[i][shift:], data[j][:F - shift]
+            if len(a) == 0:
+                continue
+            C = np.mean(np.abs(a[:, :, None] - b[:, None, :]), axis=0)
+            rows, cols = linear_sum_assignment(C)
+            expected[(i, j)] = tuple(int(c) for c in cols)
+
+    got = {(i, j): perm for i, j, perm in edges}
+    assert got == expected
+
+
+def test_kmeans_jax_rejects_nan_embeddings():
+    from pyannote_audio_tpu.ops.kmeans import kmeans_jax
+
+    x = np.random.default_rng(0).standard_normal((20, 8)).astype(
+        np.float32)
+    x[3, 2] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        kmeans_jax(x, 3)
+
+
+def test_reconstruct_nan_member_poisons_cluster_max():
+    """A NaN member score makes the whole cluster missing at that frame
+    (reference reconstruct uses np.max over cluster members,
+    speaker_diarization.py:519-521) — on BOTH the host and fused paths."""
+    from pyannote_audio_tpu.core.segment import (
+        DeviceSlidingWindowFeature, SlidingWindow, SlidingWindowFeature)
+    from pyannote_audio_tpu.pipelines.speaker_diarization import \
+        SpeakerDiarization
+
+    C_, F, S = 1, 8, 3
+    scores = np.zeros((C_, F, S), np.float32)
+    scores[0, :, 1] = 0.9          # cluster 0 (always strongest if kept)
+    scores[0, :, 2] = 0.4          # cluster 1
+    scores[0, 4, 0] = np.nan       # cluster 0's other member: NaN frame
+    hard = np.array([[0, 0, 1]])
+    window = SlidingWindow(duration=2.0, step=2.0)
+    frames = SlidingWindow(duration=0.25, step=0.25)
+    swf = SlidingWindowFeature(scores, window)
+
+    count = SlidingWindowFeature(np.ones((F, 1), np.int8), frames)
+    pipeline = SpeakerDiarization.__new__(SpeakerDiarization)
+
+    host = pipeline.reconstruct(swf, hard, count)
+    # frame 4: cluster 0 is NaN-poisoned -> missing -> cluster 1 wins
+    assert host.data[4, 0] == 0.0 and host.data[4, 1] == 1.0
+    # other frames: cluster 0 wins
+    assert host.data[3, 0] == 1.0 and host.data[3, 1] == 0.0
+
+    dev_swf = DeviceSlidingWindowFeature(jnp.asarray(scores), window)
+    device, _ = pipeline._device_reconstruct(
+        dev_swf, hard, count, np.zeros(C_, np.int32), F)
+    np.testing.assert_array_equal(device.data[:F], host.data[:F])
