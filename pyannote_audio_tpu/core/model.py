@@ -355,7 +355,8 @@ class Model:
         return self.unfreeze_by_name(known[:known.index(module_name) + 1])
 
     @staticmethod
-    def _resolve_hub_id(model_id: str, revision=None, token=None):
+    def _resolve_hub_id(model_id: str, revision=None, token=None,
+                        cache_dir=None, subfolder=None):
         """Hub-id -> local checkpoint path (dir or torch .bin), or None.
 
         Local snapshots (PYANNOTE_TPU_HUB / download cache) win; else
@@ -380,7 +381,8 @@ class Model:
 
         local = None
         try:
-            local = resolve_checkpoint(model_id, revision=revision)
+            local = resolve_checkpoint(model_id, subfolder=subfolder,
+                                       revision=revision)
             if complete(local):
                 return local
         except FileNotFoundError:
@@ -390,17 +392,18 @@ class Model:
         last_error = None
         try:
             params = download_from_hf_hub(
-                model_id, AssetFileName.Model, revision=revision,
-                token=token)
+                model_id, AssetFileName.Model, subfolder=subfolder,
+                revision=revision, token=token, cache_dir=cache_dir)
             download_from_hf_hub(model_id, CHECKPOINT_CONFIG,
-                                 revision=revision, token=token)
+                                 subfolder=subfolder, revision=revision,
+                                 token=token, cache_dir=cache_dir)
             return params.parent
         except (FileNotFoundError, urllib.error.HTTPError) as exc:
             last_error = exc
         try:
             return download_from_hf_hub(
-                model_id, AssetFileName.TorchModel, revision=revision,
-                token=token)
+                model_id, AssetFileName.TorchModel, subfolder=subfolder,
+                revision=revision, token=token, cache_dir=cache_dir)
         except (FileNotFoundError, urllib.error.HTTPError) as exc:
             # surface the root cause (auth? network? missing asset?)
             # instead of letting the caller raise a bare 'cannot load'
@@ -512,16 +515,20 @@ class Model:
 
         path = Path(checkpoint) if isinstance(checkpoint, (str, Path)) \
             else None
+        # hub-only kwargs must never leak into model hparams (a local
+        # load with token=... would otherwise construct Klass(token=...))
+        revision = kwargs.pop("revision", None)
+        token = kwargs.pop("use_auth_token", kwargs.pop("token", None))
+        cache_dir = kwargs.pop("cache_dir", None)
+        subfolder = kwargs.pop("subfolder", None)
         if path is not None and path.is_file() and \
                 path.suffix in (".bin", ".ckpt", ".pt"):
             return cls._from_torch_checkpoint(path, **kwargs)
         if path is not None and not path.exists() \
                 and isinstance(checkpoint, str):
             resolved = cls._resolve_hub_id(
-                checkpoint,
-                revision=kwargs.pop("revision", None),
-                token=kwargs.pop("use_auth_token",
-                                 kwargs.pop("token", None)))
+                checkpoint, revision=revision, token=token,
+                cache_dir=cache_dir, subfolder=subfolder)
             if resolved is not None:
                 return cls.from_pretrained(resolved,
                                            map_location=map_location,

@@ -24,17 +24,22 @@ from .model import Model
 PIPELINE_CONFIG = "config.yaml"
 
 
-def expand_subfolders(config: Any, model_id: str) -> Any:
+def expand_subfolders(config: Any, model_id: str, token=None,
+                      cache_dir=None) -> Any:
     """Expand ``$model/{subfolder}[@revision]`` placeholders in a config.
 
     Parity: expand_subfolders (reference core/pipeline.py:50-148). Given a
     root checkpoint id/path, rewrites string values like ``$model/embedding``
-    into ``{checkpoint: <root>, subfolder: embedding}`` dicts.
+    into ``{checkpoint: <root>, subfolder: embedding}`` dicts; the caller's
+    hub auth rides along (reference :62-63) so sub-model loads of a gated
+    repo authenticate.
     """
     if isinstance(config, dict):
-        return {k: expand_subfolders(v, model_id) for k, v in config.items()}
+        return {k: expand_subfolders(v, model_id, token, cache_dir)
+                for k, v in config.items()}
     if isinstance(config, list):
-        return [expand_subfolders(v, model_id) for v in config]
+        return [expand_subfolders(v, model_id, token, cache_dir)
+                for v in config]
     if isinstance(config, str) and config.startswith("$model"):
         rest = config[len("$model"):]
         revision = None
@@ -46,6 +51,10 @@ def expand_subfolders(config: Any, model_id: str) -> Any:
             out["subfolder"] = subfolder
         if revision:
             out["revision"] = revision
+        if token is not None:
+            out["token"] = token
+        if cache_dir is not None:
+            out["cache_dir"] = cache_dir
         return out
     return config
 
@@ -178,6 +187,9 @@ class Pipeline:
         utils/hf_hub.py (local snapshot roots, then an HTTP download of
         ``config.yaml``).
         """
+        token = kwargs.pop("use_auth_token", kwargs.pop("token", None))
+        cache_dir = kwargs.pop("cache_dir", None)
+        revision = kwargs.pop("revision", None)
         if isinstance(checkpoint, dict):
             config = checkpoint
             model_id = config.get("checkpoint", ".")
@@ -191,9 +203,8 @@ class Pipeline:
                     try:
                         path = download_from_hf_hub(
                             checkpoint, AssetFileName.Pipeline,
-                            revision=kwargs.pop("revision", None),
-                            token=kwargs.pop("use_auth_token",
-                                             kwargs.pop("token", None)))
+                            revision=revision, token=token,
+                            cache_dir=cache_dir)
                     except FileNotFoundError:
                         pass
             if path.is_dir():
@@ -209,7 +220,8 @@ class Pipeline:
             with open(config_yml) as f:
                 config = yaml.safe_load(f)
 
-        config = expand_subfolders(config, model_id)
+        config = expand_subfolders(config, model_id, token=token,
+                                   cache_dir=cache_dir)
 
         if "pipeline" not in config:
             raise ValueError("config has no 'pipeline' section")
@@ -219,6 +231,17 @@ class Pipeline:
             default_module_name="pyannote_audio_tpu.pipelines")
         params = dict(config["pipeline"].get("params") or {})
         params.update(kwargs.pop("pipeline_params", {}))
+        # hub auth for sub-model loads (reference pipeline.py:276-277) —
+        # only when the pipeline class takes the kwarg, so third-party
+        # pipelines without hub access keep working
+        import inspect
+        try:
+            accepted = inspect.signature(Klass.__init__).parameters
+        except (TypeError, ValueError):
+            accepted = {}
+        for key, value in (("token", token), ("cache_dir", cache_dir)):
+            if value is not None and key in accepted:
+                params.setdefault(key, value)
         pipeline = Klass(**params)
 
         # freeze / instantiate (reference pipeline.py:285-294)

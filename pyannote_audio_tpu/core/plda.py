@@ -64,9 +64,29 @@ class PLDA:
 
     @classmethod
     def from_pretrained(cls, checkpoint: Union[str, Path],
-                        subfolder: str = "") -> "PLDA":
-        """Load from a directory holding xvec_transform.npz + plda.npz."""
+                        subfolder: str = "", revision=None,
+                        token=None, cache_dir=None) -> "PLDA":
+        """Load from a directory holding xvec_transform.npz + plda.npz,
+        or a hub id hosting those two files (parity: reference
+        core/plda.py PLDA.from_pretrained hub path)."""
+        if checkpoint is None:
+            raise ValueError(
+                "PLDA.from_pretrained requires a path or hub id to a "
+                "directory holding xvec_transform.npz + plda.npz")
         path = Path(checkpoint)
+        if not path.exists() and isinstance(checkpoint, str):
+            from ..utils.hf_hub import (download_from_hf_hub,
+                                        looks_like_hub_id)
+            if looks_like_hub_id(checkpoint):
+                xvec = download_from_hf_hub(
+                    checkpoint, "xvec_transform.npz",
+                    subfolder=subfolder or None, revision=revision,
+                    token=token, cache_dir=cache_dir)
+                download_from_hf_hub(
+                    checkpoint, "plda.npz",
+                    subfolder=subfolder or None, revision=revision,
+                    token=token, cache_dir=cache_dir)
+                path, subfolder = xvec.parent, ""
         if subfolder:
             path = path / subfolder
         x = np.load(path / "xvec_transform.npz")

@@ -14,6 +14,7 @@ KMeans); distances/centroids are plain matmuls.
 
 from __future__ import annotations
 
+import warnings
 from enum import Enum
 from typing import Optional, Tuple
 
@@ -230,21 +231,29 @@ class AgglomerativeClustering(BaseClustering):
             # matches the target
             by_iteration = np.copy(dendrogram)
             by_iteration[:, 2] = np.arange(num_embeddings - 1)
-            best = (None, 1)
+            # fallback = the final merge (single cluster), like the
+            # reference's best_iteration init (clustering.py:409-410) —
+            # never keep a threshold cut that violates the cluster bounds
+            best_it, best_num = num_embeddings - 1, 1
             for it in np.argsort(np.abs(dendrogram[:, 2] - self.threshold)):
                 if by_iteration[it, 3] < min_cluster_size:
                     continue
                 candidate = fcluster(by_iteration, it,
                                      criterion="distance") - 1
                 _, _, cand_large = large_of(candidate)
+                clusters = candidate
                 if abs(len(cand_large) - num_clusters) < \
-                        abs(best[1] - num_clusters):
-                    best = (it, len(cand_large))
+                        abs(best_num - num_clusters):
+                    best_it, best_num = it, len(cand_large)
                 if len(cand_large) == num_clusters:
                     break
-            if best[0] is not None:
-                clusters = fcluster(by_iteration, best[0],
+            if best_num != num_clusters:
+                clusters = fcluster(by_iteration, best_it,
                                     criterion="distance") - 1
+                warnings.warn(
+                    f"Found only {best_num} clusters. Using a smaller "
+                    f"value than {min_cluster_size} for "
+                    f"`min_cluster_size` might help.")
             uniq, counts, large = large_of(clusters)
 
         if len(large) == 0:

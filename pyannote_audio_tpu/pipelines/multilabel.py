@@ -29,6 +29,8 @@ class MultiLabelSegmentation(Pipeline):
         fscore: bool = False,
         share_min_duration: bool = False,
         use_auth_token=None,
+        token=None,
+        cache_dir=None,
         **inference_kwargs,
     ):
         super().__init__()
@@ -36,7 +38,10 @@ class MultiLabelSegmentation(Pipeline):
         self.fscore = fscore
         self.share_min_duration = share_min_duration
 
-        model = get_model(segmentation)
+        model = get_model(segmentation,
+                          token=token if token is not None
+                          else use_auth_token,
+                          cache_dir=cache_dir)
         self._classes = model.specifications.classes
         self._segmentation = Inference(model, **inference_kwargs)
 

@@ -29,6 +29,8 @@ import urllib.request
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 DEFAULT_BASE_URL = "https://api.pyannote.ai/v1"
 
 #: job states that mean "keep polling"
@@ -113,16 +115,37 @@ class Client:
     def upload(self, file) -> str:
         """Upload audio to pyannoteAI temporary storage.
 
-        Accepts a path, a {"audio": path} mapping, or raw bytes; returns
-        the ``media://`` url to pass to :meth:`diarize`.
+        Accepts a path, a {"audio": path} / in-memory {"waveform",
+        "sample_rate"} mapping, or raw bytes; returns the ``media://``
+        url to pass to :meth:`diarize`. In-memory waveforms are
+        serialized to 16-bit PCM WAV for the wire.
         """
         if isinstance(file, dict):
+            if file.get("audio") is None and file.get("waveform") \
+                    is not None:
+                import tempfile
+
+                from ...core.io import write_wav
+                with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+                    write_wav(tmp.name, np.asarray(file["waveform"]),
+                              int(file["sample_rate"]))
+                    payload = Path(tmp.name).read_bytes()
+                name = str(file.get("uri", "waveform"))
+                return self._upload_payload(payload, name)
             file = file.get("audio", file.get("uri"))
+        if file is None:
+            raise ValueError(
+                "pyannoteAI upload needs a path, raw bytes, or an "
+                "AudioFile with 'audio' (path) or 'waveform' + "
+                "'sample_rate' keys")
         if isinstance(file, bytes):
             payload, name = file, "audio"
         else:
             path = Path(file)
             payload, name = path.read_bytes(), path.stem
+        return self._upload_payload(payload, name)
+
+    def _upload_payload(self, payload: bytes, name: str) -> str:
         # content-addressed key: same-stem/same-size files must not
         # collide (and PYTHONHASHSEED would make hash() non-reproducible)
         digest = hashlib.md5(payload).hexdigest()[:16]

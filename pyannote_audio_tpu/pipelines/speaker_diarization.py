@@ -105,6 +105,28 @@ class EmbeddingHotPathMixin:
     ``_jitted_embedding_batch`` (init to None).
     """
 
+    def _make_whole_fbank_fn(self):
+        """One jitted whole-file (uncentered) fbank shared by the
+        fbank-gather and shared-trunk embedding paths — the two paths
+        must stay byte-identical (same _to_pcm16_scale + fbank kwargs)
+        or their chunk features silently diverge."""
+        from ..ops.fbank import fbank
+
+        @jax.jit
+        def whole_fbank(waveform):
+            # (channels, T) -> (T_frames, mel), uncentered; quantized
+            # uploads expand to the x32768 kaldi convention on device
+            from ..core.inference import _to_pcm16_scale
+            x = _to_pcm16_scale(waveform[0])
+            return fbank(x,
+                         sample_rate=self._embedding.sample_rate,
+                         num_mel_bins=self._embedding.num_mel_bins,
+                         frame_length=self._embedding.frame_length,
+                         frame_shift=self._embedding.frame_shift,
+                         window_type=self._embedding.window_type)
+
+        return whole_fbank
+
     def _make_embedding_batch_fn(self, window_samples: int,
                                  device_masks: bool = False):
         """Split gather (per-length, cheap) from forward (once, heavy).
@@ -114,7 +136,6 @@ class EmbeddingHotPathMixin:
         dispatch — no per-batch host mask upload.
         """
         module = self._embedding.module
-        batch_size = self.embedding_batch_size
 
         def gather_chunks(waveform, starts):
             from ..core.inference import _dequantize
@@ -163,24 +184,12 @@ class EmbeddingHotPathMixin:
         centering happens in frames_from_fbank.
         """
         module = self._embedding.module
-        batch_size = self.embedding_batch_size
-        from ..ops.fbank import fbank, fbank_num_frames
+        from ..ops.fbank import fbank_num_frames
         frames_per_chunk = fbank_num_frames(
             window_samples, self._embedding.sample_rate,
             self._embedding.frame_length, self._embedding.frame_shift)
 
-        @jax.jit
-        def whole_fbank(waveform):
-            # (channels, T) -> (T_frames, mel), uncentered; quantized
-            # uploads expand to the x32768 kaldi convention on device
-            from ..core.inference import _to_pcm16_scale
-            x = _to_pcm16_scale(waveform[0])
-            return fbank(x,
-                         sample_rate=self._embedding.sample_rate,
-                         num_mel_bins=self._embedding.num_mel_bins,
-                         frame_length=self._embedding.frame_length,
-                         frame_shift=self._embedding.frame_shift,
-                         window_type=self._embedding.window_type)
+        whole_fbank = self._make_whole_fbank_fn()
 
         def gather_chunks(feats, frame_starts):
             def get_chunk(start):
@@ -250,8 +259,7 @@ class EmbeddingHotPathMixin:
         """
         module = self._embedding.module
         mel = self._embedding.num_mel_bins
-        batch_size = self.embedding_batch_size
-        from ..ops.fbank import fbank, fbank_num_frames
+        from ..ops.fbank import fbank_num_frames
         frames_per_chunk = fbank_num_frames(
             window_samples, self._embedding.sample_rate,
             self._embedding.frame_length, self._embedding.frame_shift)
@@ -272,16 +280,7 @@ class EmbeddingHotPathMixin:
         pbatch = self.TRUNK_PANEL_BATCH
         panel_in = (core + 2 * halo) * stride
 
-        @jax.jit
-        def whole_fbank(waveform):
-            from ..core.inference import _to_pcm16_scale
-            x = _to_pcm16_scale(waveform[0])
-            return fbank(x,
-                         sample_rate=self._embedding.sample_rate,
-                         num_mel_bins=mel,
-                         frame_length=self._embedding.frame_length,
-                         frame_shift=self._embedding.frame_shift,
-                         window_type=self._embedding.window_type)
+        whole_fbank = self._make_whole_fbank_fn()
 
         def num_panel_batches(num_fbank_frames: int) -> int:
             trunk_total = -(-num_fbank_frames // stride)
@@ -473,8 +472,11 @@ class EmbeddingHotPathMixin:
             num_chunks, num_frames, num_speakers = \
                 binary_segmentations.data.shape
 
-        # prefer overlap-free frames unless that leaves too little
-        min_num_samples = 640  # analytically: >=1 trunk frame
+        # prefer overlap-free frames unless that leaves too little;
+        # per-backend minimum like the reference's
+        # self._embedding.min_num_samples (speaker_diarization.py:378)
+        from .speaker_verification import analytic_min_num_samples
+        min_num_samples = analytic_min_num_samples(self._embedding)
         num_samples = duration * self._embedding.sample_rate
         min_num_frames = math.ceil(
             num_frames * min_num_samples / num_samples)
@@ -791,7 +793,8 @@ class SpeakerDiarization(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
                 f"{[member.name for member in Clustering]}")
         if clustering == "VBxClustering":
             self.clustering = Klustering.value(
-                plda=get_plda(plda), metric=metric)
+                plda=get_plda(plda, token=token, cache_dir=cache_dir),
+                metric=metric)
         elif clustering == "OracleClustering":
             self.clustering = Klustering.value()
         else:

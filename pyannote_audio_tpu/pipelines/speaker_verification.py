@@ -30,12 +30,33 @@ from .utils.getter import PipelineModel, get_model
 from ..utils.signal import nearest_binary_mask
 
 
+def analytic_min_num_samples(model) -> int:
+    """Smallest input that still yields >= 1 pooled frame for ``model``.
+
+    The reference discovers this per backend by binary-searching
+    forward-pass failures (speaker_verification.py:688-702); with static
+    frame math it is analytic. Models that declare their own
+    ``min_num_samples`` (ECAPA, TitaNet) win; fbank-fronted trunks need
+    one window widened by the 8x trunk stride ladder; raw-waveform
+    models fall back to 640 samples (SincNet's receptive minimum)."""
+    own = getattr(model, "min_num_samples", None)
+    if isinstance(own, (int, np.integer)):
+        return int(own)
+    if hasattr(model, "frame_length"):
+        window = int(model.sample_rate * model.frame_length * 0.001)
+        shift = int(model.sample_rate * model.frame_shift * 0.001)
+        # 8x time reduction in the ResNet trunk -> need 8 fbank frames
+        return window + 7 * shift
+    return 640
+
+
 class PyannoteAudioPretrainedSpeakerEmbedding(BaseInference):
     """Masked whole-chunk embedding extraction over a native Model."""
 
-    def __init__(self, embedding: PipelineModel, device=None):
+    def __init__(self, embedding: PipelineModel, device=None,
+                 token=None, cache_dir=None):
         self.embedding = embedding
-        self.model = get_model(embedding)
+        self.model = get_model(embedding, token=token, cache_dir=cache_dir)
         if self.model.module is None:
             self.model.build()
 
@@ -53,21 +74,10 @@ class PyannoteAudioPretrainedSpeakerEmbedding(BaseInference):
 
     @property
     def min_num_samples(self) -> int:
-        """Smallest input that still yields >= 1 pooled frame.
-
-        The reference discovers this by binary-searching forward-pass
-        failures (speaker_verification.py:688-702); with static frame math
-        it is analytic: one fbank frame (400 samples) widened by the trunk
-        stride ladder.
-        """
-        if hasattr(self.model, "frame_length"):
-            window = int(self.model.sample_rate
-                         * self.model.frame_length * 0.001)
-            shift = int(self.model.sample_rate
-                        * self.model.frame_shift * 0.001)
-            # 8x time reduction in the ResNet trunk -> need 8 fbank frames
-            return window + 7 * shift
-        return 640
+        """Smallest input that still yields >= 1 pooled frame (analytic
+        equivalent of the reference's bisected discovery,
+        speaker_verification.py:688-702)."""
+        return analytic_min_num_samples(self.model)
 
     def __call__(self, waveforms, masks=None) -> np.ndarray:
         """waveforms (batch, 1, samples); masks (batch, frames) or None."""
@@ -336,7 +346,8 @@ def PretrainedSpeakerEmbedding(embedding: PipelineModel, device=None,
                 and not Path(embedding).is_dir():
             return ONNXWeSpeakerPretrainedSpeakerEmbedding(
                 embedding, device=device)
-    return PyannoteAudioPretrainedSpeakerEmbedding(embedding, device=device)
+    return PyannoteAudioPretrainedSpeakerEmbedding(
+        embedding, device=device, token=token, cache_dir=cache_dir)
 
 
 class SpeakerEmbedding(Pipeline):
@@ -348,15 +359,18 @@ class SpeakerEmbedding(Pipeline):
 
     def __init__(self, embedding: PipelineModel = None,
                  segmentation: Optional[PipelineModel] = None,
-                 use_auth_token=None):
+                 use_auth_token=None, token=None, cache_dir=None):
         super().__init__()
+        token = token if token is not None else use_auth_token
         self.embedding = embedding
         self.segmentation = segmentation
-        self._embedding = PretrainedSpeakerEmbedding(embedding)
+        self._embedding = PretrainedSpeakerEmbedding(
+            embedding, token=token, cache_dir=cache_dir)
         if segmentation is None:
             self._voice_activity = None
         else:
-            seg_model = get_model(segmentation)
+            seg_model = get_model(segmentation, token=token,
+                                  cache_dir=cache_dir)
             self._voice_activity = Inference(
                 seg_model,
                 pre_aggregation_hook=lambda scores: np.max(

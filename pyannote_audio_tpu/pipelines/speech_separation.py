@@ -55,6 +55,8 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         embedding_batch_size: int = 32,
         segmentation_batch_size: int = 32,
         der_variant: Optional[dict] = None,
+        token=None,
+        cache_dir=None,
         **kwargs,
     ):
         super().__init__()
@@ -66,7 +68,8 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         self.der_variant = der_variant or {"collar": 0.0,
                                            "skip_overlap": False}
 
-        model: Model = get_model(segmentation)
+        model: Model = get_model(segmentation, token=token,
+                                 cache_dir=cache_dir)
         specs = model.specifications
         spec = specs[0] if isinstance(specs, tuple) else specs
         self._segmentation = Inference(
@@ -84,8 +87,9 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         self.separation = ParamDict(
             leakage_removal=Categorical([True, False]),
             asr_collar=Uniform(0.0, 1.0))
-        self._embedding = get_model(embedding) if embedding is not None \
-            else None
+        self._embedding = get_model(
+            embedding, token=token, cache_dir=cache_dir) \
+            if embedding is not None else None
         self._audio = Audio(sample_rate=model.sample_rate, mono="downmix")
 
         Klustering = Clustering[clustering]
@@ -313,24 +317,52 @@ class SpeechSeparation(SpeakerDiarizationMixin, EmbeddingHotPathMixin,
         sources = sources / (
             np.max(np.abs(sources), axis=0, keepdims=True) + 1e-8)
 
-        # drop source columns of clusters absent from the final
-        # diarization and rename labels in NUMERIC cluster order so that
-        # column i always corresponds to SPEAKER_{i:02d} — labels() sorts
-        # by str ('10' < '2'), so both the column filter and the rename
-        # mapping must use the numeric order (parity: reference removes
-        # file-wise inactive speakers' sources, speech_separation.py:
-        # 626-627, with a numeric boolean mask)
+        # label mapping (parity: reference speech_separation.py:672-692):
+        # against a provided reference annotation, map hypothesis speakers
+        # onto reference names (extra speakers keep their own label);
+        # otherwise rename in NUMERIC cluster order so that SPEAKER_{i:02d}
+        # follows cluster order — labels() sorts by str ('10' < '2'), so
+        # the mapping must use the numeric order
         numeric_labels = sorted(
             int(label) for label in diarization.labels()
             if isinstance(label, (int, np.integer)))
-        keep = [k for k in numeric_labels if 0 <= k < sources.shape[1]]
-        if keep and keep != list(range(sources.shape[1])):
-            sources = sources[:, keep]
-
-        names = self.classes()
-        mapping = {label: next(names) for label in numeric_labels}
+        from collections.abc import Mapping as _Mapping
+        if isinstance(file, _Mapping) and file.get("annotation"):
+            _, mapping = self.optimal_mapping(
+                file["annotation"], diarization, return_mapping=True)
+            mapping = {label: mapping.get(label, label)
+                       for label in diarization.labels()}
+        else:
+            names = self.classes()
+            mapping = {label: next(names) for label in numeric_labels}
         diarization = diarization.rename_labels(mapping=mapping)
         exclusive = exclusive.rename_labels(mapping=mapping)
+
+        # re-order sources and centroids to diarization.labels() order
+        # (reference speech_separation.py:700-728); centroids are padded
+        # with zero rows when clustering returned fewer rows than the
+        # final label count
+        inverse_mapping = {new: old for old, new in mapping.items()}
+        order = [int(inverse_mapping[label])
+                 for label in diarization.labels()]
+        if order:
+            # count-constrained reconstruction can emit more speakers
+            # than clusters; pad dummy zero sources like the reference
+            # (speech_separation.py:619-624) before re-ordering
+            need_src = max(order) + 1
+            if need_src > sources.shape[1]:
+                sources = np.pad(
+                    sources, ((0, 0), (0, need_src - sources.shape[1])))
+            sources = sources[:, order]
+            if centroids is not None:
+                # cluster ids can be sparse here (inactive clusters keep
+                # their id), so pad to the highest referenced row
+                need = max(order) + 1
+                if need > centroids.shape[0]:
+                    centroids = np.pad(
+                        centroids,
+                        ((0, need - centroids.shape[0]), (0, 0)))
+                centroids = centroids[order]
 
         return SeparationOutput(diarization, exclusive, centroids, sources)
 

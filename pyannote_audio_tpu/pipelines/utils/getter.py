@@ -18,31 +18,53 @@ PipelineModel = Union[Model, Text, Mapping]
 
 
 def get_model(model: PipelineModel, token=None, cache_dir=None) -> Model:
-    """Resolve a Model from an instance / path / {checkpoint, subfolder}."""
+    """Resolve a Model from an instance / path / {checkpoint, subfolder}.
+
+    ``token``/``cache_dir`` reach Model.from_pretrained so gated hub
+    checkpoints authenticate (reference getter.py:74-131)."""
     if isinstance(model, Model):
         return model
     if isinstance(model, Mapping):
-        checkpoint = Path(model["checkpoint"])
-        if "subfolder" in model and model["subfolder"]:
-            checkpoint = checkpoint / model["subfolder"]
-        return Model.from_pretrained(checkpoint)
-    return Model.from_pretrained(model)
+        token = model.get("token", token)
+        cache_dir = model.get("cache_dir", cache_dir)
+        checkpoint = model["checkpoint"]
+        if Path(checkpoint).exists():
+            checkpoint = Path(checkpoint)
+            if model.get("subfolder"):
+                checkpoint = checkpoint / model["subfolder"]
+            return Model.from_pretrained(checkpoint, token=token,
+                                         cache_dir=cache_dir)
+        # hub id: keep subfolder/revision separate for the remote layout
+        return Model.from_pretrained(
+            checkpoint, subfolder=model.get("subfolder"),
+            revision=model.get("revision"), token=token,
+            cache_dir=cache_dir)
+    return Model.from_pretrained(model, token=token, cache_dir=cache_dir)
 
 
 def get_plda(plda, token=None, cache_dir=None) -> PLDA:
+    if plda is None:
+        raise ValueError(
+            "VBx clustering requires a PLDA checkpoint: pass "
+            "plda=<path-or-hub-id> (a directory holding "
+            "xvec_transform.npz + plda.npz) to the pipeline")
     if isinstance(plda, PLDA):
         return plda
     if isinstance(plda, Mapping):
         return PLDA.from_pretrained(plda["checkpoint"],
-                                    subfolder=plda.get("subfolder", ""))
-    return PLDA.from_pretrained(plda)
+                                    subfolder=plda.get("subfolder", ""),
+                                    token=plda.get("token", token),
+                                    cache_dir=plda.get("cache_dir",
+                                                       cache_dir))
+    return PLDA.from_pretrained(plda, token=token, cache_dir=cache_dir)
 
 
 def get_pipeline(pipeline, token=None, cache_dir=None):
     from ...core.pipeline import Pipeline
     if isinstance(pipeline, Pipeline):
         return pipeline
-    return Pipeline.from_pretrained(pipeline)
+    return Pipeline.from_pretrained(pipeline, token=token,
+                                    cache_dir=cache_dir)
 
 
 def get_calibration(calibration, token=None, cache_dir=None):
@@ -51,10 +73,20 @@ def get_calibration(calibration, token=None, cache_dir=None):
         return calibration
     if isinstance(calibration, Mapping):
         path = Path(calibration["checkpoint"])
-        if calibration.get("subfolder"):
-            path = path / calibration["subfolder"]
-        return Calibration.from_file(path / "calibration.safetensors")
-    return Calibration.from_file(calibration)
+        if path.exists():
+            if calibration.get("subfolder"):
+                path = path / calibration["subfolder"]
+            return Calibration.from_file(path / "calibration.safetensors")
+        return Calibration.from_pretrained(
+            calibration["checkpoint"],
+            subfolder=calibration.get("subfolder"),
+            token=calibration.get("token", token),
+            cache_dir=calibration.get("cache_dir", cache_dir))
+    path = Path(calibration)
+    if path.exists():
+        return Calibration.from_file(calibration)
+    return Calibration.from_pretrained(calibration, token=token,
+                                       cache_dir=cache_dir)
 
 
 def get_augmentation(augmentation, token=None, cache_dir=None):

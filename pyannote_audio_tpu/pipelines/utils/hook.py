@@ -105,7 +105,12 @@ class TimingHook:
         now = time.time()
         if self._current != step_name:
             if self._current is not None:
-                self._timing[self._current] = now - self._start
+                # accumulate: steps recur non-consecutively (e.g. an
+                # embeddings artifact hook after speaker_counting), so
+                # assignment would overwrite the earlier span
+                self._timing[self._current] = \
+                    self._timing.get(self._current, 0.0) + \
+                    (now - self._start)
             self._current = step_name
             self._start = now
         else:

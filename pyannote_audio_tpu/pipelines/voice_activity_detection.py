@@ -39,13 +39,18 @@ class VoiceActivityDetection(Pipeline):
         segmentation: PipelineModel = None,
         fscore: bool = False,
         use_auth_token=None,
+        token=None,
+        cache_dir=None,
         **inference_kwargs,
     ):
         super().__init__()
         self.segmentation = segmentation
         self.fscore = fscore
 
-        model = get_model(segmentation)
+        model = get_model(segmentation,
+                          token=token if token is not None
+                          else use_auth_token,
+                          cache_dir=cache_dir)
         # max over speakers -> single "is anyone speaking" score
         inference_kwargs.setdefault(
             "pre_aggregation_hook",

@@ -247,3 +247,47 @@ def test_reconstruct_nan_member_poisons_cluster_max():
     device, _ = pipeline._device_reconstruct(
         dev_swf, hard, count, np.zeros(C_, np.int32), F)
     np.testing.assert_array_equal(device.data[:F], host.data[:F])
+
+
+def test_ahc_recut_adopts_candidate_cut_for_num_clusters_1():
+    """Reference clustering.py:404-452 assigns `clusters` on every
+    examined candidate; with num_clusters=1 the loop breaks on the
+    single-cluster candidate WITHOUT updating `best` (strict <), so an
+    implementation that only re-cuts from `best` keeps the threshold
+    cut and violates the requested speaker count."""
+    from pyannote_audio_tpu.pipelines.clustering import \
+        AgglomerativeClustering
+
+    rng = np.random.default_rng(3)
+    # 6 well-separated points -> 6 singleton clusters at a tiny threshold
+    centers = np.eye(6, 16, dtype=np.float64) * 10.0
+    embeddings = centers + 0.01 * rng.standard_normal(centers.shape)
+
+    ahc = AgglomerativeClustering(metric="euclidean")
+    ahc.threshold = 1e-3
+    ahc.method = "average"
+    ahc.min_cluster_size = 1
+    clusters = ahc.cluster(embeddings, min_clusters=1, max_clusters=1,
+                           num_clusters=1)
+    assert len(np.unique(clusters)) == 1
+
+
+def test_timing_hook_accumulates_recurring_steps():
+    from pyannote_audio_tpu.pipelines.utils.hook import TimingHook
+    import time as _time
+
+    file = {}
+    with TimingHook() as hook:
+        hook("segmentation", None, file=file)
+        _time.sleep(0.05)
+        hook("embeddings", None, file=file)
+        _time.sleep(0.05)
+        hook("speaker_counting", None, file=file)
+        _time.sleep(0.01)
+        hook("embeddings", None, file=file)   # recurring, near-zero span
+        hook("discrete_diarization", None, file=file)
+        _time.sleep(0.01)
+    timing = file["timing"]
+    # the embeddings stage must keep its first 0.05 s span even though
+    # the step recurred later with a near-zero span
+    assert timing["embeddings"] >= 0.04, timing
