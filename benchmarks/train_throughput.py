@@ -81,9 +81,11 @@ def main() -> int:
         first = next(batches)
         y = first.y
         w = None if first.weight is None else jnp.asarray(first.weight)
+        meta = None if first.meta is None else {
+            k: jnp.asarray(v) for k, v in first.meta.items()}
         params, opt_state, loss = step_fn(
             params, opt_state, _upload_waveform(first.X, quant="int16"),
-            jnp.asarray(y), w)
+            jnp.asarray(y), w, meta)
         np.asarray(loss)            # sync
         n = 0
         t0 = time.perf_counter()
@@ -93,10 +95,12 @@ def main() -> int:
                 break
             w = None if batch.weight is None \
                 else jnp.asarray(batch.weight)
+            meta = None if batch.meta is None else {
+                k: jnp.asarray(v) for k, v in batch.meta.items()}
             params, opt_state, last = step_fn(
                 params, opt_state,
                 _upload_waveform(batch.X, quant="int16"),
-                jnp.asarray(batch.y), w)
+                jnp.asarray(batch.y), w, meta)
             n += 1
         np.asarray(last)            # host sync closes the async chain
         dt = time.perf_counter() - t0

@@ -451,8 +451,17 @@ class Task:
                 ) -> TrainingBatch:
         X = np.stack([c["X"] for c in chunks])
         y = np.stack([c["y"] for c in chunks]) if "y" in chunks[0] else None
-        weight = np.stack([c["weight"] for c in chunks]) \
-            if "weight" in chunks[0] else None
+        # some protocol files may lack the weight key: a mixed batch must
+        # neither KeyError nor silently drop weighting — absent chunks
+        # weigh 1.0 (neutral)
+        if any("weight" in c for c in chunks):
+            shape = next(c["weight"].shape for c in chunks
+                         if "weight" in c)
+            weight = np.stack([
+                c["weight"] if "weight" in c
+                else np.ones(shape, np.float32) for c in chunks])
+        else:
+            weight = None
         # registered batch augmentations (parity: collate_fn applies
         # torch_audiomentations on the batch, mixins.py:202-243); the
         # per-epoch rng makes sub-1.0 `p` draws reproducible

@@ -103,12 +103,17 @@ class SupervisedRepresentationLearningWithArcFace(Task):
                       rank: int = 0) -> Iterator[TrainingBatch]:
         rng = create_rng_for_worker(self.seed, epoch=epoch,
                                     worker_id=worker_id, rank=rank)
-        classes = [c for c in self.classes if self._speech_turns[c]]
+        classes = self.classes
         num_batches = max(1, self.train__len__() // self.batch_size)
         for _ in range(num_batches):
             # per-batch random duration in [min_duration, duration]
-            # (mixins.py:130-205)
+            # (mixins.py:130-205), QUANTIZED to a 0.25 s grid: jit keys
+            # on shape, so a continuous draw would recompile the train
+            # step on virtually every batch (seconds-to-minutes per
+            # remote compile on this backend)
             duration = rng.uniform(self.min_duration, self.duration)
+            duration = min(self.duration, max(
+                self.min_duration, round(duration / 0.25) * 0.25))
             num_samples = int(round(duration * self.audio.sample_rate))
             chosen = rng.choice(len(classes),
                                 size=min(self.num_classes_per_batch,
@@ -116,13 +121,29 @@ class SupervisedRepresentationLearningWithArcFace(Task):
             X, y = [], []
             for ci in chosen:
                 turns = self._speech_turns[classes[ci]]
+                # turns picked with probability proportional to duration
+                # (mixins.py:169-175), fresh draw per chunk
+                durations = np.array([seg.duration for _, seg in turns])
+                p = durations / durations.sum()
                 for _ in range(self.num_chunks_per_class):
-                    file, seg = turns[rng.integers(len(turns))]
-                    start = seg.start + rng.uniform() * \
-                        max(seg.duration - duration, 0.0)
-                    chunk = Segment(start, start + duration)
-                    waveform, _ = self.audio.crop(
-                        file, chunk, duration=duration, mode="pad")
+                    file, seg = turns[rng.choice(len(turns), p=p)]
+                    if seg.duration < duration:
+                        # short turn: crop ONLY the turn and zero-pad at
+                        # a random offset (mixins.py:178-186) — extending
+                        # the chunk past the turn would label neighboring
+                        # speakers' audio as this class
+                        waveform, _ = self.audio.crop(file, seg)
+                        missing = num_samples - waveform.shape[1]
+                        if missing > 0:
+                            left = int(rng.integers(0, missing + 1))
+                            waveform = np.pad(
+                                waveform, ((0, 0), (left, missing - left)))
+                    else:
+                        start = seg.start + rng.uniform() * \
+                            (seg.duration - duration)
+                        chunk = Segment(start, start + duration)
+                        waveform, _ = self.audio.crop(
+                            file, chunk, duration=duration, mode="pad")
                     X.append(waveform[:, :num_samples])
                     y.append(ci)
             yield TrainingBatch(X=np.stack(X),

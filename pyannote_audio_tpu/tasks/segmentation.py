@@ -9,7 +9,6 @@ the reference's per-sample host Hungarian (speaker_diarization.py:402-485).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Sequence, Text, Tuple, Union
 
 import jax.numpy as jnp
@@ -18,7 +17,7 @@ import numpy as np
 from ..core.model import Problem, Resolution, Specifications
 from ..core.segment import Segment
 from ..core.task import Task, TrainingBatch
-from ..ops.losses import binary_cross_entropy, nll_loss, powerset_pit_loss
+from ..ops.losses import binary_cross_entropy, powerset_pit_loss
 from ..ops.powerset import Powerset
 from ..utils.database import Protocol
 
@@ -63,16 +62,24 @@ class SegmentationTaskMixin(Task):
         else:
             # plain array covering the WHOLE file: slice the chunk's
             # share by time ratio (returning the full array would give
-            # every chunk the same misaligned whole-file weight curve)
+            # every chunk the same misaligned whole-file weight curve).
+            # FIXED slice length (pad at the file tail): rounding both
+            # ends independently makes lengths differ by 1 between
+            # chunks of one batch and np.stack in collate would raise.
             data = np.asarray(values, dtype=np.float32)
             total = file.get("duration")
             if total is None and "annotated" in file:
                 total = file["annotated"].extent().end
             if total:
                 n = data.shape[0]
-                i0 = int(round(chunk.start / float(total) * n))
-                i1 = int(round(chunk.end / float(total) * n))
-                data = data[max(i0, 0):max(i1, i0 + 1)]
+                length = max(1, int(round(
+                    self.duration / float(total) * n)))
+                i0 = min(max(int(round(chunk.start / float(total) * n)),
+                             0), max(n - 1, 0))
+                data = data[i0:i0 + length]
+                if data.shape[0] < length:
+                    data = np.pad(data, [(0, length - data.shape[0])]
+                                  + [(0, 0)] * (data.ndim - 1))
         data = np.nan_to_num(np.asarray(data, dtype=np.float32), nan=0.0)
         if data.ndim == 1:
             data = data[:, None]
@@ -96,8 +103,9 @@ class SegmentationTaskMixin(Task):
             w = jnp.ones((batch.X.shape[0], num_frames, 1), jnp.float32)
         else:
             from ..ops.losses import interpolate_weight
+            # jnp (not np): w is a tracer inside the jitted train step
             w = interpolate_weight(
-                jnp.asarray(np.asarray(w, dtype=np.float32)), num_frames)
+                jnp.asarray(w).astype(jnp.float32), num_frames)
         if left > 0:
             w = w.at[:, :left].set(0.0)
         if right > 0:

@@ -14,7 +14,6 @@ Hungarian (the reference wraps asteroid's MixITLossWrapper).
 from __future__ import annotations
 
 import itertools
-import math
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
@@ -53,7 +52,8 @@ def mixit_partitions(n_src: int) -> np.ndarray:
 
 def mixit_loss(est_sources: jnp.ndarray,   # (B, T, n_src)
                mix1: jnp.ndarray,          # (B, T)
-               mix2: jnp.ndarray) -> jnp.ndarray:
+               mix2: jnp.ndarray,
+               weight: "jnp.ndarray" = None) -> jnp.ndarray:
     """Min over source-to-mixture assignments of summed neg SI-SDR."""
     parts = jnp.asarray(mixit_partitions(est_sources.shape[-1]))  # (P, S)
     # candidate mixture estimates: (B, P, T)
@@ -64,7 +64,15 @@ def mixit_loss(est_sources: jnp.ndarray,   # (B, T, n_src)
     # in the (1-w)*seg + w*sep blend — reference PixIT.py:221,995-996)
     loss = 0.5 * (negative_sisdr(est1, mix1[:, None, :])
                   + negative_sisdr(est2, mix2[:, None, :]))  # (B, P)
-    return jnp.mean(jnp.min(loss, axis=-1))
+    per_item = jnp.min(loss, axis=-1)                        # (B,)
+    if weight is None:
+        return jnp.mean(per_item)
+    # weighted mean: items without a drawable MoM carry weight 0 (the
+    # reference skips the batch entirely, PixIT common_step) — a
+    # fabricated zero mixture would otherwise force >= 1 estimated
+    # source to match digital silence (~+80 dB neg-SI-SDR term)
+    w = jnp.asarray(weight)
+    return jnp.sum(per_item * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def pixit_optimizer(lr: float = 1e-3, wavlm_lr: float = 1e-5,
@@ -231,7 +239,7 @@ class PixIT(Task):
         num_batches = max(1, self.train__len__() // self.batch_size)
         num_samples = int(round(self.duration * self.audio.sample_rate))
         for _ in range(num_batches):
-            X, y, mix1, mix2 = [], [], [], []
+            X, y, mix1, mix2, mom_weight = [], [], [], [], []
             while len(X) < self.batch_size:
                 file, chunk = self.draw_chunk(rng)
                 labels = file["annotation"].crop(chunk).labels()
@@ -245,12 +253,19 @@ class PixIT(Task):
                 y.append(target)
                 mom = self.draw_mom(rng)
                 if mom is None:
+                    # no drawable MoM: keep static shapes with a dummy
+                    # pair but zero its weight in mixit_loss (the
+                    # reference skips such batches, PixIT common_step)
                     mom = (waveform[0], np.zeros_like(waveform[0]))
+                    mom_weight.append(0.0)
+                else:
+                    mom_weight.append(1.0)
                 mix1.append(mom[0][:num_samples])
                 mix2.append(mom[1][:num_samples])
             yield TrainingBatch(
                 X=np.stack(X), y=np.stack(y),
-                meta={"mix1": np.stack(mix1), "mix2": np.stack(mix2)})
+                meta={"mix1": np.stack(mix1), "mix2": np.stack(mix2),
+                      "mom_weight": np.asarray(mom_weight, np.float32)})
 
     def _frame_targets(self, file, chunk, labels) -> np.ndarray:
         if self.model is not None:
@@ -281,8 +296,14 @@ class PixIT(Task):
         """Validation chunk: waveform + frame targets (no drawn MoM —
         the within-batch MoM in ``loss`` covers separation, as the
         reference's common_step does for validation batches)."""
-        labels = file["annotation"].crop(chunk).labels()
-        labels = labels[:self.max_speakers_per_chunk]
+        cropped = file["annotation"].crop(chunk)
+        labels = cropped.labels()
+        if len(labels) > self.max_speakers_per_chunk:
+            # keep the most talkative speakers (reference PixIT collate_y
+            # sorts by descending chunk speech duration, :777-784)
+            labels = sorted(
+                labels, key=lambda l: cropped.label_duration(l),
+                reverse=True)[:self.max_speakers_per_chunk]
         waveform, _ = self.audio.crop(file, chunk,
                                       duration=self.duration, mode="pad")
         return {"X": waveform,
@@ -302,9 +323,12 @@ class PixIT(Task):
         diar_loss = binary_cross_entropy(permuted, y[:, :n])
 
         meta = batch.meta or {}
+        mom_weight = None
         if "mix1" in meta:
             mix1 = jnp.asarray(meta["mix1"])
             mix2 = jnp.asarray(meta["mix2"])
+            if "mom_weight" in meta:
+                mom_weight = jnp.asarray(meta["mom_weight"])
         elif X.shape[0] >= 2:
             # no drawn MoM (validation): pair samples WITHIN the batch,
             # mom = even + odd — the reference common_step:905-940 recipe
@@ -318,6 +342,7 @@ class PixIT(Task):
             return (1.0 - self.separation_loss_weight) * diar_loss
         mom = (mix1 + mix2)[:, None, :]
         _, est_sources = model.apply_fn(params, mom)
-        sep_loss = mixit_loss(est_sources, mix1, mix2)
+        sep_loss = mixit_loss(est_sources, mix1, mix2,
+                              weight=mom_weight)
         w = self.separation_loss_weight
         return (1.0 - w) * diar_loss + w * sep_loss

@@ -15,7 +15,6 @@ core/model.py:244-262; ``strip`` = just don't copy the optimizer file).
 from __future__ import annotations
 
 import math
-import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
@@ -68,7 +67,7 @@ def make_train_step(task: Task, model: Model, optimizer,
             return leaf
         return jax.tree_util.tree_map_with_path(mask, updates)
 
-    def step_fn(params, opt_state, X, y, w):
+    def step_fn(params, opt_state, X, y, w, meta):
         # int16 batch transport (Trainer.fit uploads PCM16-representable
         # crops as int16 — half the relay bytes; transfers don't overlap
         # compute, so upload is a hard serial per-step cost): expand back
@@ -77,7 +76,8 @@ def make_train_step(task: Task, model: Model, optimizer,
         X = _dequantize(X)
 
         def loss_fn(p):
-            return task.loss(model, p, TrainingBatch(X=X, y=y, weight=w))
+            return task.loss(model, p,
+                             TrainingBatch(X=X, y=y, weight=w, meta=meta))
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, _freeze(updates))
@@ -102,7 +102,7 @@ def make_train_step(task: Task, model: Model, optimizer,
     return jax.jit(
         step_fn,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded,
-                      batch_sharded),
+                      batch_sharded, batch_sharded),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1),
     )
@@ -262,11 +262,15 @@ class Trainer:
                     (len(batch.X), 1), np.float32)
                 w = None if batch.weight is None \
                     else jnp.asarray(batch.weight)
+                # task-specific extras (e.g. PixIT's drawn mixture pairs)
+                # must reach the loss inside the jitted step
+                meta = None if batch.meta is None else {
+                    k: jnp.asarray(v) for k, v in batch.meta.items()}
                 from ..core.inference import _upload_waveform
                 params, opt, loss = step_fn(params, opt,
                                             _upload_waveform(
                                                 batch.X, quant="int16"),
-                                            jnp.asarray(y), w)
+                                            jnp.asarray(y), w, meta)
                 device_losses.append(loss)
             loss_values = np.asarray(jnp.stack(device_losses)) \
                 if device_losses else np.zeros(0)

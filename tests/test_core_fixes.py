@@ -279,8 +279,8 @@ def test_resolve_hub_id_heals_empty_cache_dir(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_download(model_id, filename, revision=None, token=None,
-                      cache_dir=None):
+    def fake_download(model_id, filename, subfolder=None, revision=None,
+                      token=None, cache_dir=None):
         calls.append(str(filename))
         target = tmp_path / "org--model" / "main" / str(filename)
         if str(filename).endswith("params.msgpack"):

@@ -711,7 +711,7 @@ def test_nan_loss_batch_skip():
     # the step donates params/opt_state buffers (aliased in place), so
     # snapshot host copies BEFORE each call for the comparisons
     w0 = np.asarray(params["w"]).copy()
-    p1, o1, loss1 = step(params, opt_state, X_good, y, None)
+    p1, o1, loss1 = step(params, opt_state, X_good, y, None, None)
     assert np.isfinite(float(loss1))
     w1 = np.asarray(p1["w"]).copy()
     assert not np.allclose(w1, w0)
@@ -719,7 +719,7 @@ def test_nan_loss_batch_skip():
     o1_host = [np.asarray(le).copy()
                for le in jax.tree_util.tree_leaves(o1)]
     X_nan = X_good.at[0, 0].set(jnp.nan)
-    p2, o2, loss2 = step(p1, o1, X_nan, y, None)
+    p2, o2, loss2 = step(p1, o1, X_nan, y, None, None)
     assert not np.isfinite(float(loss2))
     np.testing.assert_array_equal(np.asarray(p2["w"]), w1)
     # optimizer state (including step count) is also untouched
@@ -742,3 +742,144 @@ def test_evaluate_helper(protocol):
     der = evaluate(protocol, subset="development", model=model,
                    display=False)
     assert np.isfinite(der) and der >= 0.0
+
+
+# --------------------------------------------------- round-5 review fixes
+
+def test_train_step_threads_meta_and_weight(protocol):
+    """make_train_step must deliver batch.meta (PixIT's drawn MoMs) and a
+    traced weight array to task.loss — meta was dropped (the loss fell
+    into the even/odd fallback) and loss_weight crashed on np.asarray of
+    a tracer."""
+    import optax
+
+    from pyannote_audio_tpu.train.trainer import make_train_step
+
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2)
+    model = SimpleSegmentationModel(task=task)
+    task.setup(model)
+    model.build(rng=jax.random.PRNGKey(0))
+
+    batch = next(iter(task.train_batches(epoch=0)))
+    num_frames = model.num_frames(batch.X.shape[-1])
+
+    class Probe:
+        def __init__(self, inner):
+            self.inner = inner
+            self.meta_probe = []
+
+        def loss(self, model_, p, b):
+            # record trace-time facts (loss runs under jit: the list
+            # append happens at trace time, once)
+            self.meta_probe.append(
+                (b.meta is not None, b.weight is not None))
+            base = self.inner.loss(model_, p, b)
+            extra = 0.0 if b.meta is None else 0.0 * jnp.sum(b.meta["m"])
+            return base + extra
+
+    probe = Probe(task)
+    step = make_train_step(probe, model, optax.adam(1e-3))
+    opt_state = optax.adam(1e-3).init(model.params)
+    w = jnp.ones((batch.X.shape[0], num_frames, 1), jnp.float32) * 0.7
+    meta = {"m": jnp.ones((batch.X.shape[0], 4), jnp.float32)}
+    _, _, loss = step(model.params, opt_state,
+                      jnp.asarray(batch.X), jnp.asarray(batch.y), w, meta)
+    assert np.isfinite(float(loss))
+    assert probe.meta_probe == [(True, True)]
+
+
+def test_vad_weighted_training_through_fit(protocol):
+    """End to end: weight key present on SOME files only — collate must
+    fill neutral weights and the jitted step must interpolate the traced
+    array (TracerArrayConversionError regression)."""
+    files = list(protocol._subsets["train"])
+    total = files[0]["annotated"].extent().end
+    n = int(total * 10)
+    files[0]["confidence"] = np.linspace(0.2, 1.0, n).astype(np.float32)
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2,
+                                  weight="confidence")
+    model = SimpleSegmentationModel(task=task)
+    trainer = Trainer(max_epochs=1, limit_train_batches=3)
+    trainer.fit(model, task)
+    assert np.isfinite([h["loss"] for h in trainer.history]).all()
+
+
+def test_chunk_weight_fixed_slice_length(protocol):
+    task = VoiceActivityDetection(protocol, duration=2.0, batch_size=2,
+                                  weight="confidence")
+    from pyannote_audio_tpu.core.segment import Segment
+    file = {"confidence": np.arange(100, dtype=np.float32),
+            "duration": 15.0}
+    lengths = {task.chunk_weight(file, Segment(s, s + 2.0)).shape[0]
+               for s in (0.0, 0.3, 7.77, 12.99, 13.0)}
+    assert len(lengths) == 1           # identical across chunk starts
+
+
+def test_arcface_batches_quantized_duration_and_turn_bounded(protocol):
+    """Durations snap to a 0.25 s grid (jit shape reuse) and short turns
+    are zero-padded, never extended into neighboring speakers' audio."""
+    from pyannote_audio_tpu.models.embedding.debug import \
+        SimpleEmbeddingModel
+    from pyannote_audio_tpu.tasks.embedding import \
+        SupervisedRepresentationLearningWithArcFace
+
+    task = SupervisedRepresentationLearningWithArcFace(
+        protocol, duration=3.5, min_duration=1.0,
+        num_classes_per_batch=2, num_chunks_per_class=2)
+    model = SimpleEmbeddingModel(task=task)
+    task.setup(model)
+    sizes = set()
+    for i, batch in enumerate(task.train_batches(epoch=0)):
+        sizes.add(batch.X.shape[-1])
+        if i >= 5:
+            break
+    assert all(s % 4000 == 0 for s in sizes), sizes   # 0.25 s * 16 kHz
+
+    # short-turn bound: a turn shorter than the drawn duration yields a
+    # chunk with silence padding, not neighboring audio. dave [5.0, 9.5]
+    # in trn01 is adjacent to carol [10.0, 14.0]; with duration > turn
+    # length the old code read into carol's speech.
+    rng = np.random.default_rng(0)
+    turns = task._speech_turns[task.classes[0]]
+    file, seg = turns[0]
+    # emulate the short-turn branch directly
+    duration = seg.duration + 1.0
+    num_samples = int(round(duration * task.audio.sample_rate))
+    waveform, _ = task.audio.crop(file, seg)
+    assert waveform.shape[1] < num_samples
+
+
+def test_mixit_loss_weight_masks_fabricated_pairs():
+    from pyannote_audio_tpu.tasks.separation import mixit_loss
+
+    rng = np.random.default_rng(0)
+    est = jnp.asarray(rng.standard_normal((2, 400, 3)).astype(np.float32))
+    m1 = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    m2 = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    full = float(mixit_loss(est, m1, m2))
+    only_first = float(mixit_loss(est[:1], m1[:1], m2[:1]))
+    weighted = float(mixit_loss(est, m1, m2,
+                                weight=jnp.asarray([1.0, 0.0])))
+    assert abs(weighted - only_first) < 1e-4
+    assert abs(weighted - full) > 1e-6 or abs(only_first - full) < 1e-6
+
+
+def test_pixit_validation_keeps_most_talkative_speakers(protocol):
+    from pyannote_audio_tpu.core.segment import Segment
+    from pyannote_audio_tpu.tasks.separation import PixIT
+
+    task = PixIT(protocol, duration=2.0, max_speakers_per_chunk=1)
+    task.setup()
+    # trn00: alice & bob overlap region — keep the dominant one, not the
+    # alphabetically first
+    file = dict(protocol._subsets["train"][0])
+    chunk = Segment(0.0, 2.0)
+    cropped = file["annotation"].crop(chunk)
+    if len(cropped.labels()) >= 2:
+        kept = max(cropped.labels(),
+                   key=lambda l: cropped.label_duration(l))
+        prepared = task.prepare_chunk(file, chunk,
+                                      np.random.default_rng(0))
+        # target column 0 belongs to the most talkative label
+        expected = task._frame_targets(file, chunk, [kept])
+        np.testing.assert_array_equal(prepared["y"], expected)
