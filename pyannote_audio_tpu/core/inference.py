@@ -522,14 +522,32 @@ class Inference(BaseInference):
         self.audio = Audio(sample_rate=self.model.sample_rate,
                            mono="downmix")
 
-        # powerset -> multilabel converter (reference inference.py:130-141)
-        self._powerset: Optional[Powerset] = None
-        if isinstance(specs, Specifications) and spec.powerset:
-            self._powerset = Powerset(len(spec.classes),
-                                      spec.powerset_max_classes)
+        # powerset -> multilabel converter(s): one per Specifications
+        # like the reference (inference.py:130-141) — multi-task tuples
+        # get a tuple of per-output converters (None for non-powerset)
+        self._powerset = None
+        if isinstance(specs, Specifications):
+            if spec.powerset:
+                self._powerset = Powerset(len(spec.classes),
+                                          spec.powerset_max_classes)
+        else:
+            per_spec = tuple(
+                Powerset(len(s.classes), s.powerset_max_classes)
+                if s.powerset else None for s in specs)
+            if any(p is not None for p in per_spec):
+                self._powerset = per_spec
 
         self._jitted_batch = None
         self._jitted_shared = None      # (precompute_fn, batch_fn)
+
+    def _convert_powerset(self, out):
+        """Apply the per-output powerset->multilabel conversion."""
+        if self._powerset is None or self.skip_conversion:
+            return out
+        if isinstance(self._powerset, tuple):
+            return tuple(p.to_multilabel(o) if p is not None else o
+                         for p, o in zip(self._powerset, out))
+        return self._powerset.to_multilabel(out)
 
     def to(self, device) -> "Inference":
         """Send the internal model to ``device`` (parity:
@@ -572,8 +590,7 @@ class Inference(BaseInference):
         finishes the model from there (SincNet.from_conv fold).
         """
         module = self.model.module
-        powerset = self._powerset
-        skip_conversion = self.skip_conversion
+        convert = self._convert_powerset
         stride = module.frontend_stride
         num_conv_frames = module.frontend_num_frames(window_samples)
 
@@ -595,9 +612,7 @@ class Inference(BaseInference):
         def forward(params, frames, mean, var):
             out = module.apply(params, frames, mean, var,
                                method="forward_from_frontend")
-            if powerset is not None and not skip_conversion:
-                out = powerset.to_multilabel(out)
-            return out
+            return convert(out)
 
         precompute_fn = self._jit_sharded(precompute, "rr", "r")
         gather_fn = self._jit_sharded(gather, "rrs", ("s", "s", "s"))
@@ -618,8 +633,7 @@ class Inference(BaseInference):
         vmapped dynamic-slice recompiles.
         """
         module = self.model.module
-        powerset = self._powerset
-        skip_conversion = self.skip_conversion
+        convert = self._convert_powerset
 
         def gather(waveform, starts):
             def get_chunk(start):
@@ -629,10 +643,7 @@ class Inference(BaseInference):
             return _dequantize(jax.vmap(get_chunk)(starts))  # (B, ch, win)
 
         def forward(params, chunks):
-            out = module.apply(params, chunks)
-            if powerset is not None and not skip_conversion:
-                out = powerset.to_multilabel(out)
-            return out
+            return convert(module.apply(params, chunks))
 
         gather_fn = self._jit_sharded(gather, "rs", "s")
         forward_fn = self._jit_sharded(forward, "rs", "s")
@@ -644,9 +655,9 @@ class Inference(BaseInference):
 
     def infer(self, chunks: jnp.ndarray) -> np.ndarray:
         """Forward an explicit (batch, channel, samples) array."""
-        out = self.model(chunks)
-        if self._powerset is not None and not self.skip_conversion:
-            out = self._powerset.to_multilabel(out)
+        out = self._convert_powerset(self.model(chunks))
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
     # -- sliding-window engine ---------------------------------------------
@@ -772,7 +783,8 @@ class Inference(BaseInference):
             keep_for_later = frame_resolution and (
                 self.skip_aggregation
                 or (isinstance(specs, Specifications)
-                    and spec.permutation_invariant))
+                    and spec.permutation_invariant
+                    and self.pre_aggregation_hook is None))
             # ... and even then only while the retained total (decoded
             # int16, ~2 B/sample across all slices) stays a small share
             # of the HBM budget: beyond that the embedding stage
@@ -817,10 +829,14 @@ class Inference(BaseInference):
         if not frame_resolution:
             return SlidingWindowFeature(np.asarray(scores), chunk_window)
 
-        if self.skip_aggregation or spec.permutation_invariant:
+        if self.skip_aggregation or (spec.permutation_invariant
+                                     and self.pre_aggregation_hook is None):
             # diarization hot path: scores stay in HBM so counting,
             # embedding masks and reconstruction run on device
-            # (ops/diarize_fused.py); host access stays lazy
+            # (ops/diarize_fused.py); host access stays lazy. A
+            # pre_aggregation_hook (VAD's max-over-speakers) makes the
+            # output order-free, so aggregation applies like the
+            # reference's gate (inference.py:336-343)
             return DeviceSlidingWindowFeature(scores, chunk_window)
 
         if self.pre_aggregation_hook is not None:

@@ -354,8 +354,14 @@ class Audio:
         else:
             waveform, sample_rate = _decode_wav_bytes(
                 _read_bytes(file["audio"]))
-        if channel := file.get("channel"):
-            waveform = waveform[channel - 1:channel]
+        channel = file.get("channel")
+        # zero-indexed like the reference (io.py:69-70, 246-247); a
+        # truthiness test would silently skip channel 0. Skip when the
+        # waveform was cached by the batch machinery: it is already
+        # channel-selected + downmixed (re-applying channel k >= 1 to a
+        # mono cache would slice it empty)
+        if channel is not None and not file.get("_batch_decoded"):
+            waveform = waveform[channel:channel + 1]
         return self.downmix_and_resample(waveform, sample_rate)
 
     def crop(
@@ -453,18 +459,23 @@ class Audio:
         else:
             num_frames = int(round(duration * sample_rate))
 
-        pad_start = max(0, -start_frame)
-        pad_end = max(0, start_frame + num_frames - total)
+        # clamp the read region INTO the file, then derive both pads from
+        # the request so the output is always exactly num_frames wide —
+        # a request entirely outside the file is all zeros (unclamped
+        # math returned wrong widths, and a negative hi sliced REAL
+        # samples where zeros belong)
+        lo = min(max(0, start_frame), total)
+        hi = min(max(start_frame + num_frames, lo), total)
+        pad_start = min(num_frames, max(0, lo - start_frame))
+        pad_end = num_frames - (hi - lo) - pad_start
         if (pad_start or pad_end) and mode == "raise":
-            if pad_end:
+            if start_frame + num_frames > total:
                 raise ValueError(
                     f"requested chunk [{segment.start:.3f}s, "
                     f"{segment.start + num_frames / sample_rate:.3f}s] lies "
                     f"beyond file duration {total / sample_rate:.3f}s. "
                     f"Use mode='pad' to zero-pad.")
             raise ValueError(f"negative start time {segment.start:.3f}")
-        lo = max(0, start_frame)
-        hi = min(total, start_frame + num_frames)
         if waveform is not None:
             data = waveform[:, lo:hi].astype(np.float32)
         elif ranged_path is not None:
@@ -478,8 +489,11 @@ class Audio:
                                         num_frames=hi - lo)
         if pad_start or pad_end:
             data = np.pad(data, ((0, 0), (pad_start, pad_end)))
-        if channel := file.get("channel"):
-            data = data[channel - 1:channel]
+        channel = file.get("channel")
+        # zero-indexed (reference io.py:246-247); cached machinery
+        # decodes are already channel-selected (see __call__)
+        if channel is not None and not file.get("_batch_decoded"):
+            data = data[channel:channel + 1]
         data, sample_rate = self.downmix_and_resample(data, sample_rate)
         if duration is not None and self.sample_rate is not None:
             want = self.get_num_samples(duration)

@@ -138,14 +138,24 @@ class Pipeline:
         return self
 
     def _instantiate_one(self, name: str, value: Any):
+        from .parameter import Frozen
         declared = self.__dict__["_parameters"].get(name)
         if isinstance(declared, ParamDict) and isinstance(value, dict):
+            prev = self.__dict__["_instantiated"].get(name) or {}
             merged = {}
             for k in declared:
-                merged[k] = value.get(k)
+                # frozen sub-keys stay pinned (a config/optimizer value
+                # must not override an explicit freeze); keys absent
+                # from a partial dict keep their current value
+                if isinstance(declared[k], Frozen):
+                    merged[k] = declared[k].value
+                else:
+                    merged[k] = value.get(k, prev.get(k))
             self.__dict__["_instantiated"][name] = merged
             object.__setattr__(self, name, _DotDict(merged))
         elif declared is not None:
+            if isinstance(declared, Frozen):
+                value = declared.value
             self.__dict__["_instantiated"][name] = value
             object.__setattr__(self, name, value)
         elif name in self.__dict__["_pipelines"]:
@@ -158,13 +168,27 @@ class Pipeline:
             object.__setattr__(self, name, value)
 
     def freeze(self, params: Dict[str, Any]) -> "Pipeline":
-        """Pin a subset of hyperparameters (excluded from optimization)."""
+        """Pin a subset of hyperparameters (excluded from optimization).
+
+        The declared Parameter is REPLACED with ``Frozen(value)`` so the
+        optimizer's flatten_space skips it and instantiate() cannot
+        override the pinned value (reference pyannote.pipeline freeze
+        contract; config.yaml ``freeze:`` sections rely on this)."""
+        from .parameter import Frozen
         for name, value in (params or {}).items():
             if name in self.__dict__["_pipelines"]:
                 self.__dict__["_pipelines"][name].freeze(value)
-            else:
-                self.__dict__["_frozen"][name] = value
-                self._instantiate_one(name, value)
+                continue
+            declared = self.__dict__["_parameters"].get(name)
+            if isinstance(declared, ParamDict) and isinstance(value, dict):
+                for k, v in value.items():
+                    if k in declared:
+                        declared[k] = Frozen(v)
+            elif declared is not None:
+                self.__dict__["_parameters"][name] = Frozen(value)
+                object.__setattr__(self, name, Frozen(value))
+            self.__dict__["_frozen"][name] = value
+            self._instantiate_one(name, value)
         return self
 
     def default_parameters(self) -> Dict[str, Any]:
@@ -407,7 +431,20 @@ class Pipeline:
                                      args=(files[i + 1],), daemon=True)
                 t.start()
                 prefetch[i + 1] = t
-            results.append(self.apply(files[i], hook=hook, **kwargs))
+            # bind the prepared file into the hook like the single-file
+            # __call__ path (stateful TimingHook/ArtifactHook write into
+            # the file dict; an unbound hook gets file=None and drops
+            # everything silently)
+            if hook is not None:
+                def bound_hook(step_name, step_artifact, file=None,
+                               total=None, completed=None,
+                               _f=files[i], _h=hook):
+                    return _h(step_name, step_artifact,
+                              file=_f if file is None else file,
+                              total=total, completed=completed)
+            else:
+                bound_hook = None
+            results.append(self.apply(files[i], hook=bound_hook, **kwargs))
             if isinstance(files[i], dict):
                 # release the per-file device buffer AND, for dicts this
                 # machinery decoded itself, the host waveform: the files

@@ -397,7 +397,12 @@ class DeviceSlidingWindowFeature(SlidingWindowFeature):
         )
 
     def __repr__(self) -> str:
+        # device_data is None after a host .data assignment (deliberate
+        # fail-loudly for device consumers) — repr must stay printable
+        shape = (tuple(self.device_data.shape)
+                 if self.device_data is not None
+                 else tuple(self._host_data.shape) + ("host",))
         return (f"<DeviceSlidingWindowFeature "
-                f"shape={tuple(self.device_data.shape)} "
+                f"shape={shape} "
                 f"valid={self.num_valid} "
                 f"window={self.sliding_window!r}>")

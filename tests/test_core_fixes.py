@@ -296,3 +296,213 @@ def test_resolve_hub_id_heals_empty_cache_dir(tmp_path, monkeypatch):
     resolved = Model._resolve_hub_id("org/model")
     assert calls, "empty cache dir blocked the re-download"
     assert resolved == tmp_path / "org--model" / "main"
+
+
+# --------------------------------------------------- round-5 core review
+
+def test_channel_selection_is_zero_indexed(tmp_path):
+    """Reference io.py:69-70: {'channel': k} is ZERO-indexed; channel 0
+    must select the first channel, not fall through to downmix."""
+    from pyannote_audio_tpu.core.io import Audio, write_wav
+
+    sr = 16000
+    left = np.full((1, sr), 0.25, np.float32)
+    right = np.full((1, sr), -0.5, np.float32)
+    stereo = np.concatenate([left, right])
+    path = tmp_path / "stereo.wav"
+    write_wav(path, stereo, sr)
+
+    audio = Audio(sample_rate=sr, mono="downmix")
+    w0, _ = audio({"audio": str(path), "channel": 0})
+    w1, _ = audio({"audio": str(path), "channel": 1})
+    assert abs(float(w0.mean()) - 0.25) < 1e-3
+    assert abs(float(w1.mean()) + 0.5) < 1e-3
+
+    from pyannote_audio_tpu.core.segment import Segment
+    c0, _ = audio.crop({"audio": str(path), "channel": 0},
+                       Segment(0.0, 0.5), mode="pad")
+    assert abs(float(c0.mean()) - 0.25) < 1e-3
+
+
+def test_crop_pad_entirely_outside_file(tmp_path):
+    """Requests fully past EOF / before 0 return exactly the requested
+    width of ZEROS (unclamped math returned wrong widths and could slice
+    real samples via a negative hi)."""
+    from pyannote_audio_tpu.core.io import Audio, write_wav
+    from pyannote_audio_tpu.core.segment import Segment
+
+    sr = 16000
+    wav = np.random.default_rng(0).standard_normal((1, sr)).astype(
+        np.float32) * 0.1
+    wav = np.round(wav * 32768.0).clip(-32768, 32767) / np.float32(32768.0)
+    path = tmp_path / "one_sec.wav"
+    write_wav(path, wav, sr)
+    audio = Audio(sample_rate=None, mono="downmix")
+
+    past, _ = audio.crop({"audio": str(path)}, Segment(1.5, 2.0),
+                         mode="pad")
+    assert past.shape[1] == sr // 2 and np.all(past == 0.0)
+
+    mem = {"waveform": np.tile(wav, (1, 2)), "sample_rate": sr}
+    before, _ = audio.crop(mem, Segment(-1.5, -1.0), mode="pad")
+    assert before.shape[1] == sr // 2 and np.all(before == 0.0)
+
+    # straddling the start: zeros only in the padded region
+    strad, _ = audio.crop({"audio": str(path)}, Segment(-0.25, 0.25),
+                          mode="pad")
+    assert strad.shape[1] == sr // 2
+    assert np.all(strad[:, : sr // 4] == 0.0)
+    np.testing.assert_allclose(strad[:, sr // 4:], wav[:, : sr // 4],
+                               atol=1e-6)
+
+
+def test_freeze_excludes_from_search_space_and_resists_instantiate():
+    from pyannote_audio_tpu.core.optimizer import flatten_space
+    from pyannote_audio_tpu.core.pipeline import Pipeline
+    from pyannote_audio_tpu.pipelines.parameter import ParamDict, Uniform
+
+    class Toy(Pipeline):
+        def __init__(self):
+            super().__init__()
+            self.threshold = Uniform(0.0, 1.0)
+            self.block = ParamDict(onset=Uniform(0.0, 1.0),
+                                   offset=Uniform(0.0, 1.0))
+
+        def apply(self, file, **kwargs):
+            return None
+
+    p = Toy()
+    p.freeze({"threshold": 0.7, "block": {"onset": 0.3}})
+    space = flatten_space(p.parameters())
+    assert "threshold" not in space
+    assert "block.onset" not in space
+    assert "block.offset" in space
+
+    # optimizer-style instantiate cannot override the pinned values
+    p.instantiate({"threshold": 0.1, "block": {"onset": 0.9,
+                                               "offset": 0.4}})
+    inst = p.parameters(instantiated=True)
+    assert inst["threshold"] == 0.7
+    assert inst["block"]["onset"] == 0.3
+    assert inst["block"]["offset"] == 0.4
+
+
+def test_pre_aggregation_hook_applies_to_permutation_invariant(tmp_path):
+    """Reference inference.py:336-343 gates chunk-level output on
+    'permutation_invariant AND no pre_aggregation_hook' — VAD's
+    max-over-speakers hook must yield aggregated (frames, 1) scores even
+    for permutation-invariant segmentation models."""
+    import pyannote_audio_tpu as pat
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.MULTI_LABEL_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0,
+        classes=["a", "b"], permutation_invariant=True)
+    model.build()
+    wav = (0.1 * np.random.default_rng(0).standard_normal(
+        (1, 16000 * 5))).astype(np.float32)
+    inf = pat.Inference(model, duration=2.0, step=0.5, batch_size=4,
+                        pre_aggregation_hook=lambda s: np.max(
+                            s, axis=-1, keepdims=True))
+    out = inf({"waveform": wav, "sample_rate": 16000, "uri": "x"})
+    data = np.asarray(out.data)
+    assert data.ndim == 2 and data.shape[1] == 1  # aggregated, hooked
+
+    # without the hook the permutation-invariant fast path still returns
+    # chunk-level device scores
+    inf2 = pat.Inference(model, duration=2.0, step=0.5, batch_size=4)
+    out2 = inf2({"waveform": wav, "sample_rate": 16000, "uri": "x"})
+    assert np.asarray(out2.data).ndim == 3
+
+
+def test_generic_batch_apply_binds_hook_file(tmp_path):
+    from pyannote_audio_tpu.core.io import write_wav
+    from pyannote_audio_tpu.core.model import (Problem, Resolution,
+                                               Specifications)
+    from pyannote_audio_tpu.models.segmentation.debug import \
+        SimpleSegmentationModel
+    from pyannote_audio_tpu.pipelines.utils.hook import TimingHook
+    from pyannote_audio_tpu.pipelines.voice_activity_detection import \
+        VoiceActivityDetection
+
+    model = SimpleSegmentationModel()
+    model.specifications = Specifications(
+        problem=Problem.BINARY_CLASSIFICATION,
+        resolution=Resolution.FRAME, duration=2.0, classes=["speech"])
+    model.build()
+    sr = 16000
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(2):
+        path = tmp_path / f"f{i}.wav"
+        write_wav(path, 0.1 * rng.standard_normal((1, sr * 3)).astype(
+            np.float32), sr)
+        files.append({"audio": str(path), "uri": f"f{i}"})
+
+    vad = VoiceActivityDetection(segmentation=model)
+    vad.instantiate({"onset": 0.5, "offset": 0.5,
+                     "min_duration_on": 0.0, "min_duration_off": 0.0})
+    with TimingHook() as hook:
+        vad(files, hook=hook)
+    # the hook wrote per-file timings into each batch file dict
+    assert all("timing" in f and f["timing"] for f in files)
+
+
+def test_device_swf_repr_after_host_assignment():
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.core.segment import (
+        DeviceSlidingWindowFeature, SlidingWindow)
+
+    swf = DeviceSlidingWindowFeature(
+        jnp.zeros((4, 5, 2)), SlidingWindow(duration=1.0, step=0.5))
+    assert "shape=(4, 5, 2)" in repr(swf)
+    swf.data = np.ones((3, 5, 2), np.float32)
+    assert "host" in repr(swf)         # printable, flags the host copy
+
+
+def test_convert_powerset_handles_multitask_tuple():
+    import jax.numpy as jnp
+
+    from pyannote_audio_tpu.core.inference import Inference
+    from pyannote_audio_tpu.ops.powerset import Powerset
+
+    ps = Powerset(2, 1)   # 3 powerset states: {}, {0}, {1}
+    fake = Inference.__new__(Inference)
+    fake._powerset = (ps, None)
+    fake.skip_conversion = False
+    logits = jnp.log(jnp.asarray([[[0.1, 0.8, 0.1]]]))
+    other = jnp.ones((1, 1, 4))
+    out1, out2 = fake._convert_powerset((logits, other))
+    assert out1.shape == (1, 1, 2)     # multilabel space
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(other))
+
+
+def test_batch_decode_cache_does_not_reapply_channel(tmp_path):
+    """The batch machinery caches an already channel-selected mono
+    waveform into the file dict; Audio must not re-apply 'channel' to
+    that cache (channel 1 of a mono cache slices it empty)."""
+    from pyannote_audio_tpu.core.io import Audio, write_wav
+
+    sr = 16000
+    stereo = np.stack([np.full(sr, 0.2, np.float32),
+                       np.full(sr, -0.4, np.float32)])
+    path = tmp_path / "st.wav"
+    write_wav(path, stereo, sr)
+    audio = Audio(sample_rate=sr, mono="downmix")
+
+    f = {"audio": str(path), "channel": 1}
+    waveform, rate = audio(f)
+    assert abs(float(waveform.mean()) + 0.4) < 1e-3
+    # emulate _decode_into's cache
+    f["waveform"] = waveform
+    f["sample_rate"] = rate
+    f["_batch_decoded"] = True
+    again, _ = audio(f)
+    assert again.shape == waveform.shape
+    np.testing.assert_array_equal(again, waveform)
