@@ -57,7 +57,8 @@ class BinnedAUROC:
             # descending-threshold cumulative rates
             tpr = np.concatenate([[0.0], np.cumsum(pos[::-1]) / p_total])
             fpr = np.concatenate([[0.0], np.cumsum(neg[::-1]) / n_total])
-            aurocs.append(np.trapezoid(tpr, fpr))
+            trapezoid = getattr(np, "trapezoid", None) or np.trapz
+            aurocs.append(trapezoid(tpr, fpr))
         return float(np.mean(aurocs)) if aurocs else float("nan")
 
     def __call__(self, scores, targets) -> float:

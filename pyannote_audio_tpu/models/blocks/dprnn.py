@@ -112,7 +112,9 @@ class DPRNN(nn.Module):
             chunks = DPRNNBlock(self.bn_chan, self.hid_size,
                                 name=f"block_{r}")(chunks)
 
-        chunks = nn.PReLU(name="mask_prelu")(chunks)
+        # torch/asteroid nn.PReLU starts at 0.25 (flax defaults to 0.01)
+        chunks = nn.PReLU(negative_slope_init=0.25,
+                          name="mask_prelu")(chunks)
         chunks = nn.Dense(self.n_src * self.bn_chan,
                           name="first_out")(chunks)
         # fold (sum, NO overlap normalization — asteroid uses plain fold)

@@ -155,6 +155,8 @@ class WeSpeakerModule(nn.Module):
     bottleneck: bool = False
     window_type: str = "hamming"
     sample_rate: int = 16000
+    frame_length: float = 25.0          # ms
+    frame_shift: float = 10.0           # ms
     # bf16 trunk: ~8x MXU throughput; fbank and stats pooling stay f32
     compute_dtype: object = jnp.bfloat16
 
@@ -169,6 +171,8 @@ class WeSpeakerModule(nn.Module):
         """(B, ch, samples) -> frame-wise features (B, T', F'*C)."""
         feats = wespeaker_fbank(waveforms, num_mel_bins=self.num_mel_bins,
                                 sample_rate=self.sample_rate,
+                                frame_length=self.frame_length,
+                                frame_shift=self.frame_shift,
                                 window_type=self.window_type)
         return self.frames_from_fbank(feats, centered=True, train=train)
 
@@ -242,6 +246,8 @@ class BaseWeSpeakerResNet(Model):
             bottleneck=self.BOTTLENECK,
             window_type=self.window_type,
             sample_rate=self.sample_rate,
+            frame_length=self.frame_length,
+            frame_shift=self.frame_shift,
         )
 
     @property

@@ -232,8 +232,14 @@ class PyanNet(Model):
                 for kind in ("w_ih", "w_hh", "b_ih", "b_hh"):
                     torch_kind = kind.replace("w_", "weight_").replace(
                         "b_", "bias_")
+                    # monolithic nn.LSTM keys, else the per-layer
+                    # nn.ModuleList layout of lstm["monolithic"]=False
+                    # (reference PyanNet.py:95-120) — identical math at
+                    # inference (dropout only acts between layers in
+                    # training)
                     p["lstm"][f"{kind}_l{i}{ours}"] = get(
-                        f"lstm.{torch_kind}_l{i}{suffix}")
+                        f"lstm.{torch_kind}_l{i}{suffix}",
+                        f"lstm.{i}.{torch_kind}_l0{suffix}")
 
         for i in range(self.linear["num_layers"]):
             p[f"linear_{i}"] = {

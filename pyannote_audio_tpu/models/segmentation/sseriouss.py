@@ -77,7 +77,11 @@ def _load_torch_ssl_state(path) -> Dict[str, np.ndarray]:
 
 
 def _infer_ssl_config(state: Dict[str, np.ndarray]) -> Dict:
-    """Infer encoder dims from a HF-format wav2vec2/WavLM state dict."""
+    """Infer encoder dims from a wav2vec2/WavLM state dict (HF layout or
+    the torchaudio ``wav2vec2_model`` layout the reference's path branch
+    loads — SSeRiouSS.py:109-116; keys are normalized to HF first)."""
+    from ..blocks.ssl import _normalize_ssl_keys
+    state = _normalize_ssl_keys(state)
     hidden = state["feature_projection.projection.weight"].shape[0]
     layers = 1 + max(int(k.split(".")[2]) for k in state
                      if k.startswith("encoder.layers."))
@@ -290,8 +294,11 @@ class SSeRiouSS(Model):
         ``classifier`` head.
         """
 
-        def get(name):
-            return np.asarray(state[name], dtype=np.float32)
+        def get(*names):
+            for n in names:
+                if n in state:
+                    return np.asarray(state[n], dtype=np.float32)
+            raise KeyError(f"missing key (tried {names})")
 
         p: Dict = {"lstm": {}}
         ssl_state = {k[len("wav2vec."):]: v for k, v in state.items()
@@ -308,8 +315,11 @@ class SSeRiouSS(Model):
                              "bias_hh"):
                     ours = kind.replace("weight_", "w_").replace(
                         "bias_", "b_")
+                    # monolithic or per-layer ModuleList layout
+                    # (reference SSeRiouSS.py:141-166)
                     p["lstm"][f"{ours}_l{i}{suffix}"] = get(
-                        f"lstm.{kind}_l{i}{suffix}")
+                        f"lstm.{kind}_l{i}{suffix}",
+                        f"lstm.{i}.{kind}_l0{suffix}")
         for i in range(self.linear["num_layers"]):
             p[f"linear_{i}"] = {"kernel": get(f"linear.{i}.weight").T,
                                 "bias": get(f"linear.{i}.bias")}
